@@ -1,0 +1,746 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{Classify, Ranking, Tables}
+
+/** Relational parity queries (SURVEY.md §2) re-expressed over the testdata
+  * star schema (FIXTURES.md role analogy: nation≈grupos, customer≈sucursales,
+  * orders≈supervisiones, lineitem≈supervision_areas).
+  *
+  * Every query is a pure (SparkSession, sfDir) => DataFrame with a colocated
+  * DuckDB oracle. Conventions for oracle hash-equality:
+  *   - every computed column aliased identically on both sides;
+  *   - deterministic total ordering (unique key in the sort);
+  *   - explicit NULLS FIRST/LAST (DuckDB defaults differ from Spark);
+  *   - DuckDB BIGINT-widening functions (year, rank, sum(int)) cast back to
+  *     Spark's narrower type in the SQL;
+  *   - doubles rounded at fixed points, mirroring the reference's 2dp
+  *     contract (app.py:497 etc.).
+  */
+object Relational {
+
+  import Tables._
+
+  // ---------------------------------------------------------------- q01
+  /** A1/A4/F6 — grouped multi-measure hash aggregate (TPC-H Q1 shape; the
+    * reference's per-group score summary app.py:446-470). Partial (map-side)
+    * aggregation is Catalyst-automatic; at 100TB this shuffles only
+    * |groups| × |measures| per partition.
+    */
+  def q01PricingSummary(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 2).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  val q01Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  round(avg(l_quantity), 2) AS avg_qty,
+      |  round(avg(l_extendedprice), 2) AS avg_price,
+      |  round(avg(l_discount), 4) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q02
+  /** A1/A2/A3 — scalar KPIs with multi-distinct in one pass (reference
+    * app.py:73-76: COUNT DISTINCT alongside AVG/COUNT; Catalyst Expand).
+    */
+  def q02ScalarKpis(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir).agg(
+      count(lit(1)).as("total_orders"),
+      countDistinct(col("o_custkey")).as("distinct_customers"),
+      round(avg(col("o_totalprice")), 2).as("avg_price"),
+      round(sum(col("o_totalprice")), 2).as("total_revenue"))
+
+  val q02Sql: String =
+    """SELECT count(*) AS total_orders,
+      |  count(DISTINCT o_custkey) AS distinct_customers,
+      |  round(avg(o_totalprice), 2) AS avg_price,
+      |  round(sum(o_totalprice), 2) AS total_revenue
+      |FROM orders""".stripMargin
+
+  // ---------------------------------------------------------------- q03
+  /** J2 — LEFT JOIN with filter in the ON clause (the reference's signature
+    * quirk, app.py:452-453): the extra predicate must NOT drop unmatched
+    * left rows. Nation side is tiny → Catalyst broadcasts the dim and the
+    * big side streams; count(key) counts only matched rows.
+    */
+  def q03LeftJoinOnFilter(s: SparkSession, dir: String): DataFrame = {
+    val n = nation(s, dir)
+    val c = customer(s, dir)
+    n.join(c, n("n_nationkey") === c("c_nationkey") && c("c_acctbal") > 5000, "left")
+      .groupBy(col("n_nationkey"), col("n_name"))
+      .agg(
+        count(col("c_custkey")).as("n_rich_customers"),
+        round(avg(col("c_acctbal")), 2).as("avg_rich_bal"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  val q03Sql: String =
+    """SELECT n.n_nationkey, n.n_name,
+      |  count(c.c_custkey) AS n_rich_customers,
+      |  round(avg(c.c_acctbal), 2) AS avg_rich_bal
+      |FROM nation n
+      |LEFT JOIN customer c ON n.n_nationkey = c.c_nationkey AND c.c_acctbal > 5000
+      |GROUP BY n.n_nationkey, n.n_name
+      |ORDER BY n.n_nationkey""".stripMargin
+
+  // ---------------------------------------------------------------- q04
+  /** J1 — inner equi-join chain across the dimension hierarchy
+    * (grupos⋈sucursales⋈supervisiones, app.py:77-81). All dims broadcast;
+    * only the fact table shuffles for the final aggregate.
+    */
+  def q04JoinChain(s: SparkSession, dir: String): DataFrame = {
+    val r = region(s, dir)
+    val n = nation(s, dir)
+    val c = customer(s, dir)
+    val o = orders(s, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_regionkey"), col("r_name"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("c_custkey")).as("n_customers"),
+        round(avg(col("o_totalprice")), 2).as("avg_price"))
+      .orderBy(col("r_regionkey"))
+  }
+
+  val q04Sql: String =
+    """SELECT r.r_regionkey, r.r_name,
+      |  count(*) AS n_orders,
+      |  count(DISTINCT c.c_custkey) AS n_customers,
+      |  round(avg(o.o_totalprice), 2) AS avg_price
+      |FROM orders o
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |GROUP BY r.r_regionkey, r.r_name
+      |ORDER BY r.r_regionkey""".stripMargin
+
+  // ---------------------------------------------------------------- q05
+  /** A5/T2 — conditional aggregation / bucketed histogram (reference
+    * app.py:387-399: SUM(CASE WHEN score>=90 ...) ×4). Single scan,
+    * one-row result; boundary values land in the higher bucket (`>=`).
+    */
+  def q05BucketHistogram(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir).agg(
+      sum(when(col("o_totalprice") >= 300000, 1L).otherwise(0L)).as("b_excellent"),
+      sum(when(col("o_totalprice") >= 150000 && col("o_totalprice") < 300000, 1L).otherwise(0L)).as("b_good"),
+      sum(when(col("o_totalprice") >= 50000 && col("o_totalprice") < 150000, 1L).otherwise(0L)).as("b_regular"),
+      sum(when(col("o_totalprice") < 50000, 1L).otherwise(0L)).as("b_critical"))
+
+  val q05Sql: String =
+    """SELECT
+      |  CAST(sum(CASE WHEN o_totalprice >= 300000 THEN 1 ELSE 0 END) AS BIGINT) AS b_excellent,
+      |  CAST(sum(CASE WHEN o_totalprice >= 150000 AND o_totalprice < 300000 THEN 1 ELSE 0 END) AS BIGINT) AS b_good,
+      |  CAST(sum(CASE WHEN o_totalprice >= 50000 AND o_totalprice < 150000 THEN 1 ELSE 0 END) AS BIGINT) AS b_regular,
+      |  CAST(sum(CASE WHEN o_totalprice < 50000 THEN 1 ELSE 0 END) AS BIGINT) AS b_critical
+      |FROM orders""".stripMargin
+
+  // ---------------------------------------------------------------- q06
+  /** A6 — HAVING post-aggregate filter (reference app.py:1237: branches
+    * with AVG below threshold → alert). Filter applied after the agg,
+    * before the sort — Catalyst keeps it in the same stage.
+    */
+  def q06Having(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(round(avg(col("o_totalprice")), 2).as("avg_price"),
+           count(lit(1)).as("n_orders"))
+      .filter(col("avg_price") < 60000)
+      .orderBy(col("o_custkey"))
+
+  val q06Sql: String =
+    """SELECT o_custkey, round(avg(o_totalprice), 2) AS avg_price, count(*) AS n_orders
+      |FROM orders
+      |GROUP BY o_custkey
+      |HAVING round(avg(o_totalprice), 2) < 60000
+      |ORDER BY o_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q07
+  /** W1/W2/O1 — competition rank with ties over a per-group aggregate;
+    * null-measure rows unranked and appended (reference app.py:605-646).
+    */
+  def q07RankTies(s: SparkSession, dir: String): DataFrame = {
+    val n = nation(s, dir)
+    val c = customer(s, dir)
+    val agg = n
+      .join(c, n("n_nationkey") === c("c_nationkey"), "left")
+      .groupBy(col("n_nationkey"), col("n_name"))
+      .agg(
+        round(avg(col("c_acctbal")), 2).as("avg_bal"),
+        count(col("c_custkey")).as("n_customers"))
+    Ranking.rankWithNullsUnranked(agg, "avg_bal")
+      .orderBy(col("posicion").asc_nulls_last, col("n_nationkey"))
+  }
+
+  val q07Sql: String =
+    """WITH g AS (
+      |  SELECT n.n_nationkey, n.n_name,
+      |    round(avg(c.c_acctbal), 2) AS avg_bal,
+      |    count(c.c_custkey) AS n_customers
+      |  FROM nation n LEFT JOIN customer c ON n.n_nationkey = c.c_nationkey
+      |  GROUP BY n.n_nationkey, n.n_name)
+      |SELECT n_nationkey, n_name, avg_bal, n_customers,
+      |  CASE WHEN avg_bal IS NULL THEN NULL
+      |       ELSE CAST(rank() OVER (ORDER BY avg_bal DESC NULLS LAST) AS INT) END AS posicion
+      |FROM g
+      |ORDER BY posicion ASC NULLS LAST, n_nationkey""".stripMargin
+
+  // ---------------------------------------------------------------- q08
+  /** W3 — top-N per key, N=1: latest order per customer (reference
+    * app.py:846-857 latest supervision per branch). row_number over a
+    * partitioned window — shuffles once on the partition key; at scale
+    * this is the idiomatic replacement for the reference's per-row
+    * `ORDER BY fecha DESC LIMIT 1` N+1 queries.
+    */
+  def q08LatestPerKey(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val q08Sql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+      |FROM (SELECT *, row_number() OVER (
+      |        PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |      FROM orders)
+      |WHERE rn = 1
+      |ORDER BY o_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q09
+  /** W4 — top-N per key (N=4) then reversed to chronological order — the
+    * reference's trend sparkline (app.py:938-960).
+    */
+  def q09TrendLast4(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 4)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+              col("o_totalprice"), col("rn"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  val q09Sql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice, CAST(rn AS INT) AS rn
+      |FROM (SELECT *, row_number() OVER (
+      |        PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |      FROM orders)
+      |WHERE rn <= 4
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q10
+  /** J7 — interval-containment join: fact date BETWEEN period bounds
+    * (reference etl_sync.py:228-233 period assignment). The period dim is
+    * derived (distinct years) and tiny → BroadcastNestedLoopJoin, which is
+    * the right physical plan: |facts| × |periods≈7| comparisons, no shuffle
+    * of the fact side.
+    */
+  def q10IntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir)
+    val periods = o
+      .select(year(col("o_orderdate")).as("period_year")).distinct()
+      .select(col("period_year"),
+        make_date(col("period_year"), lit(1), lit(1)).as("p_start"),
+        make_date(col("period_year"), lit(12), lit(31)).as("p_end"))
+    o.join(broadcast(periods),
+        to_date(col("o_orderdate")).between(col("p_start"), col("p_end")), "inner")
+      .groupBy(col("period_year"))
+      .agg(count(lit(1)).as("n_orders"),
+           round(avg(col("o_totalprice")), 2).as("avg_price"))
+      .orderBy(col("period_year"))
+  }
+
+  val q10Sql: String =
+    """WITH periods AS (
+      |  SELECT period_year,
+      |    make_date(period_year, 1, 1) AS p_start,
+      |    make_date(period_year, 12, 31) AS p_end
+      |  FROM (SELECT DISTINCT CAST(year(o_orderdate) AS INT) AS period_year FROM orders))
+      |SELECT p.period_year, count(*) AS n_orders, round(avg(o.o_totalprice), 2) AS avg_price
+      |FROM orders o JOIN periods p
+      |  ON CAST(o.o_orderdate AS DATE) BETWEEN p.p_start AND p.p_end
+      |GROUP BY p.period_year
+      |ORDER BY p.period_year""".stripMargin
+
+  // ---------------------------------------------------------------- q11
+  /** J8 — anti-join (dedup-against-target shape, etl_sync.py:215-217):
+    * customers with no order in the final year. left_anti never
+    * materializes the right payload — only the join keys shuffle.
+    */
+  def q11AntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = customer(s, dir)
+    val recent = orders(s, dir)
+      .filter(year(col("o_orderdate")) === 2001)
+      .select(col("o_custkey"))
+    c.join(recent, c("c_custkey") === recent("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q11Sql: String =
+    """SELECT c_custkey, c_name, c_nationkey, c_acctbal
+      |FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey AND year(o.o_orderdate) = 2001)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q12
+  /** J11 — semi-join ("has at least one ..."): nations having a customer
+    * above a balance threshold (reference app.py:253-259 "last period with
+    * data" shape).
+    */
+  def q12SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val n = nation(s, dir)
+    val c = customer(s, dir).filter(col("c_acctbal") > 9000)
+    n.join(c, n("n_nationkey") === c("c_nationkey"), "left_semi")
+      .select(col("n_nationkey"), col("n_name"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  val q12Sql: String =
+    """SELECT n_nationkey, n_name
+      |FROM nation n
+      |WHERE EXISTS (SELECT 1 FROM customer c
+      |              WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal > 9000)
+      |ORDER BY n_nationkey""".stripMargin
+
+  // ---------------------------------------------------------------- q13
+  /** J5 — CROSS JOIN dense matrix (reference app.py:1141-1151): guarantee a
+    * cell for every (nation, orderstatus) even with no facts; left-join the
+    * aggregated fact, coalesce to 0. Aggregate BEFORE the join so the cross
+    * product is dims-only.
+    */
+  def q13CrossMatrix(s: SparkSession, dir: String): DataFrame = {
+    val n = nation(s, dir).select(col("n_nationkey"), col("n_name"))
+    val statuses = orders(s, dir).select(col("o_orderstatus")).distinct()
+    val facts = orders(s, dir)
+      .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"), round(avg(col("o_totalprice")), 2).as("avg_p"))
+    n.crossJoin(broadcast(statuses))
+      .join(facts,
+        n("n_nationkey") === facts("c_nationkey") &&
+          statuses("o_orderstatus") === facts("o_orderstatus"), "left")
+      .select(n("n_nationkey"), col("n_name"), statuses("o_orderstatus"),
+        coalesce(col("cnt"), lit(0L)).as("n_orders"), col("avg_p"))
+      .orderBy(col("n_nationkey"), col("o_orderstatus"))
+  }
+
+  val q13Sql: String =
+    """WITH f AS (
+      |  SELECT c.c_nationkey, o.o_orderstatus,
+      |    count(*) AS cnt, round(avg(o.o_totalprice), 2) AS avg_p
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  GROUP BY c.c_nationkey, o.o_orderstatus)
+      |SELECT n.n_nationkey, n.n_name, st.o_orderstatus,
+      |  COALESCE(f.cnt, 0) AS n_orders, f.avg_p
+      |FROM nation n
+      |CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) st
+      |LEFT JOIN f ON n.n_nationkey = f.c_nationkey AND st.o_orderstatus = f.o_orderstatus
+      |ORDER BY n.n_nationkey, st.o_orderstatus""".stripMargin
+
+  // ---------------------------------------------------------------- q14
+  /** A9 — pivot long→wide (reference's historico matrix, app.py:1153-1184).
+    * Explicit pivot values keep the plan single-pass (no extra distinct
+    * job) and make the output schema static for the oracle.
+    */
+  def q14Pivot(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir)
+    val c = customer(s, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(round(avg(col("o_totalprice")), 2))
+      .orderBy(col("c_nationkey"))
+  }
+
+  val q14Sql: String =
+    """SELECT c.c_nationkey,
+      |  round(avg(CASE WHEN o.o_orderstatus = 'F' THEN o.o_totalprice END), 2) AS F,
+      |  round(avg(CASE WHEN o.o_orderstatus = 'O' THEN o.o_totalprice END), 2) AS O,
+      |  round(avg(CASE WHEN o.o_orderstatus = 'P' THEN o.o_totalprice END), 2) AS P
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |GROUP BY c.c_nationkey
+      |ORDER BY c.c_nationkey""".stripMargin
+
+  // ---------------------------------------------------------------- q15
+  /** A10 — average-of-averages (two-level aggregate, app.py:1186-1202):
+    * per-(nation, year) mean first, then unweighted mean of those means per
+    * nation. Deliberately NOT the supervision-weighted average — the
+    * reference keeps both semantics side by side (q16 is the weighted one).
+    */
+  def q15AvgOfAvgs(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir)
+    val c = customer(s, dir)
+    val perPeriod = o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_nationkey"), year(col("o_orderdate")).as("y"))
+      .agg(avg(col("o_totalprice")).as("period_avg"))
+    perPeriod
+      .groupBy(col("c_nationkey"))
+      .agg(round(avg(col("period_avg")), 2).as("avg_of_avgs"),
+           count(lit(1)).as("n_periods"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  val q15Sql: String =
+    """WITH pp AS (
+      |  SELECT c.c_nationkey, year(o.o_orderdate) AS y, avg(o.o_totalprice) AS period_avg
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  GROUP BY c.c_nationkey, year(o.o_orderdate))
+      |SELECT c_nationkey, round(avg(period_avg), 2) AS avg_of_avgs, count(*) AS n_periods
+      |FROM pp GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  // ---------------------------------------------------------------- q16
+  /** A11 — weighted (per-fact) roll-up average, contrasted with q15
+    * (reference "promedio ponderado correcto", app.py:65-89).
+    */
+  def q16WeightedAvg(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir)
+    val c = customer(s, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(round(avg(col("o_totalprice")), 2).as("weighted_avg"),
+           count(lit(1)).as("n_orders"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  val q16Sql: String =
+    """SELECT c.c_nationkey, round(avg(o.o_totalprice), 2) AS weighted_avg,
+      |  count(*) AS n_orders
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |GROUP BY c.c_nationkey
+      |ORDER BY c.c_nationkey""".stripMargin
+
+  // ---------------------------------------------------------------- q17
+  /** A15 — percent-of-total via an unpartitioned window over the aggregated
+    * frame (reference app.js:436-461 distribution normalization). The
+    * window sees |distinct event_type| rows — cheap at any scale.
+    */
+  def q17PercentOfTotal(s: SparkSession, dir: String): DataFrame = {
+    val byType = events(s, dir).groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    byType
+      .withColumn("pct", round(col("n") * lit(100.0) / sum(col("n")).over(Window.partitionBy()), 1))
+      .orderBy(col("event_type"))
+  }
+
+  val q17Sql: String =
+    """SELECT event_type, count(*) AS n,
+      |  round(count(*) * 100.0 / sum(count(*)) OVER (), 1) AS pct
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q18
+  /** T1/T2 — classifier when-chains (territory + severity) feeding a
+    * grouped count. Pure Column expressions — fully codegen'd, no UDF.
+    */
+  def q18Classify(s: SparkSession, dir: String): DataFrame = {
+    val terr = Classify.territory(col("c_mktsegment"),
+      local = Seq("AUTOMOBILE", "BUILDING"), foranea = Seq("MACHINERY", "HOUSEHOLD"))
+    val sev = Classify.severityScaled(col("c_acctbal"), scale = 100.0)
+    customer(s, dir)
+      .select(terr.as("territorio"), sev.as("severidad"))
+      .groupBy(col("territorio"), col("severidad"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("territorio"), col("severidad"))
+  }
+
+  val q18Sql: String =
+    """SELECT
+      |  CASE WHEN lower(c_mktsegment) LIKE '%automobile%' OR lower(c_mktsegment) LIKE '%building%' THEN 'local'
+      |       WHEN lower(c_mktsegment) LIKE '%machinery%' OR lower(c_mktsegment) LIKE '%household%' THEN 'foranea'
+      |       ELSE 'mixto' END AS territorio,
+      |  CASE WHEN c_acctbal IS NULL THEN 'sin_datos'
+      |       WHEN c_acctbal >= 9000 THEN 'excelente'
+      |       WHEN c_acctbal >= 8000 THEN 'bueno'
+      |       WHEN c_acctbal >= 7000 THEN 'regular'
+      |       ELSE 'critico' END AS severidad,
+      |  count(*) AS n
+      |FROM customer
+      |GROUP BY 1, 2
+      |ORDER BY territorio, severidad""".stripMargin
+
+  // ---------------------------------------------------------------- q19
+  /** F7/F8/F9 — string normalization chain (upper/trim/contains/startswith/
+    * concat; reference etl_sync.py:123-127 title normalization). Filters
+    * on raw columns still push to the parquet scan.
+    */
+  def q19StringFuncs(s: SparkSession, dir: String): DataFrame =
+    part(s, dir)
+      .filter(col("p_name").contains("o") && col("p_brand").startsWith("Brand"))
+      .select(
+        col("p_partkey"),
+        upper(trim(col("p_name"))).as("name_upper"),
+        concat(col("p_brand"), lit("#"), col("p_type")).as("label"),
+        length(col("p_name")).as("name_len"))
+      .orderBy(col("p_partkey"))
+
+  val q19Sql: String =
+    """SELECT p_partkey,
+      |  upper(trim(p_name)) AS name_upper,
+      |  p_brand || '#' || p_type AS label,
+      |  CAST(length(p_name) AS INT) AS name_len
+      |FROM part
+      |WHERE p_name LIKE '%o%' AND p_brand LIKE 'Brand%'
+      |ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- q20
+  /** F3/F5 — date bucketing and formatting (reference app.py:949 '%d/%m'
+    * formatting, etl '[:10]' ISO slicing). Month string doubles as a
+    * partition-friendly key at scale.
+    */
+  def q20DateFuncs(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("order_month"))
+
+  val q20Sql: String =
+    """SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+      |  count(*) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS revenue
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY order_month""".stripMargin
+
+  // ---------------------------------------------------------------- q21
+  /** W5 — successor lookup via LEAD (reference etl_sync.py:542-547 "next
+    * period by fecha_inicio"). Unpartitioned window over distinct months —
+    * tiny by construction.
+    */
+  def q21Lead(s: SparkSession, dir: String): DataFrame = {
+    val months = orders(s, dir)
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("order_month")).distinct()
+    months
+      .withColumn("next_month", lead(col("order_month"), 1).over(Window.orderBy(col("order_month"))))
+      .orderBy(col("order_month"))
+  }
+
+  val q21Sql: String =
+    """SELECT order_month, lead(order_month) OVER (ORDER BY order_month) AS next_month
+      |FROM (SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS order_month FROM orders)
+      |ORDER BY order_month""".stripMargin
+
+  // ---------------------------------------------------------------- q22
+  /** O5/A13 — UNION ALL of labeled scalar aggregates (the ETL status
+    * report, etl_sync.py:410-415).
+    */
+  def q22UnionAll(s: SparkSession, dir: String): DataFrame = {
+    def cnt(name: String): DataFrame =
+      Tables.read(s, dir, name).agg(count(lit(1)).as("n")).select(lit(name).as("tbl"), col("n"))
+    cnt("region").unionAll(cnt("nation")).unionAll(cnt("customer"))
+      .unionAll(cnt("orders")).unionAll(cnt("lineitem"))
+      .orderBy(col("tbl"))
+  }
+
+  val q22Sql: String =
+    """SELECT * FROM (
+      |  SELECT 'region' AS tbl, count(*) AS n FROM region UNION ALL
+      |  SELECT 'nation', count(*) FROM nation UNION ALL
+      |  SELECT 'customer', count(*) FROM customer UNION ALL
+      |  SELECT 'orders', count(*) FROM orders UNION ALL
+      |  SELECT 'lineitem', count(*) FROM lineitem)
+      |ORDER BY tbl""".stripMargin
+
+  // ---------------------------------------------------------------- q23
+  /** O2 — global top-k (ORDER BY ... LIMIT k, app.py:855 etc.). Spark plans
+    * TakeOrderedAndProject: per-partition top-k then a single-reduce merge —
+    * no full sort at any scale.
+    */
+  def q23TopK(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderdate"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  val q23Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q24
+  /** A6/T2/F9 — threshold alerts with severity + message concat (reference
+    * app.py:1221-1266 /api/alertas): groups whose average falls below the
+    * "regular" line, labeled and ordered worst-first.
+    */
+  def q24Alerts(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir)
+    val c = customer(s, dir)
+    val n = nation(s, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_nationkey"), col("n_name"))
+      .agg(round(avg(col("o_totalprice")), 2).as("avg_price"),
+           count(lit(1)).as("n_orders"))
+      .join(broadcast(o.agg(round(avg(col("o_totalprice")), 2).as("global_avg"))))
+      .filter(col("avg_price") < col("global_avg"))
+      .withColumn("tipo",
+        when(col("avg_price") < col("global_avg") * 0.98, "critical").otherwise("warning"))
+      .withColumn("mensaje", concat(lit("Grupo "), col("n_name"), lit(" bajo umbral: "), col("avg_price")))
+      .drop("global_avg")
+      .orderBy(col("avg_price"), col("n_nationkey"))
+  }
+
+  val q24Sql: String =
+    """WITH ga AS (SELECT round(avg(o_totalprice), 2) AS global_avg FROM orders)
+      |SELECT n_nationkey, n_name, avg_price, n_orders,
+      |  CASE WHEN avg_price < global_avg * 0.98 THEN 'critical' ELSE 'warning' END AS tipo,
+      |  'Grupo ' || n_name || ' bajo umbral: ' || CAST(avg_price AS VARCHAR) AS mensaje
+      |FROM (
+      |  SELECT n.n_nationkey, n.n_name,
+      |    round(avg(o.o_totalprice), 2) AS avg_price, count(*) AS n_orders
+      |  FROM orders o
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  GROUP BY n.n_nationkey, n.n_name) g
+      |CROSS JOIN ga
+      |WHERE avg_price < global_avg
+      |ORDER BY avg_price, n_nationkey""".stripMargin
+
+  // ---------------------------------------------------------------- q25
+  /** A12/F10 — coverage ratio: distinct active entities vs total, with
+    * division-safe percentage (reference app.py:278-293).
+    */
+  def q25Coverage(s: SparkSession, dir: String): DataFrame = {
+    val total = customer(s, dir).agg(countDistinct(col("c_custkey")).as("total_customers"))
+    val active = orders(s, dir).agg(countDistinct(col("o_custkey")).as("customers_with_orders"))
+    total.crossJoin(active)
+      .withColumn("coverage_pct",
+        when(col("total_customers") > 0,
+          round(col("customers_with_orders") * lit(100.0) / col("total_customers"), 1))
+          .otherwise(lit(0.0)))
+  }
+
+  val q25Sql: String =
+    """SELECT t.total_customers, a.customers_with_orders,
+      |  CASE WHEN t.total_customers > 0
+      |       THEN round(a.customers_with_orders * 100.0 / t.total_customers, 1)
+      |       ELSE 0.0 END AS coverage_pct
+      |FROM (SELECT count(DISTINCT c_custkey) AS total_customers FROM customer) t
+      |CROSS JOIN (SELECT count(DISTINCT o_custkey) AS customers_with_orders FROM orders) a""".stripMargin
+
+  // ---------------------------------------------------------------- q26
+  /** F11 — semi-structured JSON field navigation (reference
+    * etl_sync.py:206-224 smetadata parsing) over events.props.
+    * get_json_object keeps extraction inside codegen.
+    */
+  def q26JsonExtract(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_with_k"),
+           round(avg(col("k")), 2).as("avg_k"))
+      .orderBy(col("event_type"))
+
+  val q26Sql: String =
+    """SELECT event_type,
+      |  count(CAST(props ->> '$.k' AS INT)) AS n_with_k,
+      |  round(avg(CAST(props ->> '$.k' AS INT)), 2) AS avg_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q27
+  /** F4-analog + date_trunc time bucketing over the events stream table
+    * (batch view of the streaming aggregation in graft.streaming).
+    */
+  def q27HourlyEvents(s: SparkSession, dir: String): DataFrame =
+    eventsTs(s, dir)
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00:00").as("hour_ts"))
+      .agg(count(lit(1)).as("n_events"),
+           round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("hour_ts"))
+
+  val q27Sql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour_ts,
+      |  count(*) AS n_events,
+      |  round(sum(value), 2) AS total_value
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY hour_ts""".stripMargin
+
+  // ------------------------------------------------------------ registry
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary"    -> (q01PricingSummary _),
+    "q02_scalar_kpis"        -> (q02ScalarKpis _),
+    "q03_left_join_on_filter"-> (q03LeftJoinOnFilter _),
+    "q04_join_chain"         -> (q04JoinChain _),
+    "q05_bucket_histogram"   -> (q05BucketHistogram _),
+    "q06_having"             -> (q06Having _),
+    "q07_rank_ties"          -> (q07RankTies _),
+    "q08_latest_per_key"     -> (q08LatestPerKey _),
+    "q09_trend_last4"        -> (q09TrendLast4 _),
+    "q10_interval_join"      -> (q10IntervalJoin _),
+    "q11_anti_join"          -> (q11AntiJoin _),
+    "q12_semi_join"          -> (q12SemiJoin _),
+    "q13_cross_matrix"       -> (q13CrossMatrix _),
+    "q14_pivot"              -> (q14Pivot _),
+    "q15_avg_of_avgs"        -> (q15AvgOfAvgs _),
+    "q16_weighted_avg"       -> (q16WeightedAvg _),
+    "q17_percent_of_total"   -> (q17PercentOfTotal _),
+    "q18_classify"           -> (q18Classify _),
+    "q19_string_funcs"       -> (q19StringFuncs _),
+    "q20_date_funcs"         -> (q20DateFuncs _),
+    "q21_lead"               -> (q21Lead _),
+    "q22_union_all"          -> (q22UnionAll _),
+    "q23_topk"               -> (q23TopK _),
+    "q24_alerts"             -> (q24Alerts _),
+    "q25_coverage"           -> (q25Coverage _),
+    "q26_json_extract"       -> (q26JsonExtract _),
+    "q27_hourly_events"      -> (q27HourlyEvents _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary"    -> q01Sql,
+    "q02_scalar_kpis"        -> q02Sql,
+    "q03_left_join_on_filter"-> q03Sql,
+    "q04_join_chain"         -> q04Sql,
+    "q05_bucket_histogram"   -> q05Sql,
+    "q06_having"             -> q06Sql,
+    "q07_rank_ties"          -> q07Sql,
+    "q08_latest_per_key"     -> q08Sql,
+    "q09_trend_last4"        -> q09Sql,
+    "q10_interval_join"      -> q10Sql,
+    "q11_anti_join"          -> q11Sql,
+    "q12_semi_join"          -> q12Sql,
+    "q13_cross_matrix"       -> q13Sql,
+    "q14_pivot"              -> q14Sql,
+    "q15_avg_of_avgs"        -> q15Sql,
+    "q16_weighted_avg"       -> q16Sql,
+    "q17_percent_of_total"   -> q17Sql,
+    "q18_classify"           -> q18Sql,
+    "q19_string_funcs"       -> q19Sql,
+    "q20_date_funcs"         -> q20Sql,
+    "q21_lead"               -> q21Sql,
+    "q22_union_all"          -> q22Sql,
+    "q23_topk"               -> q23Sql,
+    "q24_alerts"             -> q24Sql,
+    "q25_coverage"           -> q25Sql,
+    "q26_json_extract"       -> q26Sql,
+    "q27_hourly_events"      -> q27Sql,
+  )
+}
