@@ -46,13 +46,44 @@ object TextFunctions {
     aggregate(toks, lit(0L), (acc, t) => (acc * 31L + pmod(xxhash64(t), p)) % p)
   }
 
-  /** MinHash signature: `num` independent permutations approximated by
-    * seeded xxhash64; each signature slot is the min hash over the shingle
-    * set. Standard MinHash estimator: P(sig_i equal) = Jaccard.
+  /** MinHash permutation parameters: fixed (a, b) pairs for the universal
+    * hash family h_i(x) = (a_i·x + b_i) mod p over p = 2^31 - 1. Seeded so
+    * signatures are stable across runs and executors. Keeping x < p bounds
+    * a·x < 2^62 — no Long overflow under ANSI mode.
     */
+  private val MinhashP = 2147483647L // Mersenne prime 2^31 - 1
+  private lazy val minhashParams: IndexedSeq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    IndexedSeq.fill(64)((1L + rnd.nextInt((MinhashP - 1).toInt).toLong,
+                         rnd.nextInt(MinhashP.toInt).toLong))
+  }
+
+  /** Shared with NativeHashes so both formulations emit identical values. */
+  private[functions] def minhashParamsFor(num: Int): IndexedSeq[(Long, Long)] =
+    minhashParams.take(num)
+
+  /** Base hashes for MinHash: each shingle hashed ONCE (xxhash64, reduced
+    * mod p). Materialize this as its own column so the per-permutation
+    * passes below reuse it instead of re-hashing strings.
+    */
+  def shingleHashes(shingleCol: Column): Column =
+    transform(shingleCol, sh => pmod(xxhash64(sh), lit(MinhashP)))
+
+  /** MinHash signature from pre-computed shingle hashes: slot i is
+    * min((a_i·h + b_i) mod p) — cheap integer ops per permutation instead
+    * of a string hash. Standard estimator: P(sig_i equal) = Jaccard.
+    */
+  def minhashSignatureFromHashes(hashesCol: Column, num: Int): Column = {
+    require(num <= minhashParams.size)
+    array((0 until num).map { i =>
+      val (a, b) = minhashParams(i)
+      array_min(transform(hashesCol, h => (lit(a) * h + lit(b)) % MinhashP))
+    }: _*)
+  }
+
+  /** One-shot convenience (tests, small inputs): shingles → signature. */
   def minhashSignature(shingleCol: Column, num: Int): Column =
-    array((0 until num).map(seed =>
-      array_min(transform(shingleCol, sh => xxhash64(lit(seed), sh)))): _*)
+    minhashSignatureFromHashes(shingleHashes(shingleCol), num)
 
   /** LSH band keys over a signature: `bands` hashes, each over `rowsPerBand`
     * consecutive signature slots. Docs sharing any band key are candidate
@@ -83,14 +114,24 @@ object TextFunctions {
     * the SimHash bit. 63 bits so the accumulating fold never overflows
     * Long under ANSI mode.
     */
+  /** Per-token 64-bit hashes — materialize once, then fold bits over the
+    * longs (re-hashing strings per bit position would cost 63× more).
+    */
+  def tokenHashes(toks: Column): Column = transform(toks, t => xxhash64(t))
+
   def simhash63(toksColName: String): Column =
-    // Nested higher-order lambdas need the SQL form: the inner aggregate
-    // references the outer lambda variable b (the bit index).
+    simhash63FromHashes(s"transform($toksColName, tk -> xxhash64(tk))")
+
+  /** 63-bit SimHash from a pre-computed array<long> column (SQL expression
+    * text). Nested higher-order lambdas need the SQL form: the inner
+    * aggregate references the outer lambda variable b (the bit index).
+    */
+  def simhash63FromHashes(hashesExpr: String): Column =
     expr(
       s"""aggregate(sequence(62, 0, -1), 0L,
          |  (acc, b) -> acc * 2L + CASE WHEN
-         |    aggregate($toksColName, 0L,
-         |      (s, tk) -> s + CASE WHEN (shiftright(xxhash64(tk), b) & 1) = 1
+         |    aggregate($hashesExpr, 0L,
+         |      (s, h) -> s + CASE WHEN (shiftright(h, b) & 1) = 1
          |                      THEN 1L ELSE -1L END) > 0
          |    THEN 1L ELSE 0L END)""".stripMargin)
 }

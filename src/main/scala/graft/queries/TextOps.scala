@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables._
-import graft.functions.{TextFunctions => TF, VectorOps => V}
+import graft.functions.{NativeHashes => NH, NativeText => NT, TextFunctions => TF, VectorOps => V}
 
 /** Training-data pipeline operators over `documents` and `embeddings`:
   * deduplication (exact, MinHash-LSH, SimHash, n-gram Jaccard), text
@@ -42,18 +42,18 @@ object TextOps {
     * punctuation density, mean token length. Single narrow projection —
     * all codegen'd string ops, no shuffle at all.
     */
-  def t02TokenStats(s: SparkSession, dir: String): DataFrame = {
-    val toks = TF.tokens(col("text"))
+  def t02TokenStats(s: SparkSession, dir: String): DataFrame =
     documents(s, dir)
-      .select(
-        col("doc_id"),
-        col("lang"),
-        size(toks).as("n_tokens"),
-        TF.stopwordCount(toks, Stopwords).as("n_stopwords"),
-        round(TF.stopwordCount(toks, Stopwords).cast("double") / size(toks), 4).as("stopword_ratio"),
-        round(col("n_chars").cast("double") / size(toks), 2).as("avg_token_len"))
+      // materialize intermediate columns: multiple references to a column
+      // attribute are free; multiple inline copies of the tokenizer are not
+      .select(col("doc_id"), col("lang"), col("n_chars"), TF.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        size(col("toks")).as("n_tokens"),
+        TF.stopwordCount(col("toks"), Stopwords).as("n_stopwords"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_stopwords"),
+        round(col("n_stopwords").cast("double") / col("n_tokens"), 4).as("stopword_ratio"),
+        round(col("n_chars").cast("double") / col("n_tokens"), 2).as("avg_token_len"))
       .orderBy(col("doc_id"))
-  }
 
   val t02Sql: String =
     """WITH t AS (
@@ -143,9 +143,11 @@ object TextOps {
     val bands = 4
     val rows = numHashes / bands
     val docs = documents(s, dir)
-      .select(col("doc_id"), TF.shingles(TF.tokens(col("text")), 3).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), TF.minhashSignature(col("sh"), numHashes).as("sig"))
+      // single-pass native tokenize→shingle→hash (the composed HOF chain
+      // re-evaluates the tokenizer per lambda element — 90s vs <1s at sf0.1)
+      .select(col("doc_id"), NT.shingleHashes(col("text"), 3).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"), NH.minhashSignature(col("hs"), numHashes).as("sig"))
     val banded = docs
       .select(col("doc_id"), col("sig"),
         posexplode(TF.bandKeys(col("sig"), bands, rows)))
@@ -171,9 +173,9 @@ object TextOps {
     */
   def t07SimhashPairs(s: SparkSession, dir: String): DataFrame = {
     val docs = documents(s, dir)
-      .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) > 0)
-      .select(col("doc_id"), TF.simhash63("toks").as("simhash"))
+      .select(col("doc_id"), NT.tokenHashes(col("text")).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"), NH.simhash63(col("hs")).as("simhash"))
     val banded = docs.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("band"),
@@ -199,7 +201,8 @@ object TextOps {
     */
   def t08NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val shingled = documents(s, dir)
-      .select(col("doc_id"), TF.shingles(TF.tokens(col("text")), 3).as("sh"))
+      .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), TF.shingles(col("toks"), 3).as("sh"))
       .filter(size(col("sh")) > 0)
     val cands = t06MinhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
     cands

@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Expression <-> Column bridge. Spark 4 made these conversions
+  * private[sql]; libraries adding native Catalyst expressions host a shim
+  * in an org.apache.spark.sql subpackage (the established extension
+  * pattern) to reach them.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column    = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
