@@ -19,12 +19,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.all ++ TextOps.all
+    Relational.all ++ TextOps.all +
+      ("q28_sessionize" -> (graft.streaming.Sessionize.query _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for hash-seed-dependent ops (MinHash/
     * SimHash/fingerprint) → driver records a weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ TextOps.oracles
+    Relational.oracles ++ TextOps.oracles +
+      ("q28_sessionize" -> graft.streaming.Sessionize.oracleSql)
 }

@@ -1,0 +1,184 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The incremental sync pipeline (reference etl_sync.py run_sync /
+  * sync_operativas / sync_seguridad, rows 205-440), set-at-a-time:
+  *
+  *   raw JSON → parse (F11) → incremental filter vs checkpoint (S3)
+  *     → anti-join existing master (J8 dedup)
+  *     → [seguridad] location fallback join (J9)
+  *     → drop no-location rows → score extraction (T6)
+  *     → period interval join (J7) → sucursal lookup join (J6)
+  *     → append master (S4)
+  *   answers explode (T7) → catalog join (T4/T5) → anti-join existing
+  *     detail (S5, the ON CONFLICT DO NOTHING analog) → append detail
+  *   checkpoint + audit rewrite (S6) → status report (A13/O5)
+  *     → period transition check (T8)
+  *
+  * Surrogate ids are xxhash64 of the natural key instead of the
+  * reference's serial RETURNING id (etl_sync.py:236-245) — deterministic
+  * under re-runs and needs no driver-side coordination at any scale.
+  */
+object CasEtl {
+
+  case class SyncResult(tipo: String, fetched: Long, nuevos: Long, detalles: Long)
+
+  private def surrogateId(natural: org.apache.spark.sql.Column) = xxhash64(natural)
+
+  /** One incremental sync for one supervision type. `rawJson` plays the
+    * Zenput REST page stream (S2 — pagination is driver-side either way).
+    */
+  def sync(wh: Warehouse, rawJson: DataFrame, tipo: String): SyncResult = {
+    require(tipo == "operativas" || tipo == "seguridad")
+    val parsed0 = SubmissionParse.parse(rawJson)
+
+    // S3 — incremental extract: only submissions after the checkpoint
+    val ckpt = wh.checkpoints
+      .filter(col("formulario") === s"supervisiones_$tipo")
+      .select(max(col("ultima_fecha"))).first().getTimestamp(0)
+    val parsedInc = Option(ckpt) match {
+      case Some(ts) => parsed0.filter(try_to_timestamp(col("date_submitted")) > lit(ts))
+      case None     => parsed0
+    }
+    val fetched = parsedInc.count()
+
+    val existing = wh.supervisiones(tipo)
+
+    // J8 — dedup against target (etl_sync.py:215-217): only new submissions
+    val fresh = parsedInc.join(existing.select(col("zenput_submission_id")),
+      Seq("zenput_submission_id"), "left_anti")
+
+    // J9 — seguridad-only location inference from same-day operativas
+    val located = if (tipo == "seguridad")
+      PeriodAssign.inferLocation(fresh, wh.supervisiones("operativas"), wh.sucursales)
+    else fresh
+
+    // reference drops submissions without a resolvable location
+    // (etl_sync.py:211-213, 293-295). Staged: everything below re-reads
+    // this lineage after the master append, and the J8 anti-join against
+    // the target must not see its own output.
+    val withLoc = wh.stage(located.filter(col("zenput_location_id").isNotNull))
+
+    // T6 + J7 + J6
+    val scored = withLoc.withColumn("calificacion_general",
+      SubmissionParse.generalScore(col("answers")))
+    val assigned = PeriodAssign.assignPeriod(scored, wh.periodos)
+    val suc = broadcast(wh.sucursales
+      .select(col("id").as("lookup_sucursal_id"), col("zenput_location_id")))
+    val master = wh.stage(assigned
+      .join(suc, Seq("zenput_location_id"), "left")
+      .select(
+        surrogateId(col("zenput_submission_id")).as("id"),
+        col("zenput_submission_id"),
+        col("lookup_sucursal_id").cast("int").as("sucursal_id"),
+        col("periodo_id").cast("int"),
+        col("supervisor"),
+        try_to_timestamp(col("date_submitted")).as("fecha_supervision"),
+        col("calificacion_general"),
+        (if (tipo == "operativas") col("lat") else lit(null).cast("double")).as("lat_entrega"),
+        (if (tipo == "operativas") col("lon") else lit(null).cast("double")).as("lon_entrega")))
+
+    val nuevos = master.count()
+    wh.append(s"supervisiones_$tipo", master)
+
+    // T4/T5 + T7 + S5 — detail rows for the NEW masters only
+    val catalog = wh.catalogo(tipo)
+    val extractedAll =
+      if (tipo == "operativas") SubmissionParse.extractAreas(withLoc, catalog)
+      else SubmissionParse.extractKpis(withLoc, catalog)
+    val detail = extractedAll
+      .join(broadcast(catalog.select(col("id").as("area_id"), col("codigo"))), Seq("codigo"))
+      .select(
+        surrogateId(col("zenput_submission_id")).as("supervision_id"),
+        col("area_id"), col("porcentaje"))
+    val detailTable = if (tipo == "operativas") "supervision_areas" else "seguridad_kpis"
+    // ON CONFLICT DO NOTHING analog: anti-join the (supervision, area) key
+    val detailFresh = wh.stage(detail.join(wh.detalle(tipo),
+      Seq("supervision_id", "area_id"), "left_anti"))
+    val nDetail = detailFresh.count()
+    wh.append(detailTable, detailFresh)
+
+    // S6 — checkpoint + audit (rewrite: these are tiny control tables)
+    val spark = wh.spark
+    import spark.implicits._
+    val now = current_timestamp()
+    wh.rewrite("sync_checkpoints",
+      wh.checkpoints.filter(col("formulario") =!= s"supervisiones_$tipo")
+        .unionByName(Seq(s"supervisiones_$tipo").toDF("formulario")
+          .withColumn("ultima_fecha", now)))
+    wh.append("sync_log",
+      Seq((s"etl_$tipo", nuevos, "success")).toDF("workflow", "registros_nuevos", "estado")
+        .select(xxhash64(col("workflow"), now).as("id"), col("workflow"),
+          now.as("inicio"), now.as("fin"), col("registros_nuevos"), col("estado")))
+
+    SyncResult(tipo, fetched, nuevos, nDetail)
+  }
+
+  /** A13/O5 — the status report union (etl_sync.py:410-415). */
+  def statusReport(wh: Warehouse): DataFrame = {
+    def cnt(label: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("total")).select(lit(label).as("tabla"), col("total"))
+    cnt("Supervisiones Operativas", wh.supervisiones("operativas"))
+      .unionAll(cnt("Áreas por Supervisión", wh.detalle("operativas")))
+      .unionAll(cnt("Supervisiones Seguridad", wh.supervisiones("seguridad")))
+      .unionAll(cnt("KPIs Seguridad", wh.detalle("seguridad")))
+  }
+
+  /** J10 — backfill: rewrite null/zero calificacion_general from a source
+    * map of (zenput_submission_id → calificacion)
+    * (etl_sync.py fix_seguridad_calificaciones, 446-498).
+    */
+  def backfillScores(wh: Warehouse, tipo: String, source: DataFrame): Long = {
+    val target = wh.supervisiones(tipo)
+    val fixes = broadcast(source
+      .filter(col("calificacion").isNotNull && col("calificacion") > 0)
+      .select(col("zenput_submission_id"), col("calificacion")))
+    val updated = target
+      .join(fixes, Seq("zenput_submission_id"), "left")
+      .withColumn("calificacion_general",
+        when((col("calificacion_general").isNull || col("calificacion_general") === 0)
+          && col("calificacion").isNotNull, col("calificacion"))
+          .otherwise(col("calificacion_general")))
+      .drop("calificacion")
+    val nFixed = target.filter(col("calificacion_general").isNull || col("calificacion_general") === 0)
+      .join(fixes, Seq("zenput_submission_id"), "left_semi").count()
+    wh.rewrite(s"supervisiones_$tipo", updated.select(
+      CasSchema.supervisiones.fieldNames.map(col).toIndexedSeq: _*))
+    nFixed
+  }
+
+  /** T8 — period transition state machine (etl_sync.py:504-566): when the
+    * active period has supervised every active sucursal, deactivate it and
+    * activate the next period by fecha_inicio. Driver-side control flow
+    * around broadcast-sized frames — exactly as in the reference, where
+    * this is a pair of UPDATEs on a dozen-row table.
+    */
+  def periodTransition(wh: Warehouse): Option[String] = {
+    val periodos = wh.periodos
+    val activos = periodos.filter(col("activo") === true).collect()
+    if (activos.isEmpty) return None
+    val activo = activos.head
+
+    val supervisadas = wh.supervisiones("operativas")
+      .filter(col("periodo_id") === activo.getAs[Int]("id"))
+      .agg(countDistinct(col("sucursal_id"))).first().getLong(0)
+    val total = wh.sucursales.filter(col("activo") === true).count()
+    if (total == 0 || supervisadas < total) return None
+
+    val siguiente = periodos
+      .filter(col("fecha_inicio") > lit(activo.getAs[java.sql.Date]("fecha_inicio")))
+      .orderBy(col("fecha_inicio").asc)
+      .limit(1).collect()
+    if (siguiente.isEmpty) return None
+    val nextId = siguiente.head.getAs[Int]("id")
+
+    wh.rewrite("periodos_cas", periodos.withColumn("activo",
+      when(col("id") === activo.getAs[Int]("id"), false)
+        .when(col("id") === nextId, true)
+        .otherwise(col("activo"))))
+    Some(Option(siguiente.head.getAs[String]("codigo"))
+      .getOrElse(siguiente.head.getAs[String]("nombre")))
+  }
+}
