@@ -34,6 +34,11 @@ object CasSchema {
     StructField("fecha_fin", DateType),
     StructField("activo", BooleanType)))
 
+  val grupos: StructType = StructType(Seq(
+    StructField("id", IntegerType, nullable = false),
+    StructField("nombre", StringType),
+    StructField("activo", BooleanType)))
+
   val sucursales: StructType = StructType(Seq(
     StructField("id", IntegerType, nullable = false),
     StructField("nombre", StringType),

@@ -56,6 +56,7 @@ case class Warehouse(spark: SparkSession, dir: String) {
   def detalle(tipo: String): DataFrame =
     read(if (tipo == "operativas") "supervision_areas" else "seguridad_kpis", CasSchema.detalle)
   def periodos: DataFrame   = read("periodos_cas", CasSchema.periodos)
+  def grupos: DataFrame     = read("grupos_operativos", CasSchema.grupos)
   def sucursales: DataFrame = read("sucursales", CasSchema.sucursales)
   def catalogo(tipo: String): DataFrame =
     read(if (tipo == "operativas") "catalogo_areas" else "catalogo_kpis_seguridad", CasSchema.catalogo)

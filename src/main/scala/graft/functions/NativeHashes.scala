@@ -154,7 +154,56 @@ object NativeHashes {
       copy(child = newChild)
   }
 
+  /** Order-sensitive rolling polynomial over pre-computed token hashes:
+    * acc = (acc·31 + floorMod(h, p)) mod p, p = 1e9+7 — identical to
+    * TextFunctions.rollingFingerprint over the same token stream.
+    */
+  case class RollingFingerprint(child: Expression)
+      extends UnaryExpression {
+    private val P = 1000000007L
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"rolling_fingerprint requires array<bigint>, got ${other.sql}")
+    }
+    override def dataType: DataType = LongType
+    override def prettyName: String = "rolling_fingerprint"
+
+    override def nullSafeEval(input: Any): Any = {
+      val hs = input.asInstanceOf[ArrayData].toLongArray()
+      var acc = 0L
+      var i = 0
+      while (i < hs.length) {
+        acc = (acc * 31L + java.lang.Math.floorMod(hs(i), P)) % P
+        i += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, arr => {
+        val hs = ctx.freshName("hs")
+        val acc = ctx.freshName("acc")
+        val i = ctx.freshName("i")
+        s"""
+           |long[] $hs = $arr.toLongArray();
+           |long $acc = 0L;
+           |for (int $i = 0; $i < $hs.length; $i++) {
+           |  $acc = ($acc * 31L + java.lang.Math.floorMod($hs[$i], ${P}L)) % ${P}L;
+           |}
+           |${ev.value} = $acc;
+           |""".stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): RollingFingerprint =
+      copy(child = newChild)
+  }
+
   // ------------------------------------------------------------ Column API
+
+  def rollingFingerprint(tokenHashes: Column): Column =
+    ColumnBridge.column(RollingFingerprint(ColumnBridge.expression(tokenHashes)))
 
   def simhash63(tokenHashes: Column): Column =
     ColumnBridge.column(SimHash63(ColumnBridge.expression(tokenHashes)))

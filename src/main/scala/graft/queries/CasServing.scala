@@ -1,0 +1,212 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{Classify, Ranking}
+import graft.etl.Warehouse
+
+/** The reference's serving layer (app.py, ~35 SQL queries + Python
+  * dataflow) as pure DataFrame programs over the CAS warehouse.
+  *
+  * The polymorphic `tipo` path parameter (operativas|seguridad) picks the
+  * fact table exactly as `tabla = ... if tipo == ...` does at app.py:347 —
+  * but as a function argument, not string-built SQL. All the Python-side
+  * post-processing (tie ranking app.py:624-637, territory classification
+  * app.py:44-55, roll-up groups app.py:57-89, pivoting app.py:1153-1202)
+  * collapses into the plan: one job instead of N+1 queries per request.
+  */
+object CasServing {
+
+  /** T1 defaults — configurable lists, not hardcoded geography. */
+  case class TerritoryConfig(local: Seq[String] = Seq("norte"), foranea: Seq[String] = Seq("sur"))
+  /** T3 roll-up prefixes (reference GRUPOS_AGRUPACIONES, app.py:57-63). */
+  case class RollupConfig(prefixes: Map[String, String] = Map.empty)
+
+  private def severity100(c: Column) = Classify.severity(c)
+
+  /** /api/kpis/<tipo> (app.py:340-432): scalar KPIs + coverage + buckets. */
+  def kpis(wh: Warehouse, tipo: String, periodoId: Option[Int] = None): DataFrame = {
+    val sup = periodoId.foldLeft(wh.supervisiones(tipo))((df, p) => df.filter(col("periodo_id") === p))
+    val buckets = sup.agg(
+      round(avg(col("calificacion_general")), 2).as("promedio_general"),
+      count(lit(1)).as("total_supervisiones"),
+      countDistinct(col("sucursal_id")).as("sucursales_evaluadas"),
+      sum(when(col("calificacion_general") >= 90, 1L).otherwise(0L)).as("excelente"),
+      sum(when(col("calificacion_general") >= 80 && col("calificacion_general") < 90, 1L).otherwise(0L)).as("bueno"),
+      sum(when(col("calificacion_general") >= 70 && col("calificacion_general") < 80, 1L).otherwise(0L)).as("regular"),
+      sum(when(col("calificacion_general") < 70, 1L).otherwise(0L)).as("critico"))
+    val total = wh.sucursales.filter(col("activo") === true)
+      .agg(count(lit(1)).as("total_sucursales"))
+    buckets.crossJoin(total)
+      .withColumn("cobertura_pct",
+        when(col("total_sucursales") > 0,
+          round(col("sucursales_evaluadas") * lit(100.0) / col("total_sucursales"), 1))
+          .otherwise(0.0))
+  }
+
+  /** /api/ranking/grupos/<tipo> (app.py:435-648): LEFT JOINs with the
+    * periodo filter IN THE ON CLAUSE (unsupervised groups retained, J2),
+    * per-group aggregate, optional territory filter, roll-up keys with
+    * weighted averages (A11), then competition rank with unranked nulls
+    * (W1/W2).
+    */
+  def rankingGrupos(wh: Warehouse, tipo: String, periodoId: Option[Int] = None,
+                    territorio: Option[String] = None,
+                    tc: TerritoryConfig = TerritoryConfig(),
+                    rc: RollupConfig = RollupConfig()): DataFrame = {
+    val g = wh.grupos.filter(col("activo"))
+      .select(col("id").as("grupo_id"), col("nombre").as("grupo"))
+    val sActive = wh.sucursales.filter(col("activo"))
+      .select(col("id").as("s_sid"), col("grupo_operativo_id"))
+    val sup = wh.supervisiones(tipo)
+
+    val supCond = col("sucursal_id") === col("s_sid") &&
+      periodoId.map(p => col("periodo_id") === p).getOrElse(lit(true))
+    val joined = g
+      .join(sActive, col("grupo_id") === col("grupo_operativo_id"), "left")
+      .join(sup, supCond, "left")
+
+    val agg = joined
+      .groupBy(col("grupo_id"), col("grupo"))
+      .agg(
+        round(avg(col("calificacion_general")), 2).as("promedio"),
+        count(col("id")).as("supervisiones"),
+        countDistinct(col("s_sid")).as("sucursales"))
+      .withColumn("territorio", Classify.territory(col("grupo"), tc.local, tc.foranea))
+      .withColumn("agrupacion", Classify.rollupKey(col("grupo"), rc.prefixes))
+    val filtered = territorio.foldLeft(agg)((df, t) => df.filter(col("territorio") === t))
+
+    // A11: weighted roll-up average over every member supervision — joins
+    // members back to facts instead of averaging the members' averages
+    val members = filtered.select(col("grupo_id"), col("agrupacion"))
+    val rollupAvg = members
+      .join(sActive, col("grupo_id") === col("grupo_operativo_id"))
+      .join(sup, supCond, "left")
+      .groupBy(col("agrupacion"))
+      .agg(round(avg(col("calificacion_general")), 2).as("promedio_agrupacion"))
+
+    Ranking.rankWithNullsUnranked(
+      filtered.join(broadcast(rollupAvg), Seq("agrupacion"), "left"), "promedio")
+      .orderBy(col("posicion").asc_nulls_last, col("grupo"))
+  }
+
+  /** /api/ranking/sucursales/<tipo> (app.py:652-757): same shape per
+    * branch, ordered promedio DESC NULLS LAST with name tiebreak (O1).
+    */
+  def rankingSucursales(wh: Warehouse, tipo: String, periodoId: Option[Int] = None,
+                        grupoId: Option[Int] = None): DataFrame = {
+    val s = wh.sucursales.filter(col("activo"))
+      .select(col("id").as("s_sid"), col("nombre"), col("clasificacion"), col("grupo_operativo_id"))
+    val base = grupoId.foldLeft(s)((df, gid) => df.filter(col("grupo_operativo_id") === gid))
+    val sup = wh.supervisiones(tipo)
+    val supCond = col("sucursal_id") === col("s_sid") &&
+      periodoId.map(p => col("periodo_id") === p).getOrElse(lit(true))
+    val agg = base.join(sup, supCond, "left")
+      .groupBy(col("s_sid"), col("nombre"), col("clasificacion"))
+      .agg(round(avg(col("calificacion_general")), 2).as("promedio"),
+           count(col("id")).as("supervisiones"))
+      .withColumn("color", severity100(col("promedio")))
+    Ranking.rankWithNullsUnranked(agg, "promedio")
+      .orderBy(col("posicion").asc_nulls_last, col("nombre"))
+  }
+
+  /** /api/historico/<tipo> (app.py:1128-1207): dense grupo × periodo
+    * matrix (CROSS JOIN J5) → pivot (A9) → unweighted average-of-averages
+    * per grupo plus the cross-group "EPL CAS" row per periodo (A10).
+    * Returns (matrix, grupoAvgs, eplRow).
+    */
+  def historico(wh: Warehouse, tipo: String): (DataFrame, DataFrame, DataFrame) = {
+    val g = wh.grupos.filter(col("activo"))
+      .select(col("id").as("grupo_id"), col("nombre").as("grupo"))
+    val p = wh.periodos.select(col("id").as("p_periodo_id"), col("codigo"))
+    val s = wh.sucursales.filter(col("activo"))
+      .select(col("id").as("s_sid"), col("grupo_operativo_id"))
+    val sup = wh.supervisiones(tipo)
+
+    val long = g.crossJoin(broadcast(p))
+      .join(s, col("grupo_id") === col("grupo_operativo_id"), "left")
+      .join(sup,
+        col("sucursal_id") === col("s_sid") && col("periodo_id") === col("p_periodo_id"), "left")
+      .groupBy(col("grupo_id"), col("grupo"), col("codigo"))
+      .agg(avg(col("calificacion_general")).as("promedio"),
+           count(col("id")).as("evaluaciones"))
+
+    val periodCodes = p.select("codigo").orderBy("codigo")
+      .collect().map(_.getString(0)).toSeq
+    val matrix = long.groupBy(col("grupo_id"), col("grupo"))
+      .pivot("codigo", periodCodes)
+      .agg(round(first(col("promedio")), 2))
+      .orderBy(col("grupo"))
+
+    val grupoAvgs = long.filter(col("promedio").isNotNull)
+      .groupBy(col("grupo_id"), col("grupo"))
+      .agg(round(avg(col("promedio")), 2).as("promedio_general"))
+      .orderBy(col("promedio_general").desc_nulls_last, col("grupo"))
+
+    val eplRow = long.filter(col("promedio").isNotNull)
+      .groupBy(col("codigo"))
+      .agg(round(avg(col("promedio")), 2).as("promedio_epl"))
+      .orderBy(col("codigo"))
+
+    (matrix, grupoAvgs, eplRow)
+  }
+
+  /** /api/alertas/<tipo> (app.py:1221-1280): groups and branches whose
+    * period average crosses the critical/warning thresholds (A6 HAVING),
+    * labeled (T2/F9) and partitioned by severity like app.js:1075-1076.
+    */
+  def alertas(wh: Warehouse, tipo: String, periodoId: Option[Int] = None): DataFrame = {
+    val s = wh.sucursales.filter(col("activo"))
+      .select(col("id").as("s_sid"), col("nombre"))
+    val sup = periodoId.foldLeft(wh.supervisiones(tipo))((df, p) => df.filter(col("periodo_id") === p))
+    s.join(sup, col("sucursal_id") === col("s_sid"))
+      .groupBy(col("s_sid"), col("nombre"))
+      .agg(round(avg(col("calificacion_general")), 2).as("promedio"),
+           count(lit(1)).as("supervisiones"))
+      .filter(col("promedio") < 80)
+      .withColumn("tipo_alerta", when(col("promedio") < 70, "critical").otherwise("warning"))
+      .withColumn("mensaje",
+        concat(col("nombre"), lit(": promedio "), col("promedio"), lit(" bajo umbral")))
+      .orderBy(col("promedio"), col("nombre"))
+  }
+
+  /** /api/mapa (app.py:1063-1124): geo projection (P5 null-safe) with the
+    * latest supervision score per branch (W3) and severity color (T2).
+    */
+  def mapa(wh: Warehouse, tipo: String, periodoId: Option[Int] = None): DataFrame = {
+    val s = wh.sucursales.filter(col("activo") &&
+      col("latitud").isNotNull && col("longitud").isNotNull)
+      .select(col("id").as("s_sid"), col("nombre"), col("latitud").as("lat"),
+        col("longitud").as("lng"), col("clasificacion"))
+    val sup = periodoId.foldLeft(wh.supervisiones(tipo))((df, p) => df.filter(col("periodo_id") === p))
+    val latest = sup
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("sucursal_id"))
+          .orderBy(col("fecha_supervision").desc, col("id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("sucursal_id"), col("calificacion_general").as("ultima_calificacion"))
+    s.join(latest, col("s_sid") === col("sucursal_id"), "left")
+      .withColumn("color", severity100(col("ultima_calificacion")))
+      .select(col("s_sid").as("id"), col("nombre"), col("lat"), col("lng"),
+        col("clasificacion"), col("ultima_calificacion"), col("color"))
+      .orderBy(col("nombre"))
+  }
+
+  /** /api/periodo-contexto (app.py:214-335): the period containing `hoy`
+    * (P6), else the latest period with data (J11 + O2).
+    */
+  def periodoContexto(wh: Warehouse, tipo: String, hoy: java.sql.Date): DataFrame = {
+    val p = wh.periodos
+    val current = p.filter(lit(hoy).between(col("fecha_inicio"), col("fecha_fin")))
+      .orderBy(col("fecha_inicio").desc).limit(1)
+    val withData = p.join(wh.supervisiones(tipo),
+        p("id") === col("periodo_id"), "left_semi")
+      .orderBy(col("fecha_inicio").desc).limit(1)
+    current.withColumn("fuente", lit("actual"))
+      .unionByName(withData.withColumn("fuente", lit("ultimo_con_datos")))
+      .orderBy(col("fuente")) // 'actual' sorts first when both exist
+      .limit(1)
+  }
+}

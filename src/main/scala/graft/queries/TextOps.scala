@@ -219,9 +219,9 @@ object TextOps {
     */
   def t09Fingerprint(s: SparkSession, dir: String): DataFrame =
     documents(s, dir)
-      .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), TF.rollingFingerprint(col("toks")).as("fingerprint"),
-        size(col("toks")).as("n_tokens"))
+      .select(col("doc_id"), NT.tokenHashes(col("text")).as("hs"))
+      .select(col("doc_id"), NH.rollingFingerprint(col("hs")).as("fingerprint"),
+        size(col("hs")).as("n_tokens"))
       .orderBy(col("doc_id"))
 
   // ---------------------------------------------------------------- t10
@@ -268,6 +268,86 @@ object TextOps {
       |WHERE rk <= 5
       |ORDER BY query_id, rk""".stripMargin
 
+  // ---------------------------------------------------------------- t11
+  /** Language-ID heuristic (n-gram/marker based) + confusion matrix vs the
+    * labeled lang column. Pure string expressions: marker-token ratios and
+    * character-class densities feed a when-chain classifier — the
+    * structural shape of any rule-based langid at scale (single scan, tiny
+    * groupBy).
+    */
+  def t11LangidConfusion(s: SparkSession, dir: String): DataFrame = {
+    val lower_ = lower(col("text"))
+    val len = length(col("text")).cast("double")
+    // marker densities per character: 'the'-trigram, 'th'-bigram, vowels
+    val theCnt = (length(lower_) - length(regexp_replace(lower_, "the", ""))) / 3.0
+    val vowelRatio = length(regexp_replace(lower_, "[^aeiou]", "")).cast("double") / len
+    val predicted =
+      when(theCnt / len >= 0.01 && vowelRatio >= 0.28, "en_like")
+        .when(vowelRatio >= 0.33, "vowel_heavy")
+        .otherwise("other")
+    documents(s, dir)
+      .select(col("lang"), predicted.as("predicted"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
+  val t11Sql: String =
+    """SELECT lang,
+      |  CASE WHEN (length(lower(text)) - length(replace(lower(text), 'the', ''))) / 3.0
+      |              / length(text) >= 0.01
+      |         AND length(regexp_replace(lower(text), '[^aeiou]', '', 'g')) * 1.0
+      |              / length(text) >= 0.28
+      |       THEN 'en_like'
+      |       WHEN length(regexp_replace(lower(text), '[^aeiou]', '', 'g')) * 1.0
+      |              / length(text) >= 0.33
+      |       THEN 'vowel_heavy'
+      |       ELSE 'other' END AS predicted,
+      |  count(*) AS n
+      |FROM documents
+      |GROUP BY 1, 2
+      |ORDER BY lang, predicted""".stripMargin
+
+  // ---------------------------------------------------------------- t12
+  /** LSH-bucketed ANN — the scale path next to the t10 exact baseline (no
+    * SQL oracle; AnnSpec checks bucket consistency and cosine agreement
+    * with brute force).
+    *
+    * Random-hyperplane signatures: `Bits` fixed Rademacher (+-1)
+    * hyperplanes (seeded, broadcast as literals); bucket = sign-bit code.
+    * Corpus is scanned once to assign buckets; each query probes only its
+    * own bucket, so per-query cost is |bucket| ~ N/2^Bits dot products
+    * instead of N. Recall is tuned by Bits and multi-probe; at 100 TB the
+    * bucket assignment is the same single shuffle-free scan and the join
+    * shuffles only (bucket, vec) pairs.
+    */
+  def t12AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val Bits = 6
+    val Dim = 64
+    val rnd = new scala.util.Random(7)
+    val planes: Seq[Seq[Double]] =
+      Seq.fill(Bits)(Seq.fill(Dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+    def bucketOf(emb: org.apache.spark.sql.Column) =
+      (0 until Bits).map { i =>
+        when(V.dot(emb, typedlit(planes(i))) > 0, 1L << i).otherwise(0L)
+      }.reduce(_ + _)
+
+    val e = embeddings(s, dir)
+      .select(col("vec_id"), V.toDouble(col("embedding")).as("emb"))
+      .withColumn("bucket", bucketOf(col("emb")))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"), col("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    e.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("bucket"),
+        round(V.cosine(col("q_emb"), col("emb")), 6).as("cosine"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_dedup_exact"     -> (t01DedupExact _),
@@ -280,6 +360,8 @@ object TextOps {
     "t08_ngram_jaccard"   -> (t08NgramJaccard _),
     "t09_fingerprint"     -> (t09Fingerprint _),
     "t10_ann_brute_force" -> (t10AnnBruteForce _),
+    "t11_langid_confusion"-> (t11LangidConfusion _),
+    "t12_ann_lsh"         -> (t12AnnLsh _),
   )
 
   /** t06-t09 intentionally omitted: hash-seed-dependent results are not
@@ -293,5 +375,6 @@ object TextOps {
     "t04_token_histogram" -> t04Sql,
     "t05_embed_stats"     -> t05Sql,
     "t10_ann_brute_force" -> t10Sql,
+    "t11_langid_confusion"-> t11Sql,
   )
 }

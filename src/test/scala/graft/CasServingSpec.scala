@@ -1,0 +1,130 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.etl.{CasSchema, Warehouse}
+import graft.queries.CasServing
+import graft.queries.CasServing.{RollupConfig, TerritoryConfig}
+
+/** Serving-layer endpoints over a hand-built CAS warehouse, with the
+  * reference's hard parts staged deliberately: tie ranking, unsupervised
+  * group retained via ON-clause filter, weighted vs unweighted averages,
+  * dense pivot, latest-per-branch.
+  */
+class CasServingSpec extends SparkTestBase {
+
+  private val tc = TerritoryConfig(local = Seq("norte"), foranea = Seq("sur"))
+  private val rc = RollupConfig(prefixes = Map("PLOG" -> "PLOG"))
+
+  private lazy val wh: Warehouse = {
+    val w = Warehouse(spark, Files.createTempDirectory("graft_serve_").toString)
+    w.rewrite("grupos_operativos", spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1, "PLOG Norte", true), Row(2, "PLOG Sur", true),
+        Row(3, "Centro", true), Row(4, "Vacio", true))),
+      CasSchema.grupos))
+    w.rewrite("sucursales", spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1, "Suc A", "NL", "local", 25.0, -100.0, 1, 101L, true),
+        Row(2, "Suc B", "TM", "foraneo", 24.0, -99.0, 2, 102L, true),
+        Row(3, "Suc C", "DF", "local", 19.0, -99.1, 3, 103L, true),
+        Row(4, "Suc D", "JA", "local", 20.0, -103.0, 4, 104L, true),
+        Row(5, "Suc E", "NL", "local", 25.1, -100.1, 3, 105L, false))),
+      CasSchema.sucursales))
+    w.rewrite("periodos_cas", spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1, "P1", "Enero", java.sql.Date.valueOf("2026-01-01"), java.sql.Date.valueOf("2026-01-31"), true),
+        Row(2, "P2", "Febrero", java.sql.Date.valueOf("2026-02-01"), java.sql.Date.valueOf("2026-02-28"), false))),
+      CasSchema.periodos))
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    w.rewrite("supervisiones_operativas", spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "z1", 1, 1, "Ana", ts("2026-01-10 10:00:00"), 90.0, null, null),
+        Row(2L, "z2", 2, 1, "Ana", ts("2026-01-11 10:00:00"), 90.0, null, null),
+        Row(3L, "z3", 3, 1, "Bea", ts("2026-01-12 10:00:00"), 60.0, null, null),
+        Row(4L, "z4", 1, 2, "Ana", ts("2026-02-10 10:00:00"), 80.0, null, null),
+        Row(5L, "z5", 3, 1, "Bea", ts("2026-01-20 10:00:00"), 75.0, null, null))),
+      CasSchema.supervisiones))
+    w
+  }
+
+  test("kpis: scalar aggregates, buckets, coverage") {
+    val k = CasServing.kpis(wh, "operativas", periodoId = Some(1)).collect().head
+    assert(k.getAs[Double]("promedio_general") === 78.75)
+    assert(k.getAs[Long]("total_supervisiones") === 4)
+    assert(k.getAs[Long]("sucursales_evaluadas") === 3)
+    assert(k.getAs[Long]("excelente") === 2)
+    assert(k.getAs[Long]("regular") === 1)
+    assert(k.getAs[Long]("critico") === 1)
+    assert(k.getAs[Long]("total_sucursales") === 4) // Suc E inactive
+    assert(k.getAs[Double]("cobertura_pct") === 75.0)
+  }
+
+  test("rankingGrupos: tie ranking, unsupervised group unranked, rollups") {
+    val r = CasServing.rankingGrupos(wh, "operativas", periodoId = Some(1), tc = tc, rc = rc)
+      .collect()
+    val byName = r.map(x => x.getAs[String]("grupo") -> x).toMap
+    assert(byName("PLOG Norte").getAs[Int]("posicion") === 1)
+    assert(byName("PLOG Sur").getAs[Int]("posicion") === 1)   // 90 == 90 tie
+    assert(byName("Centro").getAs[Int]("posicion") === 3)     // competition rank skips 2
+    assert(byName("Vacio").isNullAt(byName("Vacio").fieldIndex("posicion"))) // W2
+    assert(byName("Centro").getAs[Double]("promedio") === 67.5)
+    // A11 weighted rollup over both PLOG groups' supervisions
+    assert(byName("PLOG Norte").getAs[String]("agrupacion") === "PLOG")
+    assert(byName("PLOG Norte").getAs[Double]("promedio_agrupacion") === 90.0)
+    // T1 over configured lists
+    assert(byName("PLOG Norte").getAs[String]("territorio") === "local")
+    assert(byName("PLOG Sur").getAs[String]("territorio") === "foranea")
+  }
+
+  test("rankingGrupos territory filter keeps only matching groups") {
+    val r = CasServing.rankingGrupos(wh, "operativas", Some(1), Some("local"), tc, rc).collect()
+    assert(r.map(_.getAs[String]("grupo")).toSeq === Seq("PLOG Norte"))
+  }
+
+  test("historico: dense pivot, avg-of-avgs, EPL row") {
+    val (matrix, grupoAvgs, epl) = CasServing.historico(wh, "operativas")
+    val m = matrix.collect().map(r => r.getAs[String]("grupo") ->
+      (Option(r.getAs[java.lang.Double]("P1")), Option(r.getAs[java.lang.Double]("P2")))).toMap
+    assert(m("PLOG Norte") === (Some(90.0), Some(80.0)))
+    assert(m("Centro") === (Some(67.5), None))
+    assert(m("Vacio") === (None, None)) // dense matrix keeps empty cells
+    val ga = grupoAvgs.collect().map(r => r.getAs[String]("grupo") -> r.getAs[Double]("promedio_general")).toMap
+    assert(ga("PLOG Norte") === 85.0) // A10 unweighted mean of (90, 80)
+    val e = epl.collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(e("P1") === 82.5) // mean of 90, 90, 67.5
+    assert(e("P2") === 80.0)
+  }
+
+  test("alertas: HAVING thresholds + severity labels") {
+    val a = CasServing.alertas(wh, "operativas", Some(1)).collect()
+    assert(a.length === 1)
+    assert(a.head.getAs[String]("nombre") === "Suc C")
+    assert(a.head.getAs[Double]("promedio") === 67.5)
+    assert(a.head.getAs[String]("tipo_alerta") === "critical")
+  }
+
+  test("mapa: latest score per branch with severity color") {
+    val m = CasServing.mapa(wh, "operativas").collect()
+      .map(r => r.getAs[String]("nombre") -> r).toMap
+    assert(m("Suc A").getAs[Double]("ultima_calificacion") === 80.0) // z4 is latest
+    assert(m("Suc A").getAs[String]("color") === "bueno")
+    assert(m("Suc C").getAs[Double]("ultima_calificacion") === 75.0) // z5 over z3
+    assert(m("Suc D").getAs[String]("color") === "sin_datos")
+    assert(!m.contains("Suc E")) // inactive filtered
+  }
+
+  test("periodoContexto: containment first, else latest with data") {
+    val inJan = CasServing.periodoContexto(wh, "operativas", java.sql.Date.valueOf("2026-01-15"))
+      .collect().head
+    assert(inJan.getAs[String]("codigo") === "P1")
+    assert(inJan.getAs[String]("fuente") === "actual")
+    val later = CasServing.periodoContexto(wh, "operativas", java.sql.Date.valueOf("2026-03-15"))
+      .collect().head
+    assert(later.getAs[String]("codigo") === "P2")
+    assert(later.getAs[String]("fuente") === "ultimo_con_datos")
+  }
+}

@@ -59,6 +59,15 @@ class NativeHashesSpec extends SparkTestBase {
     assert(joined.filter(col("hs") =!= col("hs2")).count() === 0)
   }
 
+  test("native rolling fingerprint == HOF fingerprint on corpus sample") {
+    val nat = docs.select(col("doc_id"),
+      NH.rollingFingerprint(graft.functions.NativeText.tokenHashes(col("text"))).as("fp"))
+    val hof = docs
+      .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), TF.rollingFingerprint(col("toks")).as("fp2"))
+    assert(nat.join(hof, "doc_id").filter(col("fp") =!= col("fp2")).count() === 0)
+  }
+
   test("interpreted eval path matches codegen (single-row eval)") {
     // force interpreted evaluation by evaluating on a literal via eval()
     import org.apache.spark.sql.catalyst.util.GenericArrayData
