@@ -17,6 +17,13 @@ object Bench {
       case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
       case None        => SparkEntry.queries
     }
+    // JVM/codegen warmup so the first measured query doesn't absorb
+    // class-loading + Janino + JIT cost (~3s observed on q23)
+    try {
+      val w = spark.read.parquet(s"$sfDir/nation.parquet")
+      w.groupBy("n_regionkey").count().queryExecution.toRdd.count()
+      spark.range(1000).selectExpr("sum(id) over ()").queryExecution.toRdd.count()
+    } catch { case _: Throwable => () }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // toRdd executes the physical plan with all output columns; a bare

@@ -23,6 +23,21 @@ case class Warehouse(spark: SparkSession, dir: String) {
   def append(name: String, df: DataFrame): Unit =
     df.write.mode("append").parquet(path(name))
 
+  /** Hive-style partitioned append — the 100TB layout for fact tables:
+    * partition masters by periodo_id (or shipdate month) so every
+    * periodo-filtered serving query prunes to one directory, and dynamic
+    * partition pruning handles the dim-join case. PartitioningSpec proves
+    * the scan's PartitionFilters kick in.
+    */
+  def appendPartitioned(name: String, df: DataFrame, cols: String*): Unit =
+    df.write.mode("append").partitionBy(cols: _*).parquet(path(name))
+
+  /** Read a partitioned table (partition columns come back from the
+    * directory layout, so no explicit schema).
+    */
+  def readPartitioned(name: String): DataFrame =
+    spark.read.parquet(path(name))
+
   /** Small control/dimension tables are rewritten atomically per run
     * (checkpoints, sync_log rollups, periodos after a transition).
     * Write-to-temp + swap: overwrite-in-place would break readers of the

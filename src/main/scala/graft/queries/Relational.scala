@@ -683,6 +683,19 @@ object Relational {
       |GROUP BY 1
       |ORDER BY hour_ts""".stripMargin
 
+  // ---------------------------------------------------------------- q29
+  /** A2 at scale — approx_count_distinct (HLL++) beside the exact count.
+    * No oracle (sketch results are engine-specific); ApproxSpec bounds the
+    * relative error. At 100TB the exact distinct is a full shuffle of the
+    * key; the sketch is a fixed-size mergeable buffer per partition.
+    */
+  def q29ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir).agg(
+      countDistinct(col("l_partkey")).as("exact_parts"),
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+      countDistinct(col("l_suppkey")).as("exact_supps"),
+      approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supps"))
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"    -> (q01PricingSummary _),
@@ -712,6 +725,7 @@ object Relational {
     "q25_coverage"           -> (q25Coverage _),
     "q26_json_extract"       -> (q26JsonExtract _),
     "q27_hourly_events"      -> (q27HourlyEvents _),
+    "q29_approx_distinct"    -> (q29ApproxDistinct _),
   )
 
   val oracles: Map[String, String] = Map(

@@ -196,13 +196,15 @@ object TextOps {
 
   // ---------------------------------------------------------------- t08
   /** Exact n-gram Jaccard for LSH candidates (no SQL oracle): re-join the
-    * shingle sets onto the MinHash candidate pairs and compute exact
-    * set Jaccard. Only candidate pairs pay the set-intersection cost.
+    * shingle sets onto the MinHash candidate pairs and compute exact set
+    * Jaccard. Computed over the native shingle-HASH arrays — set Jaccard
+    * over 2^31-range hashes equals the string-set Jaccard up to negligible
+    * collision probability, and skips the interpreted shingle chain. Only
+    * candidate pairs pay the set-intersection cost.
     */
   def t08NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val shingled = documents(s, dir)
-      .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), TF.shingles(col("toks"), 3).as("sh"))
+      .select(col("doc_id"), NT.shingleHashes(col("text"), 3).as("sh"))
       .filter(size(col("sh")) > 0)
     val cands = t06MinhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
     cands

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants (SURVEY.md §5.3) with raw ScalaCheck
+  * generators sampled over fixed seeds (the scalatest-scalacheck bridge is
+  * not in the offline cache). Small generated frames — the properties, not
+  * the volume, are the point.
+  */
+class PropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  import graft.core.Ranking
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (1 to n).map(i => g.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("rank-with-ties: positions start at 1, gaps equal tie counts, nulls unranked") {
+    val gen: Gen[List[Option[Double]]] =
+      Gen.listOfN(12, Gen.option(Gen.chooseNum(0, 10).map(_.toDouble)))
+    samples(gen, 15).filter(_.nonEmpty).foreach { xs =>
+      val df = xs.zipWithIndex.map { case (s, i) => (s"r$i", s) }.toDF("name", "score")
+      val got = Ranking.rankWithNullsUnranked(df, "score")
+        .select("score", "posicion").collect()
+        .map(r => (Option(r.getAs[java.lang.Double]("score")).map(_.toDouble),
+                   Option(r.getAs[java.lang.Integer]("posicion")).map(_.toInt)))
+      // null measure <=> null position
+      assert(got.forall { case (s, p) => s.isDefined == p.isDefined })
+      val ranked = got.flatMap { case (s, p) => s.zip(p) }
+      if (ranked.nonEmpty) {
+        val byScore = ranked.groupBy(_._1)
+        // equal scores share a single position
+        assert(byScore.values.forall(_.map(_._2).distinct.length == 1))
+        // competition rank: descending scores get positions 1, 1+|ties|, ...
+        var expected = 1
+        byScore.toSeq.sortBy(-_._1).foreach { case (_, group) =>
+          assert(group.head._2 === expected)
+          expected += group.length
+        }
+      }
+    }
+  }
+
+  test("pivot preserves the long-format aggregate cell-by-cell") {
+    val gen: Gen[List[(Int, String, Double)]] = Gen.listOfN(30,
+      for {
+        g <- Gen.chooseNum(1, 4)
+        p <- Gen.oneOf("P1", "P2", "P3")
+        v <- Gen.chooseNum(0, 100).map(_.toDouble)
+      } yield (g, p, v))
+    samples(gen, 8).filter(_.nonEmpty).foreach { xs =>
+      val df = xs.toDF("g", "p", "v")
+      val longMap = df.groupBy("g", "p").agg(round(avg("v"), 2).as("m"))
+        .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getDouble(2)).toMap
+      df.groupBy("g").pivot("p", Seq("P1", "P2", "P3")).agg(round(avg("v"), 2))
+        .collect().foreach { r =>
+          val g = r.getInt(0)
+          Seq("P1", "P2", "P3").foreach { p =>
+            val cell = Option(r.getAs[java.lang.Double](p)).map(_.toDouble)
+            assert(cell === longMap.get((g, p)), s"cell ($g, $p)")
+          }
+        }
+    }
+  }
+
+  test("identical token streams always produce identical minhash signatures") {
+    import graft.functions.{TextFunctions => TF}
+    val gen: Gen[List[String]] = Gen.listOfN(12, Gen.oneOf(
+      "alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"))
+    samples(gen, 10).filter(_.length >= 3).foreach { ws =>
+      val text = ws.mkString(" ")
+      val sigs = Seq((1L, text), (2L, text)).toDF("id", "text")
+        .select(col("id"),
+          TF.minhashSignature(TF.shingles(TF.tokens(col("text")), 3), 16).as("sig"))
+        .collect().map(_.getSeq[Long](1))
+      assert(sigs(0) === sigs(1))
+    }
+  }
+}
