@@ -696,6 +696,25 @@ object Relational {
       countDistinct(col("l_suppkey")).as("exact_supps"),
       approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supps"))
 
+  // ---------------------------------------------------------------- q30
+  /** Rollup with subtotals + grand total (beyond the reference's flat
+    * GROUP BYs — the natural extension of its KPI hierarchy). Catalyst
+    * plans one Expand over the grouping sets; no repeated scans.
+    */
+  def q30Rollup(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+           count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  val q30Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"    -> (q01PricingSummary _),
@@ -726,6 +745,7 @@ object Relational {
     "q26_json_extract"       -> (q26JsonExtract _),
     "q27_hourly_events"      -> (q27HourlyEvents _),
     "q29_approx_distinct"    -> (q29ApproxDistinct _),
+    "q30_rollup"             -> (q30Rollup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -756,5 +776,6 @@ object Relational {
     "q25_coverage"           -> q25Sql,
     "q26_json_extract"       -> q26Sql,
     "q27_hourly_events"      -> q27Sql,
+    "q30_rollup"             -> q30Sql,
   )
 }
