@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.etl.Warehouse
+
+/** Library front door.
+  *
+  * {{{
+  * val spark = Graft.session("my-app")
+  * val wh    = Graft.warehouse(spark, "/data/cas")
+  *
+  * // ETL (reference etl_sync.py, set-at-a-time):
+  * graft.etl.CasEtl.sync(wh, rawJsonDf, "operativas")
+  * graft.etl.CasEtl.periodTransition(wh)
+  *
+  * // Serving (reference app.py endpoints):
+  * graft.queries.CasServing.rankingGrupos(wh, "operativas", periodoId = Some(3))
+  * graft.queries.CasServing.historico(wh, "seguridad")
+  *
+  * // Training-data ops over any corpus:
+  * graft.queries.TextOps.t06MinhashPairs(spark, dataDir)
+  * graft.streaming.Sessionize.sessionsBatch(eventsDf)
+  * }}}
+  */
+object Graft {
+
+  /** Session with the engine's recommended local defaults: shuffle
+    * parallelism sized to cores (not 200), UTC (oracle/date parity), AQE
+    * on for runtime re-planning (skew splits, dynamic coalescing).
+    */
+  def session(appName: String = "graft",
+              master: String = s"local[${Runtime.getRuntime.availableProcessors()}]",
+              shufflePartitions: Int = Runtime.getRuntime.availableProcessors()): SparkSession =
+    SparkSession.builder()
+      .appName(appName)
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+
+  def warehouse(spark: SparkSession, dir: String): Warehouse = Warehouse(spark, dir)
+
+  /** Registry of every self-contained query (testdata-contract shape). */
+  def queries = SparkEntry.queries
+}

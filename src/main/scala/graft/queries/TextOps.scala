@@ -350,6 +350,52 @@ object TextOps {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  // ---------------------------------------------------------------- t13
+  /** Near-duplicate CLUSTERS: connected components over the MinHash
+    * candidate graph via iterative min-label propagation, then one
+    * canonical survivor per cluster (no SQL oracle; DedupClusterSpec
+    * checks transitivity). This is the step that turns pairwise near-dup
+    * hits into an actual dedup decision.
+    *
+    * Scale shape: each iteration is one join + one aggregate, both
+    * shuffling on doc_id; lineage is cut with localCheckpoint every
+    * iteration (iterative algorithms otherwise stack plans). Near-dup
+    * components are tiny (diameter ≤ a few hops), so the fixed iteration
+    * budget converges with room to spare.
+    */
+  def t13DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = t06MinhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
+    val nodes = documents(s, dir).select(col("doc_id")).distinct()
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint()
+
+    var labels = nodes.withColumn("cluster", col("doc_id")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < 8 && !converged) {
+      val neighborMin = edges
+        .join(labels.select(col("doc_id").as("doc_b"), col("cluster").as("nb_cluster")), Seq("doc_b"))
+        .groupBy(col("doc_a")).agg(min(col("nb_cluster")).as("min_nb"))
+        .select(col("doc_a").as("doc_id"), col("min_nb"))
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster"), coalesce(col("min_nb"), col("cluster"))).as("cluster"))
+        .localCheckpoint()
+      converged = next.join(labels.select(col("doc_id"), col("cluster").as("prev")), Seq("doc_id"))
+        .filter(col("cluster") =!= col("prev")).isEmpty
+      labels = next
+      iter += 1
+    }
+
+    val w = Window.partitionBy(col("cluster")).orderBy(col("doc_id"))
+    labels
+      .withColumn("is_canonical", row_number().over(w) === 1)
+      .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy(col("cluster"))))
+      .filter(col("cluster_size") > 1) // singleton docs are not duplicates
+      .orderBy(col("cluster"), col("doc_id"))
+  }
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_dedup_exact"     -> (t01DedupExact _),
@@ -364,6 +410,7 @@ object TextOps {
     "t10_ann_brute_force" -> (t10AnnBruteForce _),
     "t11_langid_confusion"-> (t11LangidConfusion _),
     "t12_ann_lsh"         -> (t12AnnLsh _),
+    "t13_dedup_clusters"  -> (t13DedupClusters _),
   )
 
   /** t06-t09 intentionally omitted: hash-seed-dependent results are not

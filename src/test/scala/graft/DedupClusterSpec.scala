@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Label propagation must produce transitive clusters: a~b and b~c put
+  * a, b, c in ONE cluster even when (a, c) never collides as a pair.
+  * Tested through the same algorithm body over an injected pair set.
+  */
+class DedupClusterSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def clusters(pairs: DataFrame, nodes: DataFrame): DataFrame = {
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    var labels = nodes.withColumn("cluster", col("doc_id"))
+    (1 to 8).foreach { _ =>
+      val nb = edges
+        .join(labels.select(col("doc_id").as("doc_b"), col("cluster").as("nbc")), Seq("doc_b"))
+        .groupBy(col("doc_a")).agg(min(col("nbc")).as("mnb"))
+        .select(col("doc_a").as("doc_id"), col("mnb"))
+      labels = labels.join(nb, Seq("doc_id"), "left")
+        .select(col("doc_id"), least(col("cluster"), coalesce(col("mnb"), col("cluster"))).as("cluster"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
+  test("chained pairs collapse into one transitive cluster") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val nodes = (1L to 12L).toDF("doc_id")
+    val got = clusters(pairs, nodes).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).map(got).distinct === Seq(1L)) // one component, min label
+    assert(got(10L) === 10L && got(11L) === 10L)
+    assert(got(5L) === 5L) // untouched singleton
+  }
+
+  test("t13 over the corpus: canonical docs unique per cluster, sizes consistent") {
+    val df = graft.queries.TextOps.t13DedupClusters(spark, sf()).collect()
+    val byCluster = df.groupBy(_.getAs[Long]("cluster"))
+    byCluster.foreach { case (c, rows) =>
+      assert(rows.count(_.getAs[Boolean]("is_canonical")) === 1, s"cluster $c")
+      assert(rows.forall(_.getAs[Long]("cluster_size") === rows.length))
+      // canonical survivor is the minimum doc_id, which equals the label
+      assert(rows.filter(_.getAs[Boolean]("is_canonical")).head.getAs[Long]("doc_id") === c)
+    }
+  }
+}
