@@ -152,9 +152,18 @@ object TextOps {
       .select(col("doc_id"), col("sig"),
         posexplode(TF.bandKeys(col("sig"), bands, rows)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_key"))
-    val a = banded.select(col("band"), col("band_key"),
+    // skew guard: a boilerplate-heavy corpus can put thousands of docs in
+    // one band bucket and make the self-join quadratic. Cap bucket size —
+    // oversized buckets are boilerplate, not near-duplicates worth pairing.
+    val maxBucket = 1000
+    val bounded = banded
+      .withColumn("bucket_n",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("band_key"))))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    val a = bounded.select(col("band"), col("band_key"),
       col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("band_key"),
+    val b = bounded.select(col("band"), col("band_key"),
       col("doc_id").as("doc_b"), col("sig").as("sig_b"))
     a.join(b, Seq("band", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
