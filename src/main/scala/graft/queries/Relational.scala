@@ -715,6 +715,39 @@ object Relational {
       |GROUP BY ROLLUP(l_returnflag, l_linestatus)
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- q31
+  /** As-of join: each purchase event attributed to the same user's most
+    * recent view at-or-before it (functions/AsOf — union + running-last
+    * window, ONE shuffle). DuckDB's native ASOF JOIN is the oracle.
+    */
+  def q31AsofAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsTs(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"))
+    graft.functions.AsOf.join(purchases, views, "user_id", "ts")
+      .select(
+        col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_ts"),
+        date_format(col("matched.ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("view_ts"),
+        when(col("matched").isNotNull,
+          round((unix_micros(col("ts")) - unix_micros(col("matched.ts"))) / 1e6, 3))
+          .as("gap_seconds"))
+      .orderBy(col("event_id"))
+  }
+
+  val q31Sql: String =
+    """SELECT p.event_id, p.user_id,
+      |  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+      |  strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+      |  CASE WHEN v.ts IS NOT NULL
+      |       THEN round(date_diff('microsecond', v.ts, p.ts) / 1000000.0, 3) END AS gap_seconds
+      |FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+      |  ON p.user_id = v.user_id AND p.ts >= v.ts
+      |ORDER BY p.event_id""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"    -> (q01PricingSummary _),
@@ -746,6 +779,7 @@ object Relational {
     "q27_hourly_events"      -> (q27HourlyEvents _),
     "q29_approx_distinct"    -> (q29ApproxDistinct _),
     "q30_rollup"             -> (q30Rollup _),
+    "q31_asof_attribution"   -> (q31AsofAttribution _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -777,5 +811,6 @@ object Relational {
     "q26_json_extract"       -> q26Sql,
     "q27_hourly_events"      -> q27Sql,
     "q30_rollup"             -> q30Sql,
+    "q31_asof_attribution"   -> q31Sql,
   )
 }
