@@ -346,8 +346,13 @@ object TextOps {
     val e = embeddings(s, dir)
       .select(col("vec_id"), V.toDouble(col("embedding")).as("emb"))
       .withColumn("bucket", bucketOf(col("emb")))
+    // multi-probe: the exact bucket plus its hamming-1 neighbors — near
+    // neighbors that straddle one hyperplane are recovered at the cost of
+    // probing (Bits+1)/2^Bits of the corpus instead of 1/2^Bits
     val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"), col("bucket"))
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        explode(array((col("bucket") +:
+          (0 until Bits).map(i => col("bucket").bitwiseXOR(lit(1L << i)))): _*)).as("bucket"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     e.join(broadcast(q), Seq("bucket"))
@@ -355,6 +360,56 @@ object TextOps {
       .select(col("query_id"), col("vec_id"), col("bucket"),
         round(V.cosine(col("q_emb"), col("emb")), 6).as("cosine"))
       .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  // ---------------------------------------------------------------- t14
+  /** IVF ANN — the centroid-bucketed scale path beside t12's hyperplane
+    * LSH (no SQL oracle; AnnSpec-style checks in IvfSpec). Coarse
+    * quantizer: seeded KMeans over the corpus; each vector is assigned to
+    * its nearest centroid's inverted list. A query probes only the
+    * `nProbe` nearest lists, so per-query cost is ~ nProbe/k of the
+    * corpus. At 100 TB the model is trained once on a sample and
+    * persisted; here it is fit per call (corpus is test-sized) with a
+    * fixed seed for determinism.
+    */
+  def t14AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val k = 16
+    val nProbe = 2
+
+    val e = embeddings(s, dir)
+      .select(col("vec_id"), V.toDouble(col("embedding")).as("emb"))
+      .withColumn("features", array_to_vector(col("emb")))
+    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(5).fit(e)
+    val assigned = model.transform(e)
+      .select(col("vec_id"), col("emb"), col("prediction").as("cluster"))
+
+    // probe lists: nProbe nearest centroids per query vector
+    val centroids = model.clusterCenters.zipWithIndex.map {
+      case (c, i) => (i, c.toArray.toSeq)
+    }.toSeq
+    val centDf = s.createDataFrame(centroids).toDF("cid", "cvec")
+    val queries = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("cid"))
+    val probes = queries.crossJoin(broadcast(centDf))
+      .withColumn("dist",
+        aggregate(zip_with(col("q_emb"), col("cvec"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("q_emb"), col("cid").as("cluster"))
+
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    assigned.join(broadcast(probes), Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("cluster"),
+        round(V.cosine(col("q_emb"), col("emb")), 6).as("cosine"))
+      .withColumn("rk", row_number().over(wTop))
       .filter(col("rk") <= 5)
       .orderBy(col("query_id"), col("rk"))
   }
@@ -420,6 +475,7 @@ object TextOps {
     "t11_langid_confusion"-> (t11LangidConfusion _),
     "t12_ann_lsh"         -> (t12AnnLsh _),
     "t13_dedup_clusters"  -> (t13DedupClusters _),
+    "t14_ann_ivf"         -> (t14AnnIvf _),
   )
 
   /** t06-t09 intentionally omitted: hash-seed-dependent results are not
