@@ -748,6 +748,27 @@ object Relational {
       |  ON p.user_id = v.user_id AND p.ts >= v.ts
       |ORDER BY p.event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q32
+  /** S7 — catalog/schema introspection (reference app.py:1298-1321:
+    * information_schema.tables + dynamic result.keys()): table names and
+    * column counts discovered from the schemas themselves, not hardcoded.
+    */
+  def q32Catalog(s: SparkSession, dir: String): DataFrame = {
+    val names = Seq("customer", "documents", "embeddings", "events", "lineitem",
+      "nation", "orders", "part", "region", "supplier")
+    val rows = names.map(t => (t, Tables.read(s, dir, t).schema.fields.length))
+    import s.implicits._
+    rows.toDF("table_name", "n_columns").orderBy(col("table_name"))
+  }
+
+  val q32Sql: String =
+    """SELECT table_name, CAST(count(*) AS INT) AS n_columns
+      |FROM information_schema.columns
+      |WHERE table_name IN ('customer', 'documents', 'embeddings', 'events',
+      |  'lineitem', 'nation', 'orders', 'part', 'region', 'supplier')
+      |GROUP BY table_name
+      |ORDER BY table_name""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"    -> (q01PricingSummary _),
@@ -780,6 +801,7 @@ object Relational {
     "q29_approx_distinct"    -> (q29ApproxDistinct _),
     "q30_rollup"             -> (q30Rollup _),
     "q31_asof_attribution"   -> (q31AsofAttribution _),
+    "q32_catalog"            -> (q32Catalog _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -812,5 +834,6 @@ object Relational {
     "q27_hourly_events"      -> q27Sql,
     "q30_rollup"             -> q30Sql,
     "q31_asof_attribution"   -> q31Sql,
+    "q32_catalog"            -> q32Sql,
   )
 }

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipelines.Curation
+
+class CurationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("curation drops short, exact-dup, and near-dup docs, audited") {
+    val base = "the quick brown fox jumps over the lazy dog and keeps running far away"
+    val docs = Seq(
+      (1L, base),                          // survives (canonical)
+      (2L, base),                          // exact dup of 1 -> dropped
+      (3L, base + " tonight"),             // near dup of 1 -> dropped
+      (4L, "too short"),                   // quality drop
+      (5L, "completely different content about spark engines and columnar execution at scale"))
+      .toDF("doc_id", "text")
+    val (curated, audit) = Curation.curate(spark, docs)
+    val kept = curated.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 5L))
+    val a = audit.collect().head
+    assert(a.getAs[Long]("input_docs") === 5)
+    assert(a.getAs[Long]("dropped_quality") === 1)
+    assert(a.getAs[Long]("dropped_exact_dup") === 1)
+    assert(a.getAs[Long]("dropped_near_dup") === 1)
+    assert(a.getAs[Long]("curated_docs") === 2)
+  }
+
+  test("curation over the corpus conserves counts in the audit") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val (curated, audit) = Curation.curate(spark, docs)
+    val a = audit.collect().head
+    assert(a.getAs[Long]("input_docs") ===
+      a.getAs[Long]("dropped_quality") + a.getAs[Long]("dropped_exact_dup") +
+        a.getAs[Long]("dropped_near_dup") + a.getAs[Long]("curated_docs"))
+    assert(curated.count() === a.getAs[Long]("curated_docs"))
+    assert(curated.columns.contains("n_tokens")) // metadata survives
+  }
+}
