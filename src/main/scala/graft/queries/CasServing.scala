@@ -194,6 +194,52 @@ object CasServing {
       .orderBy(col("nombre"))
   }
 
+  /** /api/sucursal/<id>/detalle (app.py:846-900): the branch's LATEST
+    * supervision (W3) with its per-area/KPI breakdown (J3 catalog join,
+    * ordered by the catalog's numero).
+    */
+  def detalleSucursal(wh: Warehouse, tipo: String, sucursalId: Int): DataFrame = {
+    val latest = wh.supervisiones(tipo)
+      .filter(col("sucursal_id") === sucursalId)
+      .orderBy(col("fecha_supervision").desc, col("id").desc)
+      .limit(1)
+    val detail = wh.detalle(tipo)
+    val cat = broadcast(wh.catalogo(tipo)
+      .select(col("id").as("area_id"), col("codigo"), col("nombre").as("area"), col("numero")))
+    latest.join(detail, latest("id") === detail("supervision_id"))
+      .join(cat, Seq("area_id"))
+      .select(col("zenput_submission_id"), col("supervisor"),
+        col("fecha_supervision"), col("calificacion_general"),
+        col("codigo"), col("area"), col("numero"),
+        round(col("porcentaje"), 2).as("porcentaje"),
+        severity100(col("porcentaje")).as("color"))
+      .orderBy(col("numero"))
+  }
+
+  /** /api/sucursal/<id>/trend (app.py:938-960): last-N supervisions (W4),
+    * returned in chronological order (O6) for the sparkline.
+    */
+  def trendSucursal(wh: Warehouse, tipo: String, sucursalId: Int, n: Int = 4): DataFrame = {
+    val w = Window.partitionBy(col("sucursal_id"))
+      .orderBy(col("fecha_supervision").desc, col("id").desc)
+    wh.supervisiones(tipo)
+      .filter(col("sucursal_id") === sucursalId)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= n)
+      .select(col("fecha_supervision"),
+        date_format(col("fecha_supervision"), "dd/MM").as("fecha_corta"),
+        round(col("calificacion_general"), 2).as("calificacion"))
+      .orderBy(col("fecha_supervision"))
+  }
+
+  /** /api/estados (app.py:331-335): distinct states with branch counts. */
+  def estados(wh: Warehouse): DataFrame =
+    wh.sucursales
+      .filter(col("activo") && col("estado").isNotNull)
+      .groupBy(col("estado"))
+      .agg(count(lit(1)).as("n_sucursales"))
+      .orderBy(col("estado"))
+
   /** /api/periodo-contexto (app.py:214-335): the period containing `hoy`
     * (P6), else the latest period with data (J11 + O2).
     */

@@ -117,6 +117,36 @@ class CasServingSpec extends SparkTestBase {
     assert(!m.contains("Suc E")) // inactive filtered
   }
 
+  test("detalle: latest supervision's breakdown joined to catalog in numero order") {
+    val w = wh
+    w.rewrite("catalogo_areas", spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1, "A_SERV", "SERVICIO", 2), Row(2, "A_QUESO", "QUESO", 1))),
+      graft.etl.CasSchema.catalogo))
+    // detail rows for z4 (suc 1's LATEST supervision) and z1 (older)
+    w.rewrite("supervision_areas", spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(4L, 1, 91.0), Row(4L, 2, 82.0), Row(1L, 1, 10.0))),
+      graft.etl.CasSchema.detalle))
+    val d = CasServing.detalleSucursal(w, "operativas", sucursalId = 1).collect()
+    assert(d.map(_.getAs[String]("codigo")).toSeq === Seq("A_QUESO", "A_SERV")) // numero order
+    assert(d.map(_.getAs[Double]("porcentaje")).toSeq === Seq(82.0, 91.0))
+    assert(d.forall(_.getAs[String]("zenput_submission_id") === "z4")) // latest only
+    assert(d.head.getAs[String]("color") === "bueno")
+  }
+
+  test("trend: last-N in chronological order") {
+    val t = CasServing.trendSucursal(wh, "operativas", sucursalId = 1, n = 4).collect()
+    assert(t.map(_.getAs[Double]("calificacion")).toSeq === Seq(90.0, 80.0)) // z1 then z4
+    assert(t.map(_.getAs[String]("fecha_corta")).toSeq === Seq("10/01", "10/02"))
+  }
+
+  test("estados: distinct states with counts, inactive excluded") {
+    val e = CasServing.estados(wh).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(e.toSeq === Seq(("DF", 1L), ("JA", 1L), ("NL", 1L), ("TM", 1L))) // Suc E (NL) inactive
+  }
+
   test("periodoContexto: containment first, else latest with data") {
     val inJan = CasServing.periodoContexto(wh, "operativas", java.sql.Date.valueOf("2026-01-15"))
       .collect().head
