@@ -769,6 +769,84 @@ object Relational {
       |GROUP BY table_name
       |ORDER BY table_name""".stripMargin
 
+  // ---------------------------------------------------------------- q33
+  /** Correlated scalar subquery through the SQL API: orders above their
+    * own customer's average. Catalyst decorrelates this into an aggregate
+    * + join (RewriteCorrelatedScalarSubquery) — worth exercising because
+    * the reference's N+1 Python loops are exactly what decorrelation
+    * replaces.
+    */
+  def q33CorrelatedSubquery(s: SparkSession, dir: String): DataFrame = {
+    orders(s, dir).createOrReplaceTempView("graft_orders")
+    s.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM graft_orders o
+        |WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice)
+        |                            FROM graft_orders i
+        |                            WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val q33Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders o
+      |WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice)
+      |                            FROM orders i
+      |                            WHERE i.o_custkey = o.o_custkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q34
+  /** Set operations (beyond the reference, which has only UNION ALL):
+    * customers active in 2000 but not 2001 (EXCEPT) and in both
+    * (INTERSECT), labeled and unioned.
+    */
+  def q34SetOps(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir)
+    def custIn(y: Int) = o.filter(year(col("o_orderdate")) === y)
+      .select(col("o_custkey")).distinct()
+    val churned = custIn(2000).except(custIn(2001))
+      .withColumn("segment", lit("churned_2001"))
+    val retained = custIn(2000).intersect(custIn(2001))
+      .withColumn("segment", lit("retained_2001"))
+    churned.unionByName(retained).orderBy(col("segment"), col("o_custkey"))
+  }
+
+  val q34Sql: String =
+    """SELECT o_custkey, 'churned_2001' AS segment FROM (
+      |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 2000
+      |  EXCEPT
+      |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 2001)
+      |UNION ALL
+      |SELECT o_custkey, 'retained_2001' AS segment FROM (
+      |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 2000
+      |  INTERSECT
+      |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 2001)
+      |ORDER BY segment, o_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q35
+  /** Exact interpolated percentiles per group (median/p90) — the
+    * distribution view the reference's bucket histogram approximates.
+    * Exact `percentile` matches DuckDB's quantile_cont definition;
+    * at 100 TB the swap is approx_percentile (t-digest sketch).
+    */
+  def q35Percentiles(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("median_price"),
+        round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
+  val q35Sql: String =
+    """SELECT o_orderpriority,
+      |  round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+      |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price,
+      |  count(*) AS n
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"    -> (q01PricingSummary _),
@@ -802,6 +880,9 @@ object Relational {
     "q30_rollup"             -> (q30Rollup _),
     "q31_asof_attribution"   -> (q31AsofAttribution _),
     "q32_catalog"            -> (q32Catalog _),
+    "q33_correlated_subquery"-> (q33CorrelatedSubquery _),
+    "q34_set_ops"            -> (q34SetOps _),
+    "q35_percentiles"        -> (q35Percentiles _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -835,5 +916,8 @@ object Relational {
     "q30_rollup"             -> q30Sql,
     "q31_asof_attribution"   -> q31Sql,
     "q32_catalog"            -> q32Sql,
+    "q33_correlated_subquery"-> q33Sql,
+    "q34_set_ops"            -> q34Sql,
+    "q35_percentiles"        -> q35Sql,
   )
 }
