@@ -847,6 +847,65 @@ object Relational {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q36
+  /** Running total with an explicit ROWS frame — the cumulative view of a
+    * customer's spend. Deterministic: the frame order carries a unique
+    * tiebreak so both engines fold in the same sequence.
+    */
+  def q36RunningTotal(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders(s, dir)
+      .filter(col("o_custkey") <= 100) // bounded output, full frame logic
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        round(sum(col("o_totalprice")).over(w), 2).as("running_revenue"),
+        row_number().over(
+          Window.partitionBy(col("o_custkey"))
+            .orderBy(col("o_orderdate"), col("o_orderkey"))).as("order_seq"))
+      .orderBy(col("o_custkey"), col("order_seq"))
+  }
+
+  val q36Sql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING), 2) AS running_revenue,
+      |  CAST(row_number() OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey) AS INT) AS order_seq
+      |FROM orders
+      |WHERE o_custkey <= 100
+      |ORDER BY o_custkey, order_seq""".stripMargin
+
+  // ---------------------------------------------------------------- q37
+  /** arg-max/arg-min aggregates (max_by/min_by): each nation's priciest
+    * and cheapest order in one grouped pass — no self-join, no window.
+    */
+  def q37ArgMax(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir)
+    val c = customer(s, dir)
+    // composite tie-break as a fixed-width sortable string (DuckDB's
+    // arg_max cannot order by a struct; lexicographic == numeric here)
+    val ordKey = format_string("%020.2f#%019d", col("o_totalprice"), col("o_orderkey"))
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(
+        max_by(col("o_orderkey"), ordKey).as("priciest_order"),
+        round(max(col("o_totalprice")), 2).as("max_price"),
+        min_by(col("o_orderkey"), ordKey).as("cheapest_order"),
+        round(min(col("o_totalprice")), 2).as("min_price"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  val q37Sql: String =
+    """SELECT c.c_nationkey,
+      |  arg_max(o.o_orderkey, printf('%020.2f#%019d', o.o_totalprice, o.o_orderkey)) AS priciest_order,
+      |  round(max(o.o_totalprice), 2) AS max_price,
+      |  arg_min(o.o_orderkey, printf('%020.2f#%019d', o.o_totalprice, o.o_orderkey)) AS cheapest_order,
+      |  round(min(o.o_totalprice), 2) AS min_price
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |GROUP BY c.c_nationkey
+      |ORDER BY c.c_nationkey""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"    -> (q01PricingSummary _),
@@ -883,6 +942,8 @@ object Relational {
     "q33_correlated_subquery"-> (q33CorrelatedSubquery _),
     "q34_set_ops"            -> (q34SetOps _),
     "q35_percentiles"        -> (q35Percentiles _),
+    "q36_running_total"      -> (q36RunningTotal _),
+    "q37_argmax"             -> (q37ArgMax _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -919,5 +980,7 @@ object Relational {
     "q33_correlated_subquery"-> q33Sql,
     "q34_set_ops"            -> q34Sql,
     "q35_percentiles"        -> q35Sql,
+    "q36_running_total"      -> q36Sql,
+    "q37_argmax"             -> q37Sql,
   )
 }
