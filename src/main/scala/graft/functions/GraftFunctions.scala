@@ -34,6 +34,9 @@ object GraftFunctions {
       NativeHashes.MinHashSignature(args.head, num,
         params.map(_._1).toArray, params.map(_._2).toArray) },
     "rolling_fingerprint" -> { args => NativeHashes.RollingFingerprint(args.head) },
+    "md5_token_hashes" -> { args => NativeText.Md5TokenHashes(args.head) },
+    "md5_shingle_hashes" -> { args =>
+      NativeText.Md5ShingleHashes(args.head, intLit(args(1), "shingle k")) },
   )
 
   def register(spark: SparkSession): Unit =

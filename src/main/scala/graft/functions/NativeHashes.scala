@@ -87,10 +87,12 @@ object NativeHashes {
       copy(child = newChild)
   }
 
-  /** MinHash signature over pre-computed shingle hashes (array<long>,
-    * values already reduced mod p = 2^31-1 by TextFunctions.shingleHashes).
-    * Slot i = min over hashes of (a_i·h + b_i) mod p, with the same (a, b)
-    * parameter family as TextFunctions.minhashSignatureFromHashes.
+  /** MinHash signature over pre-computed shingle hashes (array<long>).
+    * Slot i = min over hashes of (a_i·floorMod(h, p) + b_i) mod p, with the
+    * same (a, b) parameter family as
+    * TextFunctions.minhashSignatureFromHashes. Inputs are re-reduced mod p
+    * defensively: a raw 64-bit hash would otherwise overflow a·h in Long
+    * and silently corrupt the slot; already-reduced inputs are unchanged.
     * Empty input yields p (the family's +infinity) in every slot — callers
     * filter empty shingle sets upstream.
     */
@@ -116,7 +118,7 @@ object NativeHashes {
         var mn = P
         var j = 0
         while (j < hs.length) {
-          val v = (a * hs(j) + b) % P
+          val v = (a * java.lang.Math.floorMod(hs(j), P) + b) % P
           if (v < mn) mn = v
           j += 1
         }
@@ -141,7 +143,7 @@ object NativeHashes {
            |for (int $i = 0; $i < $num; $i++) {
            |  long $mn = ${P}L;
            |  for (int $j = 0; $j < $hs.length; $j++) {
-           |    long v = ($asRef[$i] * $hs[$j] + $bsRef[$i]) % ${P}L;
+           |    long v = ($asRef[$i] * java.lang.Math.floorMod($hs[$j], ${P}L) + $bsRef[$i]) % ${P}L;
            |    if (v < $mn) $mn = v;
            |  }
            |  $sig[$i] = $mn;

@@ -38,6 +38,23 @@ object NativeText {
   private def xx(s: String): Long =
     XxHash64Function.hash(UTF8String.fromString(s), StringType, 42L)
 
+  private val Md5 = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  /** First 60 bits of md5(s) as a non-negative Long — equal to parsing the
+    * first 15 hex chars of the digest. Chosen over xxhash64 as the base
+    * content hash because ANY engine can reproduce it from its md5()
+    * builtin (DuckDB: CAST('0x' || substring(md5(x),1,15) AS BIGINT)),
+    * which is what makes the dedup family oracle-checkable end to end.
+    */
+  private[functions] def md5Long60(s: String): Long = {
+    val d = Md5.get().digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
+    v >>> 4
+  }
+
   /** array<long>: xxhash64 of every whitespace token of the lowercased,
     * trimmed text. Input to SimHash63.
     */
@@ -105,6 +122,74 @@ object NativeText {
       copy(child = newChild)
   }
 
+  /** array<long>: md5-derived 60-bit hash of every whitespace token of the
+    * lowercased, trimmed text. The oracle-checkable sibling of
+    * [[TokenHashes]]: any SQL engine reproduces the values from md5().
+    */
+  case class Md5TokenHashes(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"md5_token_hashes requires string, got ${other.sql}")
+    }
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "md5_token_hashes"
+
+    override def nullSafeEval(input: Any): Any = {
+      val toks = tokenize(input)
+      val out = new Array[Long](toks.length)
+      var i = 0
+      while (i < toks.length) { out(i) = md5Long60(toks(i)); i += 1 }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(newChild: Expression): Md5TokenHashes =
+      copy(child = newChild)
+  }
+
+  /** array<long>: md5Long60(shingle) mod 2^31-1 over the DISTINCT k-token
+    * shingles, in first-occurrence order. The oracle-checkable sibling of
+    * [[ShingleHashes]] (same mod-p reduction for the MinHash family).
+    */
+  case class Md5ShingleHashes(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(k > 0)
+    private val P = 2147483647L
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"md5_shingle_hashes requires string, got ${other.sql}")
+    }
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "md5_shingle_hashes"
+
+    override def nullSafeEval(input: Any): Any = {
+      val toks = tokenize(input)
+      if (toks.length < k) return new GenericArrayData(Array.empty[Long])
+      val seen = new mutable.LinkedHashSet[String]
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i <= toks.length - k) {
+        sb.setLength(0)
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        seen += sb.toString
+        i += 1
+      }
+      val out = new Array[Long](seen.size)
+      var n = 0
+      seen.foreach { sh => out(n) = md5Long60(sh) % P; n += 1 }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(newChild: Expression): Md5ShingleHashes =
+      copy(child = newChild)
+  }
+
   // ------------------------------------------------------------ Column API
 
   def tokenHashes(text: Column): Column =
@@ -112,4 +197,10 @@ object NativeText {
 
   def shingleHashes(text: Column, k: Int): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(text), k))
+
+  def md5TokenHashes(text: Column): Column =
+    ColumnBridge.column(Md5TokenHashes(ColumnBridge.expression(text)))
+
+  def md5ShingleHashes(text: Column, k: Int): Column =
+    ColumnBridge.column(Md5ShingleHashes(ColumnBridge.expression(text), k))
 }

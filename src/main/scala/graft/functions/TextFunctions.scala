@@ -58,9 +58,15 @@ object TextFunctions {
                          rnd.nextInt(MinhashP.toInt).toLong))
   }
 
-  /** Shared with NativeHashes so both formulations emit identical values. */
-  private[functions] def minhashParamsFor(num: Int): IndexedSeq[(Long, Long)] =
+  /** Shared with NativeHashes (and the oracle-SQL generators, which inline
+    * these constants into DuckDB SQL) so every formulation emits identical
+    * values.
+    */
+  def minhashParamsFor(num: Int): IndexedSeq[(Long, Long)] =
     minhashParams.take(num)
+
+  /** The MinHash family's modulus — public for the oracle-SQL generators. */
+  def minhashP: Long = MinhashP
 
   /** Base hashes for MinHash: each shingle hashed ONCE (xxhash64, reduced
     * mod p). Materialize this as its own column so the per-permutation
@@ -69,15 +75,36 @@ object TextFunctions {
   def shingleHashes(shingleCol: Column): Column =
     transform(shingleCol, sh => pmod(xxhash64(sh), lit(MinhashP)))
 
+  /** md5-derived 60-bit hash of a string column: the first 15 hex chars of
+    * md5 parsed as a bigint. Unlike xxhash64 this is reproducible in any
+    * engine with an md5() builtin — the property that makes the dedup /
+    * fingerprint queries oracle-checkable. Identical to
+    * NativeText.md5Long60 (asserted in NativeHashesSpec).
+    */
+  def md5Long60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Per-token md5-60-bit hashes (oracle-checkable sibling of tokenHashes). */
+  def md5TokenHashes(toks: Column): Column = transform(toks, t => md5Long60(t))
+
+  /** Per-shingle md5-60-bit hashes reduced mod p (oracle-checkable sibling
+    * of shingleHashes). Inputs are non-negative so % equals pmod.
+    */
+  def md5ShingleHashes(shingleCol: Column): Column =
+    transform(shingleCol, sh => md5Long60(sh) % MinhashP)
+
   /** MinHash signature from pre-computed shingle hashes: slot i is
     * min((a_i·h + b_i) mod p) — cheap integer ops per permutation instead
     * of a string hash. Standard estimator: P(sig_i equal) = Jaccard.
+    * Inputs are re-reduced mod p first: a raw 64-bit hash would overflow
+    * a·h in Long (ANSI mode raises); already-reduced inputs pass through
+    * unchanged.
     */
   def minhashSignatureFromHashes(hashesCol: Column, num: Int): Column = {
     require(num <= minhashParams.size)
     array((0 until num).map { i =>
       val (a, b) = minhashParams(i)
-      array_min(transform(hashesCol, h => (lit(a) * h + lit(b)) % MinhashP))
+      array_min(transform(hashesCol, h => (lit(a) * pmod(h, lit(MinhashP)) + lit(b)) % MinhashP))
     }: _*)
   }
 

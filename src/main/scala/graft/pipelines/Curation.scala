@@ -22,6 +22,16 @@ object Curation {
   case class Thresholds(minTokens: Int = 10, maxStopwordRatio: Double = 0.6,
                         nearDupJaccard: Double = 0.5)
 
+  /** One lineage, no intermediate actions: every row is tagged with the
+    * stage that drops it (or 'kept'), the curated corpus is the 'kept'
+    * slice, and the audit is a single aggregate over the tags. The signals
+    * frame is cached because three branches reference it (the main flow
+    * plus both sides of the near-dup self-join); the corpus is still read
+    * from parquet exactly once. CurationSpec asserts the whole curate →
+    * collect(curated) + collect(audit) sequence runs in ≤ 2 Spark jobs —
+    * the round-1 version ran 4 eager count() actions, i.e. ~4 corpus
+    * scans per audit row at 100 TB.
+    */
   def curate(spark: SparkSession, docs: DataFrame,
              t: Thresholds = Thresholds()): (DataFrame, DataFrame) = {
     // single scan: every per-doc signal at once
@@ -32,30 +42,26 @@ object Curation {
       .withColumn("stop_ratio",
         when(col("n_tokens") > 0, col("n_stop").cast("double") / col("n_tokens")).otherwise(1.0))
       .withColumn("content_hash", md5(col("text")))
-      .withColumn("sh", NT.shingleHashes(col("text"), 3))
+      .withColumn("sh", NT.md5ShingleHashes(col("text"), 3))
       .drop("toks", "n_stop")
-
-    val total = docs.count()
+      .cache()
 
     // stage 1: quality
-    val quality = signals.filter(
-      col("n_tokens") >= t.minTokens && col("stop_ratio") <= t.maxStopwordRatio)
-    val nQuality = quality.count()
+    val qOk = col("n_tokens") >= t.minTokens && col("stop_ratio") <= t.maxStopwordRatio
 
-    // stage 2: exact dedup — min doc_id survives per content hash
-    val exactSurvivors = quality
-      .withColumn("keep_id", min(col("doc_id")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("content_hash"))))
-      .filter(col("doc_id") === col("keep_id"))
-      .drop("keep_id")
-    val nExact = exactSurvivors.count()
+    // stage 2: exact dedup — min doc_id among quality survivors per hash
+    val keepId = min(when(qOk, col("doc_id")))
+      .over(org.apache.spark.sql.expressions.Window.partitionBy(col("content_hash")))
+    val staged = signals
+      .withColumn("q_ok", qOk)
+      .withColumn("exact_ok", col("q_ok") && col("doc_id") === keepId)
 
     // stage 3: near-dup — MinHash-LSH candidates above the jaccard
-    // threshold; the larger doc_id of each pair is dropped (transitive
-    // chains: t13's clustering is the full treatment; pairwise greater-id
-    // drop is the streaming-friendly approximation)
-    val sigs = exactSurvivors
-      .filter(size(col("sh")) > 0)
+    // threshold among exact survivors; the larger doc_id of each pair is
+    // dropped (transitive chains: t13's clustering is the full treatment;
+    // pairwise greater-id drop is the streaming-friendly approximation)
+    val sigs = staged
+      .filter(col("exact_ok") && size(col("sh")) > 0)
       .select(col("doc_id"), NH.minhashSignature(col("sh"), 16).as("sig"))
     val banded = sigs.select(col("doc_id"), col("sig"),
       posexplode(TF.bandKeys(col("sig"), 4, 4)))
@@ -68,16 +74,24 @@ object Curation {
         TF.estJaccard(col("sig_a"), col("sig_b")).as("j"))
       .filter(col("j") >= t.nearDupJaccard)
       .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("near_dup", lit(true))
 
-    val curated = exactSurvivors
-      .join(toDrop, Seq("doc_id"), "left_anti")
-      .drop("sh")
-    val nFinal = curated.count()
+    val tagged = staged
+      .join(toDrop, Seq("doc_id"), "left")
+      .withColumn("stage",
+        when(!col("q_ok"), "quality")
+          .when(!col("exact_ok"), "exact_dup")
+          .when(col("near_dup"), "near_dup")
+          .otherwise("kept"))
+      .drop("q_ok", "exact_ok", "near_dup")
 
-    val spark2 = spark
-    import spark2.implicits._
-    val audit = Seq((total, total - nQuality, nQuality - nExact, nExact - nFinal, nFinal))
-      .toDF("input_docs", "dropped_quality", "dropped_exact_dup", "dropped_near_dup", "curated_docs")
+    val curated = tagged.filter(col("stage") === "kept").drop("stage", "sh")
+    val audit = tagged.agg(
+      count(lit(1)).as("input_docs"),
+      count(when(col("stage") === "quality", 1)).as("dropped_quality"),
+      count(when(col("stage") === "exact_dup", 1)).as("dropped_exact_dup"),
+      count(when(col("stage") === "near_dup", 1)).as("dropped_near_dup"),
+      count(when(col("stage") === "kept", 1)).as("curated_docs"))
     (curated, audit)
   }
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -24,6 +24,42 @@ object Relational {
 
   import Tables._
 
+  // ------------------------------------------- exact money aggregation
+  // round(sum|avg(double)) over money columns is an accumulation-order
+  // coin flip: 2-dp values make the true aggregate land exactly on .xx5
+  // boundaries, and Spark's vs the oracle's different summation orders
+  // differ by one ulp — flipping the rounded penny (observed on q03/q07 at
+  // sf0.001). Summing in DECIMAL is exact and order-independent, so both
+  // engines round the identical value. DECIMAL(26,4) holds 1e22 at 4 dp —
+  // headroom for 100 TB sums; the output casts back to double.
+  private val MoneyDec = "decimal(26,4)"
+
+  private def sumMoney(c: Column, d: Int = 2): Column =
+    round(sum(c.cast(MoneyDec)), d).cast("double")
+
+  // The exact sum still divides to a DOUBLE, and round(double) itself is
+  // NOT portable: Spark rounds the double's shortest decimal rendering
+  // ("8443.925" → .93) while DuckDB rounds the binary value (8443.9249…
+  // → .92). floor(x·10^d + 0.5)/10^d is pure double arithmetic — identical
+  // operations on the identical quotient on both engines.
+  private def halfUp(c: Column, d: Int): Column =
+    floor(c * math.pow(10, d) + 0.5) / math.pow(10, d)
+
+  private def avgMoney(c: Column, d: Int = 2): Column =
+    halfUp(sum(c.cast(MoneyDec)).cast("double") / count(c), d)
+
+  /** DuckDB twins of sumMoney/avgMoney for the oracle SQL. */
+  private def sumMoneySql(x: String, d: Int = 2): String =
+    s"CAST(round(sum(CAST($x AS DECIMAL(26,4))), $d) AS DOUBLE)"
+
+  private def halfUpSql(x: String, d: Int): String = {
+    val scale = math.pow(10, d).toLong
+    s"(floor(($x) * $scale.0 + 0.5) / $scale.0)"
+  }
+
+  private def avgMoneySql(x: String, d: Int = 2): String =
+    halfUpSql(s"CAST(sum(CAST($x AS DECIMAL(26,4))) AS DOUBLE) / count($x)", d)
+
   // ---------------------------------------------------------------- q01
   /** A1/A4/F6 — grouped multi-measure hash aggregate (TPC-H Q1 shape; the
     * reference's per-group score summary app.py:446-470). Partial (map-side)
@@ -34,27 +70,27 @@ object Relational {
     lineitem(s, dir)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(avg(col("l_quantity")), 2).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 2).as("avg_price"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        sumMoney(col("l_quantity")).as("sum_qty"),
+        sumMoney(col("l_extendedprice")).as("sum_base_price"),
+        sumMoney(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        avgMoney(col("l_quantity")).as("avg_qty"),
+        avgMoney(col("l_extendedprice")).as("avg_price"),
+        avgMoney(col("l_discount"), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   val q01Sql: String =
-    """SELECT l_returnflag, l_linestatus,
-      |  round(sum(l_quantity), 2) AS sum_qty,
-      |  round(sum(l_extendedprice), 2) AS sum_base_price,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-      |  round(avg(l_quantity), 2) AS avg_qty,
-      |  round(avg(l_extendedprice), 2) AS avg_price,
-      |  round(avg(l_discount), 4) AS avg_disc,
-      |  count(*) AS count_order
-      |FROM lineitem
-      |GROUP BY l_returnflag, l_linestatus
-      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${sumMoneySql("l_quantity")} AS sum_qty,
+       |  ${sumMoneySql("l_extendedprice")} AS sum_base_price,
+       |  ${sumMoneySql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+       |  ${avgMoneySql("l_quantity")} AS avg_qty,
+       |  ${avgMoneySql("l_extendedprice")} AS avg_price,
+       |  ${avgMoneySql("l_discount", 4)} AS avg_disc,
+       |  count(*) AS count_order
+       |FROM lineitem
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   // ---------------------------------------------------------------- q02
   /** A1/A2/A3 — scalar KPIs with multi-distinct in one pass (reference
@@ -64,15 +100,15 @@ object Relational {
     orders(s, dir).agg(
       count(lit(1)).as("total_orders"),
       countDistinct(col("o_custkey")).as("distinct_customers"),
-      round(avg(col("o_totalprice")), 2).as("avg_price"),
-      round(sum(col("o_totalprice")), 2).as("total_revenue"))
+      avgMoney(col("o_totalprice")).as("avg_price"),
+      sumMoney(col("o_totalprice")).as("total_revenue"))
 
   val q02Sql: String =
-    """SELECT count(*) AS total_orders,
-      |  count(DISTINCT o_custkey) AS distinct_customers,
-      |  round(avg(o_totalprice), 2) AS avg_price,
-      |  round(sum(o_totalprice), 2) AS total_revenue
-      |FROM orders""".stripMargin
+    s"""SELECT count(*) AS total_orders,
+       |  count(DISTINCT o_custkey) AS distinct_customers,
+       |  ${avgMoneySql("o_totalprice")} AS avg_price,
+       |  ${sumMoneySql("o_totalprice")} AS total_revenue
+       |FROM orders""".stripMargin
 
   // ---------------------------------------------------------------- q03
   /** J2 — LEFT JOIN with filter in the ON clause (the reference's signature
@@ -87,18 +123,18 @@ object Relational {
       .groupBy(col("n_nationkey"), col("n_name"))
       .agg(
         count(col("c_custkey")).as("n_rich_customers"),
-        round(avg(col("c_acctbal")), 2).as("avg_rich_bal"))
+        avgMoney(col("c_acctbal")).as("avg_rich_bal"))
       .orderBy(col("n_nationkey"))
   }
 
   val q03Sql: String =
-    """SELECT n.n_nationkey, n.n_name,
-      |  count(c.c_custkey) AS n_rich_customers,
-      |  round(avg(c.c_acctbal), 2) AS avg_rich_bal
-      |FROM nation n
-      |LEFT JOIN customer c ON n.n_nationkey = c.c_nationkey AND c.c_acctbal > 5000
-      |GROUP BY n.n_nationkey, n.n_name
-      |ORDER BY n.n_nationkey""".stripMargin
+    s"""SELECT n.n_nationkey, n.n_name,
+       |  count(c.c_custkey) AS n_rich_customers,
+       |  ${avgMoneySql("c.c_acctbal")} AS avg_rich_bal
+       |FROM nation n
+       |LEFT JOIN customer c ON n.n_nationkey = c.c_nationkey AND c.c_acctbal > 5000
+       |GROUP BY n.n_nationkey, n.n_name
+       |ORDER BY n.n_nationkey""".stripMargin
 
   // ---------------------------------------------------------------- q04
   /** J1 — inner equi-join chain across the dimension hierarchy
@@ -117,15 +153,15 @@ object Relational {
       .agg(
         count(lit(1)).as("n_orders"),
         countDistinct(col("c_custkey")).as("n_customers"),
-        round(avg(col("o_totalprice")), 2).as("avg_price"))
+        avgMoney(col("o_totalprice")).as("avg_price"))
       .orderBy(col("r_regionkey"))
   }
 
   val q04Sql: String =
-    """SELECT r.r_regionkey, r.r_name,
+    s"""SELECT r.r_regionkey, r.r_name,
       |  count(*) AS n_orders,
       |  count(DISTINCT c.c_custkey) AS n_customers,
-      |  round(avg(o.o_totalprice), 2) AS avg_price
+      |  ${avgMoneySql("o.o_totalprice")} AS avg_price
       |FROM orders o
       |JOIN customer c ON o.o_custkey = c.c_custkey
       |JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -161,16 +197,16 @@ object Relational {
   def q06Having(s: SparkSession, dir: String): DataFrame =
     orders(s, dir)
       .groupBy(col("o_custkey"))
-      .agg(round(avg(col("o_totalprice")), 2).as("avg_price"),
+      .agg(avgMoney(col("o_totalprice")).as("avg_price"),
            count(lit(1)).as("n_orders"))
       .filter(col("avg_price") < 60000)
       .orderBy(col("o_custkey"))
 
   val q06Sql: String =
-    """SELECT o_custkey, round(avg(o_totalprice), 2) AS avg_price, count(*) AS n_orders
+    s"""SELECT o_custkey, ${avgMoneySql("o_totalprice")} AS avg_price, count(*) AS n_orders
       |FROM orders
       |GROUP BY o_custkey
-      |HAVING round(avg(o_totalprice), 2) < 60000
+      |HAVING ${avgMoneySql("o_totalprice")} < 60000
       |ORDER BY o_custkey""".stripMargin
 
   // ---------------------------------------------------------------- q07
@@ -184,16 +220,16 @@ object Relational {
       .join(c, n("n_nationkey") === c("c_nationkey"), "left")
       .groupBy(col("n_nationkey"), col("n_name"))
       .agg(
-        round(avg(col("c_acctbal")), 2).as("avg_bal"),
+        avgMoney(col("c_acctbal")).as("avg_bal"),
         count(col("c_custkey")).as("n_customers"))
     Ranking.rankWithNullsUnranked(agg, "avg_bal")
       .orderBy(col("posicion").asc_nulls_last, col("n_nationkey"))
   }
 
   val q07Sql: String =
-    """WITH g AS (
+    s"""WITH g AS (
       |  SELECT n.n_nationkey, n.n_name,
-      |    round(avg(c.c_acctbal), 2) AS avg_bal,
+      |    ${avgMoneySql("c.c_acctbal")} AS avg_bal,
       |    count(c.c_custkey) AS n_customers
       |  FROM nation n LEFT JOIN customer c ON n.n_nationkey = c.c_nationkey
       |  GROUP BY n.n_nationkey, n.n_name)
@@ -269,17 +305,17 @@ object Relational {
         to_date(col("o_orderdate")).between(col("p_start"), col("p_end")), "inner")
       .groupBy(col("period_year"))
       .agg(count(lit(1)).as("n_orders"),
-           round(avg(col("o_totalprice")), 2).as("avg_price"))
+           avgMoney(col("o_totalprice")).as("avg_price"))
       .orderBy(col("period_year"))
   }
 
   val q10Sql: String =
-    """WITH periods AS (
+    s"""WITH periods AS (
       |  SELECT period_year,
       |    make_date(period_year, 1, 1) AS p_start,
       |    make_date(period_year, 12, 31) AS p_end
       |  FROM (SELECT DISTINCT CAST(year(o_orderdate) AS INT) AS period_year FROM orders))
-      |SELECT p.period_year, count(*) AS n_orders, round(avg(o.o_totalprice), 2) AS avg_price
+      |SELECT p.period_year, count(*) AS n_orders, ${avgMoneySql("o.o_totalprice")} AS avg_price
       |FROM orders o JOIN periods p
       |  ON CAST(o.o_orderdate AS DATE) BETWEEN p.p_start AND p.p_end
       |GROUP BY p.period_year
@@ -339,7 +375,7 @@ object Relational {
     val facts = orders(s, dir)
       .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_nationkey"), col("o_orderstatus"))
-      .agg(count(lit(1)).as("cnt"), round(avg(col("o_totalprice")), 2).as("avg_p"))
+      .agg(count(lit(1)).as("cnt"), avgMoney(col("o_totalprice")).as("avg_p"))
     n.crossJoin(broadcast(statuses))
       .join(facts,
         n("n_nationkey") === facts("c_nationkey") &&
@@ -350,9 +386,9 @@ object Relational {
   }
 
   val q13Sql: String =
-    """WITH f AS (
+    s"""WITH f AS (
       |  SELECT c.c_nationkey, o.o_orderstatus,
-      |    count(*) AS cnt, round(avg(o.o_totalprice), 2) AS avg_p
+      |    count(*) AS cnt, ${avgMoneySql("o.o_totalprice")} AS avg_p
       |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       |  GROUP BY c.c_nationkey, o.o_orderstatus)
       |SELECT n.n_nationkey, n.n_name, st.o_orderstatus,
@@ -373,15 +409,15 @@ object Relational {
     o.join(c, o("o_custkey") === c("c_custkey"))
       .groupBy(col("c_nationkey"))
       .pivot("o_orderstatus", Seq("F", "O", "P"))
-      .agg(round(avg(col("o_totalprice")), 2))
+      .agg(avgMoney(col("o_totalprice")))
       .orderBy(col("c_nationkey"))
   }
 
   val q14Sql: String =
-    """SELECT c.c_nationkey,
-      |  round(avg(CASE WHEN o.o_orderstatus = 'F' THEN o.o_totalprice END), 2) AS F,
-      |  round(avg(CASE WHEN o.o_orderstatus = 'O' THEN o.o_totalprice END), 2) AS O,
-      |  round(avg(CASE WHEN o.o_orderstatus = 'P' THEN o.o_totalprice END), 2) AS P
+    s"""SELECT c.c_nationkey,
+      |  ${avgMoneySql("CASE WHEN o.o_orderstatus = 'F' THEN o.o_totalprice END")} AS F,
+      |  ${avgMoneySql("CASE WHEN o.o_orderstatus = 'O' THEN o.o_totalprice END")} AS O,
+      |  ${avgMoneySql("CASE WHEN o.o_orderstatus = 'P' THEN o.o_totalprice END")} AS P
       |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       |GROUP BY c.c_nationkey
       |ORDER BY c.c_nationkey""".stripMargin
@@ -395,22 +431,30 @@ object Relational {
   def q15AvgOfAvgs(s: SparkSession, dir: String): DataFrame = {
     val o = orders(s, dir)
     val c = customer(s, dir)
+    // both levels sum in exact decimal: the inner average is an identical
+    // double on both engines, and the outer re-cast (per-row, deterministic)
+    // keeps the second-level sum order-independent too
     val perPeriod = o.join(c, o("o_custkey") === c("c_custkey"))
       .groupBy(col("c_nationkey"), year(col("o_orderdate")).as("y"))
-      .agg(avg(col("o_totalprice")).as("period_avg"))
+      .agg((sum(col("o_totalprice").cast(MoneyDec)).cast("double")
+        / count(col("o_totalprice"))).as("period_avg"))
     perPeriod
       .groupBy(col("c_nationkey"))
-      .agg(round(avg(col("period_avg")), 2).as("avg_of_avgs"),
+      .agg(halfUp(sum(col("period_avg").cast("decimal(30,12)")).cast("double")
+             / count(col("period_avg")), 2).as("avg_of_avgs"),
            count(lit(1)).as("n_periods"))
       .orderBy(col("c_nationkey"))
   }
 
   val q15Sql: String =
     """WITH pp AS (
-      |  SELECT c.c_nationkey, year(o.o_orderdate) AS y, avg(o.o_totalprice) AS period_avg
+      |  SELECT c.c_nationkey, year(o.o_orderdate) AS y,
+      |    CAST(sum(CAST(o.o_totalprice AS DECIMAL(26,4))) AS DOUBLE) / count(o.o_totalprice) AS period_avg
       |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       |  GROUP BY c.c_nationkey, year(o.o_orderdate))
-      |SELECT c_nationkey, round(avg(period_avg), 2) AS avg_of_avgs, count(*) AS n_periods
+      |SELECT c_nationkey,
+      |  (floor((CAST(sum(CAST(period_avg AS DECIMAL(30,12))) AS DOUBLE) / count(period_avg)) * 100.0 + 0.5) / 100.0) AS avg_of_avgs,
+      |  count(*) AS n_periods
       |FROM pp GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
 
   // ---------------------------------------------------------------- q16
@@ -422,13 +466,13 @@ object Relational {
     val c = customer(s, dir)
     o.join(c, o("o_custkey") === c("c_custkey"))
       .groupBy(col("c_nationkey"))
-      .agg(round(avg(col("o_totalprice")), 2).as("weighted_avg"),
+      .agg(avgMoney(col("o_totalprice")).as("weighted_avg"),
            count(lit(1)).as("n_orders"))
       .orderBy(col("c_nationkey"))
   }
 
   val q16Sql: String =
-    """SELECT c.c_nationkey, round(avg(o.o_totalprice), 2) AS weighted_avg,
+    s"""SELECT c.c_nationkey, ${avgMoneySql("o.o_totalprice")} AS weighted_avg,
       |  count(*) AS n_orders
       |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       |GROUP BY c.c_nationkey
@@ -514,13 +558,13 @@ object Relational {
     orders(s, dir)
       .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
       .agg(count(lit(1)).as("n_orders"),
-           round(sum(col("o_totalprice")), 2).as("revenue"))
+           sumMoney(col("o_totalprice")).as("revenue"))
       .orderBy(col("order_month"))
 
   val q20Sql: String =
-    """SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+    s"""SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
       |  count(*) AS n_orders,
-      |  round(sum(o_totalprice), 2) AS revenue
+      |  ${sumMoneySql("o_totalprice")} AS revenue
       |FROM orders
       |GROUP BY 1
       |ORDER BY order_month""".stripMargin
@@ -593,9 +637,9 @@ object Relational {
     o.join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(col("n_nationkey"), col("n_name"))
-      .agg(round(avg(col("o_totalprice")), 2).as("avg_price"),
+      .agg(avgMoney(col("o_totalprice")).as("avg_price"),
            count(lit(1)).as("n_orders"))
-      .join(broadcast(o.agg(round(avg(col("o_totalprice")), 2).as("global_avg"))))
+      .join(broadcast(o.agg(avgMoney(col("o_totalprice")).as("global_avg"))))
       .filter(col("avg_price") < col("global_avg"))
       .withColumn("tipo",
         when(col("avg_price") < col("global_avg") * 0.98, "critical").otherwise("warning"))
@@ -605,13 +649,13 @@ object Relational {
   }
 
   val q24Sql: String =
-    """WITH ga AS (SELECT round(avg(o_totalprice), 2) AS global_avg FROM orders)
+    s"""WITH ga AS (SELECT ${avgMoneySql("o_totalprice")} AS global_avg FROM orders)
       |SELECT n_nationkey, n_name, avg_price, n_orders,
       |  CASE WHEN avg_price < global_avg * 0.98 THEN 'critical' ELSE 'warning' END AS tipo,
       |  'Grupo ' || n_name || ' bajo umbral: ' || CAST(avg_price AS VARCHAR) AS mensaje
       |FROM (
       |  SELECT n.n_nationkey, n.n_name,
-      |    round(avg(o.o_totalprice), 2) AS avg_price, count(*) AS n_orders
+      |    ${avgMoneySql("o.o_totalprice")} AS avg_price, count(*) AS n_orders
       |  FROM orders o
       |  JOIN customer c ON o.o_custkey = c.c_custkey
       |  JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -672,22 +716,25 @@ object Relational {
     eventsTs(s, dir)
       .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00:00").as("hour_ts"))
       .agg(count(lit(1)).as("n_events"),
-           round(sum(col("value")), 2).as("total_value"))
+           sumMoney(col("value")).as("total_value"))
       .orderBy(col("hour_ts"))
 
   val q27Sql: String =
-    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour_ts,
+    s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour_ts,
       |  count(*) AS n_events,
-      |  round(sum(value), 2) AS total_value
+      |  ${sumMoneySql("value")} AS total_value
       |FROM events
       |GROUP BY 1
       |ORDER BY hour_ts""".stripMargin
 
   // ---------------------------------------------------------------- q29
   /** A2 at scale — approx_count_distinct (HLL++) beside the exact count.
-    * No oracle (sketch results are engine-specific); ApproxSpec bounds the
-    * relative error. At 100TB the exact distinct is a full shuffle of the
-    * key; the sketch is a fixed-size mergeable buffer per partition.
+    * Sketch estimates are engine-specific, so the oracle-checked output is
+    * the exact counts plus a hard error bound on the sketch: |approx -
+    * exact| / exact ≤ 5% (the sketch runs at rsd 2%, so the driver-checked
+    * bound has slack without being vacuous). ApproxSpec covers the raw
+    * estimates. At 100TB the exact distinct is a full shuffle of the key;
+    * the sketch is a fixed-size mergeable buffer per partition.
     */
   def q29ApproxDistinct(s: SparkSession, dir: String): DataFrame =
     lineitem(s, dir).agg(
@@ -695,6 +742,19 @@ object Relational {
       approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
       countDistinct(col("l_suppkey")).as("exact_supps"),
       approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supps"))
+      .select(
+        col("exact_parts"), col("exact_supps"),
+        (abs(col("approx_parts") - col("exact_parts")).cast("double")
+          / col("exact_parts") <= 0.05).as("approx_parts_within_5pct"),
+        (abs(col("approx_supps") - col("exact_supps")).cast("double")
+          / col("exact_supps") <= 0.05).as("approx_supps_within_5pct"))
+
+  val q29Sql: String =
+    """SELECT count(DISTINCT l_partkey) AS exact_parts,
+      |  count(DISTINCT l_suppkey) AS exact_supps,
+      |  TRUE AS approx_parts_within_5pct,
+      |  TRUE AS approx_supps_within_5pct
+      |FROM lineitem""".stripMargin
 
   // ---------------------------------------------------------------- q30
   /** Rollup with subtotals + grand total (beyond the reference's flat
@@ -704,13 +764,13 @@ object Relational {
   def q30Rollup(s: SparkSession, dir: String): DataFrame =
     lineitem(s, dir)
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+      .agg(sumMoney(col("l_quantity")).as("sum_qty"),
            count(lit(1)).as("n"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
   val q30Sql: String =
-    """SELECT l_returnflag, l_linestatus,
-      |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    s"""SELECT l_returnflag, l_linestatus,
+      |  ${sumMoneySql("l_quantity")} AS sum_qty, count(*) AS n
       |FROM lineitem
       |GROUP BY ROLLUP(l_returnflag, l_linestatus)
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
@@ -974,6 +1034,7 @@ object Relational {
     "q25_coverage"           -> q25Sql,
     "q26_json_extract"       -> q26Sql,
     "q27_hourly_events"      -> q27Sql,
+    "q29_approx_distinct"    -> q29Sql,
     "q30_rollup"             -> q30Sql,
     "q31_asof_attribution"   -> q31Sql,
     "q32_catalog"            -> q32Sql,

@@ -126,36 +126,56 @@ object TextOps {
       |GROUP BY label
       |ORDER BY label""".stripMargin
 
-  // ---------------------------------------------------------------- t06
-  /** MinHash + LSH near-duplicate candidates (no SQL oracle — driver does
-    * the rows-only check; correctness is covered by MinHashSpec).
+  // ------------------------------------------------- minhash/LSH shared
+  // Configuration shared by t06/t08/t13 AND their generated oracle SQL:
+  // 16-slot MinHash signatures over md5-derived shingle hashes (the
+  // md5 base hash is what makes every value reproducible in DuckDB),
+  // 4 bands of 4, band-bucket cap 1000, candidate threshold 0.5.
+  private val NumHashes = 16
+  private val Bands = 4
+  private val RowsPerBand = NumHashes / Bands
+  private val MaxBucket = 1000
+  private val MinJaccard = 0.5
+  private val P = 2147483647L // MinHash family modulus (2^31 - 1)
+  private val FpP = 1000000007L // rolling-fingerprint modulus
+
+  /** doc_id + md5 shingle hashes (mod p): one corpus scan, one native
+    * expression per row (the composed HOF chain re-evaluates the tokenizer
+    * per lambda element — 90s vs <1s at sf0.1).
+    */
+  private def shingledOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), NT.md5ShingleHashes(col("text"), 3).as("hs"))
+      .filter(size(col("hs")) > 0)
+
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    shingledOf(documents(s, dir))
+
+  /** MinHash-LSH candidate pairs (doc_a < doc_b, est_jaccard ≥ 0.5),
+    * cached per (session, corpus) so t06/t08/t13 share ONE LSH pass per
+    * run instead of each re-shuffling the banded self-join.
     *
     * Pipeline: 3-token shingles → 16-slot MinHash signature → 4 bands of 4
     * → explode band keys → self-join per bucket → estimated Jaccard filter.
     * At 100 TB this is THE scalable near-dup algorithm: cost is one shuffle
-    * on band keys; only colliding docs are ever paired. Skew guard: a
-    * pathological bucket (boilerplate shingles) should be capped — here
-    * bucket sizes are bounded by the synthetic corpus; a production cap
-    * would filter buckets > N before the self-join.
+    * on band keys; only colliding docs are ever paired.
     */
-  def t06MinhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val numHashes = 16
-    val bands = 4
-    val rows = numHashes / bands
-    val docs = documents(s, dir)
-      // single-pass native tokenize→shingle→hash (the composed HOF chain
-      // re-evaluates the tokenizer per lambda element — 90s vs <1s at sf0.1)
-      .select(col("doc_id"), NT.shingleHashes(col("text"), 3).as("hs"))
-      .filter(size(col("hs")) > 0)
-      .select(col("doc_id"), NH.minhashSignature(col("hs"), numHashes).as("sig"))
-    val banded = docs
+  private val pairCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** The LSH pipeline over an arbitrary (doc_id, text) frame — also the
+    * spec hook for cap/skew behavior on synthetic corpora.
+    */
+  def minhashPairsOf(docs: DataFrame, maxBucket: Int = MaxBucket): DataFrame = {
+    val sigs = shingledOf(docs)
+      .select(col("doc_id"), NH.minhashSignature(col("hs"), NumHashes).as("sig"))
+    val banded = sigs
       .select(col("doc_id"), col("sig"),
-        posexplode(TF.bandKeys(col("sig"), bands, rows)))
+        posexplode(TF.bandKeys(col("sig"), Bands, RowsPerBand)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_key"))
     // skew guard: a boilerplate-heavy corpus can put thousands of docs in
     // one band bucket and make the self-join quadratic. Cap bucket size —
     // oversized buckets are boilerplate, not near-duplicates worth pairing.
-    val maxBucket = 1000
     val bounded = banded
       .withColumn("bucket_n",
         count(lit(1)).over(Window.partitionBy(col("band"), col("band_key"))))
@@ -171,25 +191,109 @@ object TextOps {
         round(TF.estJaccard(col("sig_a"), col("sig_b")), 4).as("est_jaccard"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(max(col("est_jaccard")).as("est_jaccard"))
-      .filter(col("est_jaccard") >= 0.5)
-      .orderBy(col("doc_a"), col("doc_b"))
+      .filter(col("est_jaccard") >= MinJaccard)
   }
 
-  // ---------------------------------------------------------------- t07
-  /** SimHash near-duplicate pairs (no SQL oracle). 63-bit token-level
-    * SimHash; candidate generation by 4 × 16-bit band equality (pigeonhole:
-    * hamming ≤ 3 ⇒ at least one band equal), verified by bit_count(xor).
+  def minhashCandidatePairs(s: SparkSession, dir: String): DataFrame =
+    pairCache.getOrElseUpdate((s, dir),
+      minhashPairsOf(documents(s, dir)).persist())
+
+  // -------------------------------------------- shared oracle SQL pieces
+  // The whole dedup family is replayed in DuckDB: md5-60bit base hash,
+  // the (a_i, b_i) MinHash constants inlined from the same
+  // TextFunctions.minhashParamsFor the Spark side uses, banding by slot
+  // equality, the same bucket cap. est_jaccard is k/16 — an exact binary
+  // fraction, so the float compare is bit-safe.
+
+  /** md5-derived 60-bit bigint of a string expression (DuckDB side). */
+  private def md5l(x: String): String =
+    s"CAST(('0x' || substring(md5($x), 1, 15)) AS BIGINT)"
+
+  private val toksCte =
+    """tk AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+      |  FROM documents)""".stripMargin
+
+  private def shingleCtes: String =
+    s"""$toksCte,
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks)-2),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shs
+       |  FROM tk WHERE len(toks) >= 3),
+       |hs AS (
+       |  SELECT doc_id, list_transform(shs, x -> ${md5l("x")} % $P) AS hs
+       |  FROM sh)""".stripMargin
+
+  private def sigCte: String = {
+    val slots = TF.minhashParamsFor(NumHashes).zipWithIndex.map {
+      case ((a, b), i) =>
+        s"list_min(list_transform(hs, h -> ($a * h + $b) % $P)) AS s$i"
+    }.mkString(",\n    ")
+    s"sig AS (\n  SELECT doc_id,\n    $slots\n  FROM hs)"
+  }
+
+  private def candPairCtes: String = {
+    val bandCase = (0 until Bands).map { b =>
+      val key = (0 until RowsPerBand).map(r => s"s${b * RowsPerBand + r}").mkString(" || '_' || ")
+      s"WHEN $b THEN $key"
+    }.mkString("CASE band ", " ", " END")
+    val eqSum = (0 until NumHashes).map(i => s"(sa.s$i = sb.s$i)::INT").mkString(" + ")
+    s"""banded AS (
+       |  SELECT doc_id, band, $bandCase AS band_key
+       |  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)),
+       |bounded AS (
+       |  SELECT doc_id, band, band_key FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY band, band_key) AS bn FROM banded)
+       |  WHERE bn <= $MaxBucket),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bounded a JOIN bounded b USING (band, band_key)
+       |  WHERE a.doc_id < b.doc_id),
+       |est AS (
+       |  SELECT doc_a, doc_b, round(($eqSum) / $NumHashes.0, 4) AS est_jaccard
+       |  FROM pairs
+       |  JOIN sig sa ON sa.doc_id = pairs.doc_a
+       |  JOIN sig sb ON sb.doc_id = pairs.doc_b)""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- t06
+  /** MinHash + LSH near-duplicate candidates — see
+    * [[minhashCandidatePairs]] for the pipeline; this entry only adds the
+    * presentation ordering. Oracle-checked: the DuckDB SQL replays the
+    * full md5→minhash→band→cap→pair pipeline with the same constants.
     */
-  def t07SimhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val docs = documents(s, dir)
-      .select(col("doc_id"), NT.tokenHashes(col("text")).as("hs"))
+  def t06MinhashPairs(s: SparkSession, dir: String): DataFrame =
+    minhashCandidatePairs(s, dir).orderBy(col("doc_a"), col("doc_b"))
+
+  lazy val t06Sql: String =
+    s"""WITH $shingleCtes,
+       |$sigCte,
+       |$candPairCtes
+       |SELECT doc_a, doc_b, est_jaccard FROM est
+       |WHERE est_jaccard >= $MinJaccard ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- t07
+  /** SimHash near-duplicate pairs (oracle-checked). 63-bit token-level
+    * SimHash over md5-60bit token hashes; candidate generation by 4 ×
+    * 16-bit band equality (pigeonhole: hamming ≤ 3 ⇒ at least one band
+    * equal), verified by bit_count(xor). Band buckets carry the same cap
+    * as t06 — a boilerplate corpus would otherwise make one bucket
+    * quadratic.
+    */
+  def simhashPairsOf(docs: DataFrame, maxBucket: Int = MaxBucket): DataFrame = {
+    val sims = docs
+      .select(col("doc_id"), NT.md5TokenHashes(col("text")).as("hs"))
       .filter(size(col("hs")) > 0)
       .select(col("doc_id"), NH.simhash63(col("hs")).as("simhash"))
-    val banded = docs.select(col("doc_id"), col("simhash"),
+    val banded = sims.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("band"),
           (shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))).as("band_key"))): _*)).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.band_key"))
+      .withColumn("bucket_n",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("band_key"))))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
     val a = banded.select(col("band"), col("band_key"),
       col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
     val b = banded.select(col("band"), col("band_key"),
@@ -203,37 +307,88 @@ object TextOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  def t07SimhashPairs(s: SparkSession, dir: String): DataFrame =
+    simhashPairsOf(documents(s, dir))
+
+  lazy val t07Sql: String =
+    s"""WITH $toksCte,
+       |tok AS (SELECT doc_id, unnest(toks) AS t FROM tk WHERE len(toks) >= 1),
+       |h AS (SELECT doc_id, ${md5l("t")} AS h FROM tok),
+       |bits AS (
+       |  SELECT doc_id, b, sum(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 62)) AS b)
+       |  GROUP BY doc_id, b),
+       |sim AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM bits GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, simhash, band, (simhash >> (16 * band)) & 65535 AS band_key
+       |  FROM sim CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)),
+       |bounded AS (
+       |  SELECT doc_id, simhash, band, band_key FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY band, band_key) AS bn FROM banded)
+       |  WHERE bn <= $MaxBucket),
+       |prs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |  FROM bounded a JOIN bounded b USING (band, band_key)
+       |  WHERE a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM prs WHERE hamming <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // ---------------------------------------------------------------- t08
-  /** Exact n-gram Jaccard for LSH candidates (no SQL oracle): re-join the
-    * shingle sets onto the MinHash candidate pairs and compute exact set
-    * Jaccard. Computed over the native shingle-HASH arrays — set Jaccard
-    * over 2^31-range hashes equals the string-set Jaccard up to negligible
-    * collision probability, and skips the interpreted shingle chain. Only
-    * candidate pairs pay the set-intersection cost.
+  /** Exact n-gram Jaccard over candidate pairs (oracle-checked): set
+    * Jaccard of the md5 shingle-hash sets, computed only for pairs the
+    * LSH pass surfaced. Takes the pair source as a parameter so a driver
+    * run shares one LSH pass across t06/t08/t13 (the registry wrapper
+    * passes the cached [[minhashCandidatePairs]]).
     */
-  def t08NgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val shingled = documents(s, dir)
-      .select(col("doc_id"), NT.shingleHashes(col("text"), 3).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val cands = t06MinhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
-    cands
-      .join(shingled.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-      .join(shingled.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+  def ngramJaccard(s: SparkSession, dir: String, pairs: DataFrame): DataFrame = {
+    val sh = shingled(s, dir)
+    pairs.select(col("doc_a"), col("doc_b"))
+      .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("sh_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         round(TF.exactJaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  def t08NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    ngramJaccard(s, dir, minhashCandidatePairs(s, dir))
+
+  lazy val t08Sql: String =
+    s"""WITH $shingleCtes,
+       |$sigCte,
+       |$candPairCtes,
+       |cand AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= $MinJaccard)
+       |SELECT c.doc_a, c.doc_b,
+       |  round(len(list_filter(list_distinct(ha.hs), x -> list_contains(hb.hs, x))) * 1.0
+       |        / len(list_distinct(list_concat(ha.hs, hb.hs))), 4) AS jaccard
+       |FROM cand c
+       |JOIN hs ha ON ha.doc_id = c.doc_a
+       |JOIN hs hb ON hb.doc_id = c.doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // ---------------------------------------------------------------- t09
-  /** Rolling-hash document fingerprint (no SQL oracle — hash seeds are
-    * engine-specific): order-sensitive polynomial over the token stream.
+  /** Rolling-hash document fingerprint (oracle-checked): order-sensitive
+    * polynomial over the md5-60bit token-hash stream, mod 1e9+7.
     */
   def t09Fingerprint(s: SparkSession, dir: String): DataFrame =
     documents(s, dir)
-      .select(col("doc_id"), NT.tokenHashes(col("text")).as("hs"))
+      .select(col("doc_id"), NT.md5TokenHashes(col("text")).as("hs"))
       .select(col("doc_id"), NH.rollingFingerprint(col("hs")).as("fingerprint"),
         size(col("hs")).as("n_tokens"))
       .orderBy(col("doc_id"))
+
+  lazy val t09Sql: String =
+    s"""WITH $toksCte
+       |SELECT doc_id,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(toks, t -> ${md5l("t")} % $FpP)),
+       |    (acc, h) -> (acc * 31 + h) % $FpP) AS fingerprint,
+       |  CAST(len(toks) AS INT) AS n_tokens
+       |FROM tk ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- t10
   /** Brute-force cosine top-k (the ANN baseline): k=5 neighbors for the 10
@@ -320,39 +475,31 @@ object TextOps {
       |ORDER BY lang, predicted""".stripMargin
 
   // ---------------------------------------------------------------- t12
-  /** LSH-bucketed ANN — the scale path next to the t10 exact baseline (no
-    * SQL oracle; AnnSpec checks bucket consistency and cosine agreement
-    * with brute force).
+  /** LSH-bucketed ANN — the scale path next to the t10 exact baseline
+    * (oracle-checked: the hyperplanes are seeded literals inlined into the
+    * DuckDB SQL, which replays bucket assignment, multi-probe and ranking
+    * bit-for-bit; AnnSpec additionally asserts recall ≥ 0.8 vs t10).
     *
-    * Random-hyperplane signatures: `Bits` fixed Rademacher (+-1)
-    * hyperplanes (seeded, broadcast as literals); bucket = sign-bit code.
-    * Corpus is scanned once to assign buckets; each query probes only its
-    * own bucket, so per-query cost is |bucket| ~ N/2^Bits dot products
-    * instead of N. Recall is tuned by Bits and multi-probe; at 100 TB the
-    * bucket assignment is the same single shuffle-free scan and the join
-    * shuffles only (bucket, vec) pairs.
+    * Random-hyperplane signatures: [[Lsh.Bits]] fixed Rademacher (±1)
+    * hyperplanes; bucket = sign-bit code. The corpus is scanned once to
+    * assign buckets (shuffle-free projection); each query probes every
+    * bucket within Hamming radius [[Lsh.HammingRadius]] of its own code,
+    * so per-query cost is |probed buckets|/2^Bits of the corpus instead of
+    * all of it. On this isotropic synthetic corpus that fraction must be
+    * large to reach recall 0.8 (see Lsh's scaladoc and SCALE.md); the
+    * plan shape — corpus-side single scan + broadcast of exploded query
+    * probes — is unchanged by the dial settings.
     */
   def t12AnnLsh(s: SparkSession, dir: String): DataFrame = {
-    val Bits = 6
-    val Dim = 64
-    val rnd = new scala.util.Random(7)
-    val planes: Seq[Seq[Double]] =
-      Seq.fill(Bits)(Seq.fill(Dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
-    def bucketOf(emb: org.apache.spark.sql.Column) =
-      (0 until Bits).map { i =>
-        when(V.dot(emb, typedlit(planes(i))) > 0, 1L << i).otherwise(0L)
-      }.reduce(_ + _)
-
     val e = embeddings(s, dir)
       .select(col("vec_id"), V.toDouble(col("embedding")).as("emb"))
-      .withColumn("bucket", bucketOf(col("emb")))
-    // multi-probe: the exact bucket plus its hamming-1 neighbors — near
-    // neighbors that straddle one hyperplane are recovered at the cost of
-    // probing (Bits+1)/2^Bits of the corpus instead of 1/2^Bits
+      .withColumn("bucket", Lsh.bucketOf(col("emb")))
+    // multi-probe: every bucket within the Hamming radius — near neighbors
+    // that straddle up to `radius` hyperplanes are recovered
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
-        explode(array((col("bucket") +:
-          (0 until Bits).map(i => col("bucket").bitwiseXOR(lit(1L << i)))): _*)).as("bucket"))
+        explode(array(Lsh.masks.map(m =>
+          col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     e.join(broadcast(q), Seq("bucket"))
@@ -364,44 +511,67 @@ object TextOps {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  private def cosineSql(a: String, b: String): String =
+    s"""CASE WHEN sqrt(list_sum(list_transform($a, x -> x * x))) = 0
+       |          OR sqrt(list_sum(list_transform($b, x -> x * x))) = 0 THEN 0.0
+       |     ELSE list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2]))
+       |          / (sqrt(list_sum(list_transform($a, x -> x * x)))
+       |             * sqrt(list_sum(list_transform($b, x -> x * x)))) END""".stripMargin
+
+  lazy val t12Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |eb AS (SELECT vec_id, emb, ${Lsh.bucketSql("emb")} AS bucket FROM e),
+       |q AS (
+       |  SELECT vec_id AS query_id, emb AS q_emb, xor(bucket, m) AS bucket
+       |  FROM eb CROSS JOIN (SELECT unnest(${Lsh.masksSql}) AS m)
+       |  WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id, e.bucket,
+       |    round(${cosineSql("q.q_emb", "e.emb")}, 6) AS cosine
+       |  FROM eb e JOIN q ON e.bucket = q.bucket
+       |  WHERE e.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, bucket, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rk
+       |  FROM scored)
+       |SELECT query_id, vec_id, bucket, cosine, rk FROM ranked
+       |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
   // ---------------------------------------------------------------- t14
   /** IVF ANN — the centroid-bucketed scale path beside t12's hyperplane
-    * LSH (no SQL oracle; AnnSpec-style checks in IvfSpec). Coarse
-    * quantizer: seeded KMeans over the corpus; each vector is assigned to
-    * its nearest centroid's inverted list. A query probes only the
-    * `nProbe` nearest lists, so per-query cost is ~ nProbe/k of the
-    * corpus. At 100 TB the model is trained once on a sample and
-    * persisted; here it is fit per call (corpus is test-sized) with a
-    * fixed seed for determinism.
+    * LSH (oracle-checked: both engines read the SAME persisted centroid
+    * table, so the DuckDB SQL replays assignment, probe selection and
+    * ranking exactly; AnnSpec asserts recall ≥ 0.8 vs t10).
+    *
+    * The coarse quantizer is trained ONCE per corpus ([[IvfModel.ensure]] —
+    * seeded KMeans, persisted parquet centroids); the query path is pure
+    * assignment + probe joins, no ML fit. Each vector joins the broadcast
+    * centroid table and lands in its nearest centroid's inverted list; a
+    * query probes the [[IvfModel.NProbe]] nearest lists. The k-row
+    * crossJoin here keeps the plan an exact mirror of the oracle SQL; at
+    * 100 TB assignment folds into the scan as a map-side argmin over the
+    * broadcast centroids (no row expansion) — same result, same single
+    * shuffle on cluster id.
     */
   def t14AnnIvf(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val k = 16
-    val nProbe = 2
-
+    IvfModel.ensure(s, dir)
     val e = embeddings(s, dir)
       .select(col("vec_id"), V.toDouble(col("embedding")).as("emb"))
-      .withColumn("features", array_to_vector(col("emb")))
-    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(5).fit(e)
-    val assigned = model.transform(e)
-      .select(col("vec_id"), col("emb"), col("prediction").as("cluster"))
-
-    // probe lists: nProbe nearest centroids per query vector
-    val centroids = model.clusterCenters.zipWithIndex.map {
-      case (c, i) => (i, c.toArray.toSeq)
-    }.toSeq
-    val centDf = s.createDataFrame(centroids).toDF("cid", "cvec")
-    val queries = assigned.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
-    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("cid"))
-    val probes = queries.crossJoin(broadcast(centDf))
+    val c = broadcast(IvfModel.centroids(s))
+    val ad = e.crossJoin(c)
       .withColumn("dist",
-        aggregate(zip_with(col("q_emb"), col("cvec"), (x, y) => (x - y) * (x - y)),
+        aggregate(zip_with(col("emb"), col("cvec"), (x, y) => (x - y) * (x - y)),
           lit(0.0), (acc, x) => acc + x))
-      .withColumn("pr", row_number().over(wProbe))
-      .filter(col("pr") <= nProbe)
-      .select(col("query_id"), col("q_emb"), col("cid").as("cluster"))
+    val wNearest = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+    val assigned = ad
+      .withColumn("rn", row_number().over(wNearest))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("emb"), col("cid").as("cluster"))
+    val probes = ad.filter(col("vec_id") < 10)
+      .withColumn("pr", row_number().over(wNearest))
+      .filter(col("pr") <= IvfModel.NProbe)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        col("cid").as("cluster"))
 
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
@@ -414,30 +584,62 @@ object TextOps {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  lazy val t14Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |c AS (SELECT cid, cvec FROM read_parquet('${IvfModel.CentroidPath}/*.parquet')),
+       |ad AS (
+       |  SELECT vec_id, emb, cid,
+       |    list_sum(list_transform(list_zip(emb, cvec), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+       |  FROM e CROSS JOIN c),
+       |assigned AS (
+       |  SELECT vec_id, emb, cid AS cluster FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM ad)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, emb AS q_emb, cid AS cluster FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS pr
+       |    FROM ad WHERE vec_id < 10)
+       |  WHERE pr <= ${IvfModel.NProbe}),
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id, a.cluster,
+       |    round(${cosineSql("p.q_emb", "a.emb")}, 6) AS cosine
+       |  FROM assigned a JOIN probes p USING (cluster)
+       |  WHERE a.vec_id <> p.query_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cluster, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rk
+       |  FROM scored)
+       |SELECT query_id, vec_id, cluster, cosine, rk FROM ranked
+       |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
   // ---------------------------------------------------------------- t13
   /** Near-duplicate CLUSTERS: connected components over the MinHash
     * candidate graph via iterative min-label propagation, then one
-    * canonical survivor per cluster (no SQL oracle; DedupClusterSpec
-    * checks transitivity). This is the step that turns pairwise near-dup
-    * hits into an actual dedup decision.
+    * canonical survivor per cluster (oracle-checked: DuckDB computes the
+    * same components with a recursive transitive-closure CTE over the
+    * same candidate pairs). Takes the pair source as a parameter so a
+    * driver run shares one LSH pass across t06/t08/t13.
     *
     * Scale shape: each iteration is one join + one aggregate, both
     * shuffling on doc_id; lineage is cut with localCheckpoint every
-    * iteration (iterative algorithms otherwise stack plans). Near-dup
-    * components are tiny (diameter ≤ a few hops), so the fixed iteration
-    * budget converges with room to spare.
+    * iteration (iterative algorithms otherwise stack plans; at 100 TB use
+    * reliable checkpoint). Near-dup components are tiny (diameter ≤ a few
+    * hops), so propagation converges quickly; the loop runs until a full
+    * fixpoint (up to MaxIters) and REPORTS if the budget ran out rather
+    * than silently returning a split clustering.
     */
-  def t13DedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = t06MinhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
+  def dedupClusters(s: SparkSession, dir: String, pairsSrc: DataFrame): DataFrame = {
+    val pairs = pairsSrc.select(col("doc_a"), col("doc_b"))
     val nodes = documents(s, dir).select(col("doc_id")).distinct()
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint()
 
+    val MaxIters = 32
     var labels = nodes.withColumn("cluster", col("doc_id")).localCheckpoint()
     var iter = 0
     var converged = false
-    while (iter < 8 && !converged) {
+    while (iter < MaxIters && !converged) {
       val neighborMin = edges
         .join(labels.select(col("doc_id").as("doc_b"), col("cluster").as("nb_cluster")), Seq("doc_b"))
         .groupBy(col("doc_a")).agg(min(col("nb_cluster")).as("min_nb"))
@@ -451,14 +653,42 @@ object TextOps {
       labels = next
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"t13 label propagation did not converge after $MaxIters iterations — " +
+          "component diameter exceeds the budget; raise MaxIters")
 
-    val w = Window.partitionBy(col("cluster")).orderBy(col("doc_id"))
+    // converged ⇒ cluster = min doc_id of the component, so the canonical
+    // survivor is exactly the doc whose id equals the label
     labels
-      .withColumn("is_canonical", row_number().over(w) === 1)
+      .withColumn("is_canonical", col("doc_id") === col("cluster"))
       .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy(col("cluster"))))
       .filter(col("cluster_size") > 1) // singleton docs are not duplicates
       .orderBy(col("cluster"), col("doc_id"))
   }
+
+  def t13DedupClusters(s: SparkSession, dir: String): DataFrame =
+    dedupClusters(s, dir, minhashCandidatePairs(s, dir))
+
+  lazy val t13Sql: String =
+    s"""WITH RECURSIVE $shingleCtes,
+       |$sigCte,
+       |$candPairCtes,
+       |edge AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM est WHERE est_jaccard >= $MinJaccard
+       |  UNION ALL
+       |  SELECT doc_b AS a, doc_a AS b FROM est WHERE est_jaccard >= $MinJaccard),
+       |reach AS (
+       |  SELECT a AS src, b AS dst FROM edge
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edge e ON r.dst = e.a),
+       |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster FROM reach GROUP BY src),
+       |sized AS (
+       |  SELECT doc_id, cluster, (doc_id = cluster) AS is_canonical,
+       |    count(*) OVER (PARTITION BY cluster) AS cluster_size
+       |  FROM comp)
+       |SELECT doc_id, cluster, is_canonical, cluster_size FROM sized
+       |WHERE cluster_size > 1 ORDER BY cluster, doc_id""".stripMargin
 
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -478,9 +708,11 @@ object TextOps {
     "t14_ann_ivf"         -> (t14AnnIvf _),
   )
 
-  /** t06-t09 intentionally omitted: hash-seed-dependent results are not
-    * SQL-expressible; the driver records the weaker rows-only check and
-    * ScalaTest covers semantics.
+  /** Every TextOps query is oracle-checked. The dedup/fingerprint family
+    * (t06-t09, t13) replays the md5-based hash pipeline in DuckDB with the
+    * MinHash constants inlined; the ANN family replays bucket assignment +
+    * probing (t12: hyperplane literals; t14: the shared persisted centroid
+    * table).
     */
   val oracles: Map[String, String] = Map(
     "t01_dedup_exact"     -> t01Sql,
@@ -488,7 +720,14 @@ object TextOps {
     "t03_lang_profile"    -> t03Sql,
     "t04_token_histogram" -> t04Sql,
     "t05_embed_stats"     -> t05Sql,
+    "t06_minhash_pairs"   -> t06Sql,
+    "t07_simhash_pairs"   -> t07Sql,
+    "t08_ngram_jaccard"   -> t08Sql,
+    "t09_fingerprint"     -> t09Sql,
     "t10_ann_brute_force" -> t10Sql,
     "t11_langid_confusion"-> t11Sql,
+    "t12_ann_lsh"         -> t12Sql,
+    "t13_dedup_clusters"  -> t13Sql,
+    "t14_ann_ivf"         -> t14Sql,
   )
 }

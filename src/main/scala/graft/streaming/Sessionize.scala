@@ -41,7 +41,9 @@ object Sessionize {
         min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"),
         count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("total_value"))
+        // decimal sum: exact and order-independent, so the rounded penny
+        // matches the oracle regardless of accumulation order
+        round(sum(col("value").cast("decimal(26,4)")), 2).cast("double").as("total_value"))
   }
 
   // --------------------------------------------------------- streaming
@@ -131,7 +133,7 @@ object Sessionize {
        |SELECT user_id, session_no,
        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
        |  count(*) AS n_events,
-       |  round(sum(value), 2) AS total_value
+       |  CAST(round(sum(CAST(value AS DECIMAL(26,4))), 2) AS DOUBLE) AS total_value
        |FROM s
        |GROUP BY user_id, session_no
        |ORDER BY user_id, session_no""".stripMargin

@@ -2,12 +2,19 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.queries.TextOps
+import graft.queries.{IvfModel, Lsh, TextOps}
 
-/** LSH ANN vs the brute-force baseline: cosines must agree exactly for
-  * shared pairs; recall is reported and sanity-bounded.
+/** ANN paths vs the brute-force baseline: cosines must agree exactly for
+  * shared pairs, and recall@5 must clear the 0.8 bar at the configured
+  * dials (Lsh: 6 bits / Hamming-3 probes; Ivf: k=32 / nProbe=16 — see
+  * SCALE.md "ANN recall" for the measured recall/probe-fraction curve on
+  * this isotropic corpus).
   */
 class AnnSpec extends SparkTestBase {
+
+  private def pairs(df: org.apache.spark.sql.DataFrame) = df
+    .select("query_id", "vec_id").collect()
+    .map(r => (r.getLong(0), r.getLong(1))).toSet
 
   test("t12 LSH neighbors report the same cosine as brute force") {
     val brute = TextOps.t10AnnBruteForce(spark, sf())
@@ -30,25 +37,26 @@ class AnnSpec extends SparkTestBase {
     }
   }
 
-  test("t12 recall vs brute force is nonzero (reported)") {
-    def pairs(df: org.apache.spark.sql.DataFrame) = df
-      .select("query_id", "vec_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  test("t12 LSH recall@5 >= 0.8 at the configured dials") {
     val bf = pairs(TextOps.t10AnnBruteForce(spark, sf()))
     val lsh = pairs(TextOps.t12AnnLsh(spark, sf()))
-    val recall = if (bf.isEmpty) 0.0 else (bf intersect lsh).size.toDouble / bf.size
-    info(f"LSH recall@5 vs brute force: $recall%.2f (6 bits, hamming-1 multi-probe)")
-    assert(recall > 0.0 && recall <= 1.0)
+    val recall = (bf intersect lsh).size.toDouble / bf.size
+    info(f"LSH recall@5 vs brute force: $recall%.2f " +
+      f"(${Lsh.Bits} bits, Hamming<=${Lsh.HammingRadius} multi-probe, " +
+      f"${Lsh.masks.size}/${1 << Lsh.Bits} codes probed)")
+    assert(recall >= 0.8)
   }
 
-  test("t14 IVF: deterministic, correct cosines, recall reported") {
+  test("t14 IVF: persisted model is reused, cosines exact, recall@5 >= 0.8") {
     val ivf1 = TextOps.t14AnnIvf(spark, sf())
       .select("query_id", "vec_id", "cosine").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // second run hits the persisted centroid table (no refit) and must
+    // return identical results
     val ivf2 = TextOps.t14AnnIvf(spark, sf())
       .select("query_id", "vec_id", "cosine").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    assert(ivf1 === ivf2) // seeded KMeans -> reproducible index
+    assert(ivf1 === ivf2)
 
     val brute = TextOps.t10AnnBruteForce(spark, sf())
       .select(col("query_id"), col("vec_id"), col("cosine").as("bf"))
@@ -56,10 +64,29 @@ class AnnSpec extends SparkTestBase {
       .join(brute, Seq("query_id", "vec_id"))
     assert(joined.filter(col("cosine") =!= col("bf")).count() === 0)
 
-    val bf = brute.select("query_id", "vec_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = pairs(brute.select(col("query_id"), col("vec_id"), col("bf").as("cosine")))
     val recall = (bf intersect ivf1.map(t => (t._1, t._2))).size.toDouble / bf.size
-    info(f"IVF recall@5 vs brute force: $recall%.2f (k=16, nProbe=2)")
-    assert(recall > 0.0 && recall <= 1.0)
+    info(f"IVF recall@5 vs brute force: $recall%.2f " +
+      f"(k=${IvfModel.K}, nProbe=${IvfModel.NProbe})")
+    assert(recall >= 0.8)
+  }
+
+  test("t14 IVF query plan contains no KMeans fit (pure assignment + probe)") {
+    IvfModel.ensure(spark, sf())
+    // the query is a closed-form DataFrame over embeddings + the persisted
+    // centroid table: building it must not trigger any Spark job (a fit
+    // would), and its plan must read the centroid parquet
+    val statusStore = spark.sparkContext.statusTracker
+    val jobsBefore = statusStore.getJobIdsForGroup(null).length
+    val df = TextOps.t14AnnIvf(spark, sf())
+    val jobsAfter = statusStore.getJobIdsForGroup(null).length
+    // <= 2: parquet schema inference on the centroid table may list/read
+    // footers; a KMeans fit would run dozens of jobs
+    assert(jobsAfter - jobsBefore <= 2,
+      s"building the t14 plan ran ${jobsAfter - jobsBefore} jobs — a fit leaked into the query path")
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.relation.location.rootPaths.mkString
+    }
+    assert(scans.exists(_.contains("graft_ivf_centroids")))
   }
 }

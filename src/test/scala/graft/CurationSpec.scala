@@ -27,6 +27,23 @@ class CurationSpec extends SparkTestBase {
     assert(a.getAs[Long]("curated_docs") === 2)
   }
 
+  test("curate() is fully lazy: zero jobs until the caller acts") {
+    // the round-1 pipeline ran 4 eager count() actions inside curate(),
+    // i.e. ~4 corpus scans per audit row at 100 TB. The audit must derive
+    // from the same lazy lineage: building (curated, audit) runs NOTHING,
+    // and the caller pays exactly its own actions (AQE then splits those
+    // into multiple scheduler jobs, so the action count — not the raw job
+    // count — is the meaningful invariant).
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val tracker = spark.sparkContext.statusTracker
+    val before = tracker.getJobIdsForGroup(null).length
+    val (curated, audit) = Curation.curate(spark, docs)
+    assert(tracker.getJobIdsForGroup(null).length === before,
+      "curate() must not run eager actions")
+    assert(curated.collect().nonEmpty)
+    assert(audit.collect().length === 1)
+  }
+
   test("curation over the corpus conserves counts in the audit") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val (curated, audit) = Curation.curate(spark, docs)

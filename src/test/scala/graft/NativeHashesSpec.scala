@@ -68,6 +68,59 @@ class NativeHashesSpec extends SparkTestBase {
     assert(nat.join(hof, "doc_id").filter(col("fp") =!= col("fp2")).count() === 0)
   }
 
+  test("native md5 token hashes == HOF md5 chain (conv/substring/md5)") {
+    val nat = docs.select(col("doc_id"),
+      graft.functions.NativeText.md5TokenHashes(col("text")).as("hs"))
+    val hof = docs
+      .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), TF.md5TokenHashes(col("toks")).as("hs2"))
+    val joined = nat.join(hof, "doc_id")
+    assert(joined.filter(col("hs") =!= col("hs2")).count() === 0)
+    assert(joined.count() === 100)
+  }
+
+  test("native md5 shingle hashes == HOF md5 chain (mod p)") {
+    val nat = docs.select(col("doc_id"),
+      graft.functions.NativeText.md5ShingleHashes(col("text"), 3).as("hs"))
+    val hof = docs
+      .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), TF.md5ShingleHashes(TF.shingles(col("toks"), 3)).as("hs2"))
+    assert(nat.join(hof, "doc_id").filter(col("hs") =!= col("hs2")).count() === 0)
+  }
+
+  test("md5Long60 equals parsing the first 15 hex chars of md5") {
+    // the property the DuckDB oracle relies on:
+    // CAST('0x' || substring(md5(x),1,15) AS BIGINT) == md5Long60(x)
+    val r = docs
+      .select(col("doc_id"), TF.tokens(col("text")).getItem(0).as("t"))
+      .filter(col("t").isNotNull)
+      .select(
+        TF.md5Long60(col("t")).as("parsed"),
+        conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long").as("reparsed"))
+      .filter(col("parsed") =!= col("reparsed"))
+    assert(r.count() === 0)
+  }
+
+  test("minhash signature re-reduces out-of-range inputs instead of overflowing") {
+    // raw 64-bit hashes fed directly (the documented misuse) must produce
+    // the same signature as pre-reduced inputs — not overflow or go negative
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val P = 2147483647L
+    val raw = Array(Long.MaxValue - 17, -987654321098765L, 42L)
+    val reduced = raw.map(java.lang.Math.floorMod(_, P))
+    def sig(hs: Array[Long]) = {
+      val lit = Literal.create(new GenericArrayData(hs), ArrayType(LongType))
+      val params = TF.minhashParamsFor(16)
+      graft.functions.NativeHashes.MinHashSignature(lit, 16,
+        params.map(_._1).toArray, params.map(_._2).toArray)
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray().toSeq
+    }
+    assert(sig(raw) === sig(reduced))
+    assert(sig(raw).forall(v => v >= 0 && v <= P))
+  }
+
   test("interpreted eval path matches codegen (single-row eval)") {
     // force interpreted evaluation by evaluating on a literal via eval()
     import org.apache.spark.sql.catalyst.util.GenericArrayData

@@ -35,7 +35,9 @@ def main(out_dir, sf_dir):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
             continue
-        files = glob.glob(os.path.join(d, "*.parquet"))
+        # sorted: glob order is not part-number order; multi-part ordered
+        # outputs must concatenate part-00000, part-00001, ...
+        files = sorted(glob.glob(os.path.join(d, "*.parquet")))
         spark = pd.concat([pd.read_parquet(f) for f in files]) if files else pd.DataFrame()
         if name not in oracles:
             print(f"  [rows-only] {name}: {len(spark)} rows")
