@@ -29,8 +29,17 @@ object CasEtl {
 
   /** One incremental sync for one supervision type. `rawJson` plays the
     * Zenput REST page stream (S2 — pagination is driver-side either way).
+    *
+    * `complete = false` (a partial page stream, see [[PagedFetch]]) changes
+    * only the checkpoint rule: the reference stamps NOW() even after a
+    * partial fetch (etl_sync.py:384), which silently skips the unfetched
+    * tail on the next run (their date_submitted predates the new
+    * checkpoint). Here a partial run advances the checkpoint only to the
+    * max date_submitted that actually landed, so the next run re-covers
+    * the tail — deliberate divergence, same spirit as the surrogate ids.
     */
-  def sync(wh: Warehouse, rawJson: DataFrame, tipo: String): SyncResult = {
+  def sync(wh: Warehouse, rawJson: DataFrame, tipo: String,
+           complete: Boolean = true): SyncResult = {
     require(tipo == "operativas" || tipo == "seguridad")
     val parsed0 = SubmissionParse.parse(rawJson)
 
@@ -46,9 +55,18 @@ object CasEtl {
 
     val existing = wh.supervisiones(tipo)
 
-    // J8 — dedup against target (etl_sync.py:215-217): only new submissions
-    val fresh = parsedInc.join(existing.select(col("zenput_submission_id")),
-      Seq("zenput_submission_id"), "left_anti")
+    // J8 — dedup against target (etl_sync.py:215-217): only new submissions.
+    // The reference's row-at-a-time loop also dedups WITHIN a batch (the
+    // second occurrence's SELECT sees the first's INSERT); set-at-a-time
+    // needs that explicitly — keep the earliest submission per id
+    // (duplicates from overlapping pages carry identical content anyway).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("zenput_submission_id")
+      .orderBy(col("date_submitted").asc_nulls_last)
+    val fresh = parsedInc
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+      .join(existing.select(col("zenput_submission_id")),
+        Seq("zenput_submission_id"), "left_anti")
 
     // J9 — seguridad-only location inference from same-day operativas
     val located = if (tipo == "seguridad")
@@ -104,16 +122,37 @@ object CasEtl {
     val spark = wh.spark
     import spark.implicits._
     val now = current_timestamp()
-    wh.rewrite("sync_checkpoints",
-      wh.checkpoints.filter(col("formulario") =!= s"supervisiones_$tipo")
-        .unionByName(Seq(s"supervisiones_$tipo").toDF("formulario")
-          .withColumn("ultima_fecha", now)))
+    val ckptTs: Option[org.apache.spark.sql.Column] =
+      if (complete) Some(now)
+      else Option(parsedInc.agg(max(try_to_timestamp(col("date_submitted"))))
+        .first().getTimestamp(0)).map(lit(_))
+    ckptTs.foreach { ts =>
+      wh.rewrite("sync_checkpoints",
+        wh.checkpoints.filter(col("formulario") =!= s"supervisiones_$tipo")
+          .unionByName(Seq(s"supervisiones_$tipo").toDF("formulario")
+            .withColumn("ultima_fecha", ts)))
+    }
+    val estado = if (complete) "success" else "partial"
     wh.append("sync_log",
-      Seq((s"etl_$tipo", nuevos, "success")).toDF("workflow", "registros_nuevos", "estado")
+      Seq((s"etl_$tipo", nuevos, estado)).toDF("workflow", "registros_nuevos", "estado")
         .select(xxhash64(col("workflow"), now).as("id"), col("workflow"),
           now.as("inicio"), now.as("fin"), col("registros_nuevos"), col("estado")))
 
     SyncResult(tipo, fetched, nuevos, nDetail)
+  }
+
+  /** S2 end-to-end: drive the paginated fetcher, then run the incremental
+    * sync over whatever arrived. A partial fetch (transport failure mid-
+    * stream) still syncs what landed — the reference's partial-extract
+    * contract (etl_sync.py:115-118) — and the checkpoint rule in [[sync]]
+    * makes the next run re-fetch the unlanded tail.
+    */
+  def syncPaged(wh: Warehouse, fetchPage: Int => scala.util.Try[Seq[String]],
+                tipo: String, pageSize: Int = PagedFetch.PageSize,
+                maxRetries: Int = 0): SyncResult = {
+    val fetched = PagedFetch.fetchAll(fetchPage, pageSize, maxRetries)
+    sync(wh, PagedFetch.toRawJson(wh.spark, fetched.rows), tipo,
+      complete = fetched.complete)
   }
 
   /** A13/O5 — the status report union (etl_sync.py:410-415). */

@@ -1,6 +1,7 @@
 package graft.etl
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Generalized MERGE for a parquet warehouse (no Delta in this stack):
@@ -12,6 +13,12 @@ import org.apache.spark.sql.functions._
   *   - rows only in incoming  → inserted
   *   - rows in both           → incoming wins (whole-row update)
   *
+  * SQL MERGE raises on duplicate source keys; a distributed engine can't
+  * cheaply detect them up front, so instead the incoming side is reduced
+  * to one row per key before joining: by the `prefer` ordering when given
+  * (first row per key under that ordering wins), else an arbitrary single
+  * row (`dropDuplicates`). Either way the target never fans out.
+  *
   * Parquet has no point updates, so a merge is a rewrite of the target —
   * at 100 TB that is bounded by partitioning: merge partition-by-partition
   * (only partitions containing matched keys are rewritten; the hook is
@@ -19,27 +26,41 @@ import org.apache.spark.sql.functions._
   */
 object Upsert {
 
-  def merge(existing: DataFrame, incoming: DataFrame, key: String): DataFrame = {
+  /** One row per key: first under `prefer` if given, else arbitrary. */
+  private def onePerKey(df: DataFrame, key: String, prefer: Seq[Column]): DataFrame =
+    if (prefer.isEmpty) df.dropDuplicates(key)
+    else df.withColumn("__rn",
+        row_number().over(Window.partitionBy(key).orderBy(prefer: _*)))
+      .filter(col("__rn") === 1).drop("__rn")
+
+  def merge(existing: DataFrame, incoming: DataFrame, key: String,
+            prefer: Seq[Column] = Nil): DataFrame = {
     require(existing.columns.sameElements(incoming.columns),
       s"merge requires identical schemas: ${existing.columns.toSeq} vs ${incoming.columns.toSeq}")
-    val untouched = existing.join(incoming.select(col(key)), Seq(key), "left_anti")
-    untouched.unionByName(incoming)
+    val one = onePerKey(incoming, key, prefer)
+    val untouched = existing.join(one.select(col(key)), Seq(key), "left_anti")
+    untouched.unionByName(one)
   }
 
   /** Insert-only variant (ON CONFLICT DO NOTHING): existing rows win. */
-  def insertIfAbsent(existing: DataFrame, incoming: DataFrame, key: String): DataFrame = {
+  def insertIfAbsent(existing: DataFrame, incoming: DataFrame, key: String,
+                     prefer: Seq[Column] = Nil): DataFrame = {
     require(existing.columns.sameElements(incoming.columns))
     existing.unionByName(
-      incoming.join(existing.select(col(key)), Seq(key), "left_anti"))
+      onePerKey(incoming, key, prefer)
+        .join(existing.select(col(key)), Seq(key), "left_anti"))
   }
 
   /** Column-level patch (the J10 backfill shape): update only `patchCol`
     * where the predicate holds and a patch value exists; all other cells
-    * untouched.
+    * untouched. Duplicate patch keys reduce to one row per key like
+    * [[merge]], so the target row count is always preserved.
     */
   def patchColumn(target: DataFrame, patches: DataFrame, key: String,
-                  patchCol: String, onlyWhere: org.apache.spark.sql.Column): DataFrame = {
-    val p = broadcast(patches.select(col(key), col(patchCol).as("__patch")))
+                  patchCol: String, onlyWhere: Column,
+                  prefer: Seq[Column] = Nil): DataFrame = {
+    val p = broadcast(onePerKey(patches, key, prefer)
+      .select(col(key), col(patchCol).as("__patch")))
     target.join(p, Seq(key), "left")
       .withColumn(patchCol,
         when(onlyWhere && col("__patch").isNotNull, col("__patch"))

@@ -1,5 +1,7 @@
 package graft.etl
 
+import org.apache.hadoop.fs.{FileSystem, Path}
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
 
@@ -7,27 +9,76 @@ import org.apache.spark.sql.types.StructType
   * been written reads as an empty frame with the right schema, so every
   * anti-join and count works on first run (the reference gets this from
   * pre-existing Postgres tables, README.md:74-84).
+  *
+  * Rewritten tables are VERSIONED: each `rewrite` lands a fresh
+  * `name.__vNNNNNN` directory and then flips a one-line pointer file
+  * (`name.__current`). The pointer rename is the only commit step, so a
+  * crash at any moment leaves either the old pointer (old data intact) or
+  * no pointer — recovered by picking the newest version directory that
+  * carries Spark's `_SUCCESS` marker. At no point is the table absent,
+  * which the old delete-then-rename scheme could not guarantee. All path
+  * operations go through Hadoop's FileSystem API, so the same code runs
+  * against HDFS/S3A/ABFS, not just the local disk used in tests.
   */
 case class Warehouse(spark: SparkSession, dir: String) {
 
   private def path(name: String) = s"$dir/$name"
 
+  private def hconf = spark.sessionState.newHadoopConf()
+  private def fs: FileSystem = new Path(dir).getFileSystem(hconf)
+
+  private def pointerPath(name: String) = new Path(dir, s"$name.__current")
+  private def versionName(name: String, v: Long) = f"$name.__v$v%06d"
+
+  private def listVersions(name: String): Seq[(Long, Path)] = {
+    val glob = new Path(dir, s"$name.__v*")
+    val stats = try fs.globStatus(glob) catch { case _: java.io.IOException => null }
+    Option(stats).map(_.toSeq).getOrElse(Nil).flatMap { st =>
+      val base = st.getPath.getName
+      base.stripPrefix(s"$name.__v").toLongOption.map(_ -> st.getPath)
+    }.sortBy(_._1)
+  }
+
+  private def readPointer(name: String): Option[Path] = {
+    val p = pointerPath(name)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val target = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      Some(new Path(dir, target)).filter(fs.exists)
+    }
+  }
+
+  /** The directory currently holding `name`'s data: committed pointer
+    * first; else crash recovery (newest version with a `_SUCCESS` marker);
+    * else the flat append-layout directory.
+    */
+  private def resolve(name: String): Path =
+    readPointer(name)
+      .orElse(listVersions(name).reverse.collectFirst {
+        case (_, p) if fs.exists(new Path(p, "_SUCCESS")) => p
+      })
+      .getOrElse(new Path(dir, name))
+
+  private def hasParquet(p: Path): Boolean =
+    fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
+
   def read(name: String, schema: StructType): DataFrame = {
-    val p = new java.io.File(path(name))
-    if (p.exists() && p.listFiles() != null && p.listFiles().exists(_.getName.endsWith(".parquet")))
-      spark.read.schema(schema).parquet(path(name))
-    else
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val p = resolve(name)
+    if (hasParquet(p)) spark.read.schema(schema).parquet(p.toString)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
   def append(name: String, df: DataFrame): Unit =
-    df.write.mode("append").parquet(path(name))
+    df.write.mode("append").parquet(resolve(name).toString)
 
   /** Hive-style partitioned append — the 100TB layout for fact tables:
     * partition masters by periodo_id (or shipdate month) so every
     * periodo-filtered serving query prunes to one directory, and dynamic
     * partition pruning handles the dim-join case. PartitioningSpec proves
-    * the scan's PartitionFilters kick in.
+    * the scan's PartitionFilters kick in. Partitioned tables are
+    * append-only, so they stay on the flat layout.
     */
   def appendPartitioned(name: String, df: DataFrame, cols: String*): Unit =
     df.write.mode("append").partitionBy(cols: _*).parquet(path(name))
@@ -39,21 +90,32 @@ case class Warehouse(spark: SparkSession, dir: String) {
     spark.read.parquet(path(name))
 
   /** Small control/dimension tables are rewritten atomically per run
-    * (checkpoints, sync_log rollups, periodos after a transition).
-    * Write-to-temp + swap: overwrite-in-place would break readers of the
-    * same path within the job.
+    * (checkpoints, sync_log rollups, periodos after a transition): write a
+    * new version directory, flip the pointer, GC superseded versions.
+    * The new version is a different directory, so a rewrite whose input
+    * lineage reads the table it replaces (periodos, checkpoints) never
+    * overwrites what it is still reading.
     */
   def rewrite(name: String, df: DataFrame): Unit = {
-    val tmp = path(name + "_tmp_rewrite")
-    df.write.mode("overwrite").parquet(tmp)
-    val target = new java.io.File(path(name))
-    def delete(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(delete))
-      f.delete()
-    }
-    delete(target)
-    if (!new java.io.File(tmp).renameTo(target))
-      throw new java.io.IOException(s"rewrite of $name failed")
+    val next = listVersions(name).lastOption.map(_._1).getOrElse(0L) + 1
+    val vname = versionName(name, next)
+    df.write.mode("overwrite").parquet(path(vname))
+
+    // commit: tmp pointer + rename. Rename is atomic on local FS and HDFS;
+    // between delete and rename there is no pointer, and resolve() then
+    // picks this newest _SUCCESS-marked version — still consistent.
+    val ptr = pointerPath(name)
+    val tmp = new Path(dir, s"$name.__current.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(vname.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(ptr)) fs.delete(ptr, false)
+    if (!fs.rename(tmp, ptr))
+      throw new java.io.IOException(s"rewrite of $name failed to commit pointer")
+
+    // best-effort GC: superseded versions and any legacy flat directory
+    listVersions(name).foreach { case (v, p) => if (v < next) fs.delete(p, true) }
+    val flat = new Path(dir, name)
+    if (fs.exists(flat)) fs.delete(flat, true)
   }
 
   /** Materialize a computed increment before appending it to tables its

@@ -153,6 +153,19 @@ object CasServing {
     (matrix, grupoAvgs, eplRow)
   }
 
+  /** O4 — the heatmap slice (app.js:1024 `grupos.slice(0, 15)` over the
+    * server's promedio_general DESC ordering, app.py:1193): the pivot
+    * matrix restricted to the top-`top` groups, in ranking order.
+    */
+  def historicoHeatmap(wh: Warehouse, tipo: String, top: Int = 15): DataFrame = {
+    val (matrix, grupoAvgs, _) = historico(wh, tipo)
+    val slice = broadcast(grupoAvgs.limit(top)
+      .select(col("grupo_id"), col("promedio_general")))
+    matrix.join(slice, Seq("grupo_id"))
+      .orderBy(col("promedio_general").desc_nulls_last, col("grupo"))
+      .drop("promedio_general")
+  }
+
   /** /api/alertas/<tipo> (app.py:1221-1280): groups and branches whose
     * period average crosses the critical/warning thresholds (A6 HAVING),
     * labeled (T2/F9) and partitioned by severity like app.js:1075-1076.
@@ -229,6 +242,9 @@ object CasServing {
       .select(col("fecha_supervision"),
         date_format(col("fecha_supervision"), "dd/MM").as("fecha_corta"),
         round(col("calificacion_general"), 2).as("calificacion"))
+      // F13 — the sparkline bar height (app.js:737): percent of the 100-pt
+      // scale floored at 5 so a near-zero score still renders a bar
+      .withColumn("bar_pct", greatest(round(col("calificacion"), 2), lit(5.0)))
       .orderBy(col("fecha_supervision"))
   }
 
@@ -254,5 +270,34 @@ object CasServing {
       .unionByName(withData.withColumn("fuente", lit("ultimo_con_datos")))
       .orderBy(col("fuente")) // 'actual' sorts first when both exist
       .limit(1)
+  }
+
+  /** The admin table-dump allowlist (app.py:1310-1313). */
+  val DumpableTables: Seq[String] = Seq(
+    "periodos_cas", "grupos_operativos", "sucursales",
+    "supervisiones_operativas", "supervisiones_seguridad",
+    "supervision_areas", "seguridad_kpis",
+    "catalogo_areas", "catalogo_kpis_seguridad")
+
+  /** S7 — the generic admin dump (app.py:1318-1321): `SELECT * FROM <name>
+    * LIMIT 100` with runtime-discovered columns, every value stringified
+    * the way the endpoint's `str(v)` does. Rejects names off the allowlist
+    * exactly like the 403 path (app.py:1314-1315).
+    */
+  def tableDump(wh: Warehouse, name: String, limit: Int = 100): DataFrame = {
+    require(DumpableTables.contains(name), s"Tabla no permitida: $name")
+    val df = name match {
+      case "periodos_cas"             => wh.periodos
+      case "grupos_operativos"        => wh.grupos
+      case "sucursales"               => wh.sucursales
+      case "supervisiones_operativas" => wh.supervisiones("operativas")
+      case "supervisiones_seguridad"  => wh.supervisiones("seguridad")
+      case "supervision_areas"        => wh.detalle("operativas")
+      case "seguridad_kpis"           => wh.detalle("seguridad")
+      case "catalogo_areas"           => wh.catalogo("operativas")
+      case "catalogo_kpis_seguridad"  => wh.catalogo("seguridad")
+    }
+    // runtime schema: columns come from the resolved frame, not a caller list
+    df.limit(limit).select(df.columns.toIndexedSeq.map(c => col(c).cast("string").as(c)): _*)
   }
 }

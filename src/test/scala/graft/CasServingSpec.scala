@@ -99,6 +99,40 @@ class CasServingSpec extends SparkTestBase {
     assert(e("P2") === 80.0)
   }
 
+  test("historicoHeatmap: top-N slice in promedio_general order (O4)") {
+    // grupo averages: PLOG Sur 90.0, PLOG Norte 85.0, Centro 67.5, Vacio
+    // no data -> top-2 slice keeps Sur then Norte, app.js:1024 style
+    val h = CasServing.historicoHeatmap(wh, "operativas", top = 2).collect()
+    assert(h.map(_.getAs[String]("grupo")).toSeq === Seq("PLOG Sur", "PLOG Norte"))
+    // matrix columns survive the slice
+    assert(h.head.schema.fieldNames.contains("P1"))
+  }
+
+  test("tableDump: allowlisted, runtime schema, stringified values (S7)") {
+    val d = CasServing.tableDump(wh, "sucursales")
+    assert(d.columns.toSeq === graft.etl.CasSchema.sucursales.fieldNames.toSeq)
+    assert(d.count() === 5)
+    assert(CasServing.tableDump(wh, "sucursales", limit = 3).count() === 3)
+    assert(d.schema.fields.forall(_.dataType == org.apache.spark.sql.types.StringType))
+    // str(v) keeps nulls null, stringifies the rest
+    val row = d.filter(col("id") === "1").collect().head
+    assert(row.getAs[String]("zenput_location_id") === "101")
+    intercept[IllegalArgumentException] { CasServing.tableDump(wh, "sync_log") }
+  }
+
+  test("trend bar height floors at 5 (F13 greatest math)") {
+    val w2 = Warehouse(spark, Files.createTempDirectory("graft_f13_").toString)
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    w2.rewrite("supervisiones_operativas", spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "y1", 7, 1, "Ana", ts("2026-01-10 10:00:00"), 2.0, null, null),
+        Row(2L, "y2", 7, 1, "Ana", ts("2026-01-11 10:00:00"), 88.0, null, null))),
+      CasSchema.supervisiones))
+    val t = CasServing.trendSucursal(w2, "operativas", sucursalId = 7)
+      .collect().map(r => (r.getAs[Double]("calificacion"), r.getAs[Double]("bar_pct")))
+    assert(t.toSeq === Seq((2.0, 5.0), (88.0, 88.0)))
+  }
+
   test("alertas: HAVING thresholds + severity labels") {
     val a = CasServing.alertas(wh, "operativas", Some(1)).collect()
     assert(a.length === 1)

@@ -38,6 +38,29 @@ class UpsertSpec extends SparkTestBase {
     assert(got.toSeq === Seq((1L, 88.0), (2L, 50.0), (3L, 0.0)))
   }
 
+  test("duplicate incoming keys never fan out the target") {
+    val dup = Seq((2L, "B2", 99.0), (2L, "B3", 98.0), (3L, "c", 30.0))
+      .toDF("id", "name", "v")
+    val merged = Upsert.merge(existing, dup, "id")
+    assert(merged.count() === 3)
+    assert(merged.groupBy("id").count().filter(col("count") > 1).count() === 0)
+    val inserted = Upsert.insertIfAbsent(existing, dup, "id")
+    assert(inserted.count() === 3)
+    // prefer: highest v wins deterministically
+    val got = Upsert.merge(existing, dup, "id", prefer = Seq(col("v").desc))
+      .filter(col("id") === 2L).collect().head
+    assert((got.getString(1), got.getDouble(2)) === ("B2", 99.0))
+  }
+
+  test("patchColumn with duplicate patch keys preserves target row count") {
+    val target = Seq((1L, 0.0), (2L, 0.0)).toDF("id", "score")
+    val patches = Seq((1L, 88.0), (1L, 77.0)).toDF("id", "score")
+    val got = Upsert.patchColumn(target, patches, "id", "score",
+      onlyWhere = col("score") === 0.0, prefer = Seq(col("score").desc))
+    assert(got.count() === 2)
+    assert(got.filter(col("id") === 1L).collect().head.getDouble(1) === 88.0)
+  }
+
   test("merge rejects mismatched schemas") {
     val bad = Seq((9L, "x")).toDF("id", "name")
     intercept[IllegalArgumentException] { Upsert.merge(existing, bad, "id") }

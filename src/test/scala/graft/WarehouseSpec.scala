@@ -1,0 +1,90 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.etl.Warehouse
+
+/** Crash-safety of the versioned rewrite (VERDICT r1 item 9): at every
+  * interruption point of `rewrite` the table stays readable — old data
+  * before the pointer flip, new data after — and the append→rewrite→append
+  * lifecycle (backfill shape) keeps one consistent directory.
+  */
+class WarehouseSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType)))
+
+  private def fresh() = Warehouse(spark, Files.createTempDirectory("graft_ws_").toString)
+
+  private def names(wh: Warehouse, n: String = "t"): Set[String] =
+    wh.read(n, schema).collect().map(_.getString(1)).toSet
+
+  test("rewrite supersedes and GCs the previous version") {
+    val wh = fresh()
+    wh.rewrite("t", Seq((1L, "old")).toDF("id", "name"))
+    wh.rewrite("t", Seq((1L, "new")).toDF("id", "name"))
+    assert(names(wh) === Set("new"))
+    // only one version directory survives
+    val fs = new Path(wh.dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val versions = fs.globStatus(new Path(wh.dir, "t.__v*"))
+    assert(versions.length === 1)
+  }
+
+  test("a stray uncommitted version (crash before pointer flip) is invisible") {
+    val wh = fresh()
+    wh.rewrite("t", Seq((1L, "committed")).toDF("id", "name"))
+    // simulate: rewrite wrote its data dir, crashed before touching the pointer
+    Seq((1L, "uncommitted")).toDF("id", "name")
+      .write.parquet(s"${wh.dir}/t.__v000099")
+    assert(names(wh) === Set("committed"))
+    // and the next rewrite numbers PAST the stray, then commits over it
+    wh.rewrite("t", Seq((1L, "after")).toDF("id", "name"))
+    assert(names(wh) === Set("after"))
+  }
+
+  test("a missing pointer (crash mid-commit) recovers the newest complete version") {
+    val wh = fresh()
+    wh.rewrite("t", Seq((1L, "v1")).toDF("id", "name"))
+    wh.rewrite("t", Seq((1L, "v2")).toDF("id", "name"))
+    val fs = new Path(wh.dir).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(wh.dir, "t.__current"), false)
+    assert(names(wh) === Set("v2"))
+  }
+
+  test("recovery skips a version directory without _SUCCESS (crash mid-write)") {
+    val wh = fresh()
+    wh.rewrite("t", Seq((1L, "good")).toDF("id", "name"))
+    Seq((1L, "torn")).toDF("id", "name").write.parquet(s"${wh.dir}/t.__v000099")
+    val fs = new Path(wh.dir).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(wh.dir, "t.__v000099/_SUCCESS"), false)
+    fs.delete(new Path(wh.dir, "t.__current"), false)
+    assert(names(wh) === Set("good"))
+  }
+
+  test("append → rewrite → append stays one consistent table (backfill shape)") {
+    val wh = fresh()
+    wh.append("t", Seq((1L, "a")).toDF("id", "name"))
+    wh.append("t", Seq((2L, "b")).toDF("id", "name"))
+    assert(names(wh) === Set("a", "b"))
+    wh.rewrite("t", wh.read("t", schema).withColumn("name",
+      org.apache.spark.sql.functions.upper($"name")))
+    assert(names(wh) === Set("A", "B"))
+    // the flat legacy dir is gone; appends land in the current version
+    val fs = new Path(wh.dir).getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new Path(wh.dir, "t")))
+    wh.append("t", Seq((3L, "c")).toDF("id", "name"))
+    assert(names(wh) === Set("A", "B", "c"))
+  }
+
+  test("never-written table reads empty with the right schema") {
+    val wh = fresh()
+    val df = wh.read("nope", schema)
+    assert(df.count() === 0)
+    assert(df.schema === schema)
+  }
+}
