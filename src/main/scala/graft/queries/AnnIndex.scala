@@ -47,10 +47,13 @@ object Lsh {
     IndexedSeq.fill(Bits)(IndexedSeq.fill(Dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
   }
 
-  /** XOR masks enumerating all codes within HammingRadius (incl. 0). */
-  lazy val masks: IndexedSeq[Long] =
-    0L +: (1 to HammingRadius).flatMap(r =>
+  /** XOR masks enumerating all codes within `radius` (incl. 0). */
+  def masksWithin(radius: Int): IndexedSeq[Long] =
+    0L +: (1 to radius).flatMap(r =>
       (0 until Bits).combinations(r).map(_.map(1L << _).sum).toIndexedSeq)
+
+  /** XOR masks enumerating all codes within HammingRadius (incl. 0). */
+  lazy val masks: IndexedSeq[Long] = masksWithin(HammingRadius)
 
   /** Sign-bit bucket code of an embedding column. */
   def bucketOf(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -73,6 +76,9 @@ object Lsh {
     }.mkString("(", " + ", ")")
 
   def masksSql: String = masks.mkString("[", ", ", "]::BIGINT[]")
+
+  def masksSqlWithin(radius: Int): String =
+    masksWithin(radius).mkString("[", ", ", "]::BIGINT[]")
 }
 
 /** Train-once IVF coarse quantizer: a seeded KMeans fit over the corpus,

@@ -612,6 +612,58 @@ object TextOps {
        |SELECT query_id, vec_id, cluster, cosine, rk FROM ranked
        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
+  // ---------------------------------------------------------------- t15
+  /** Embedding-cosine NEAR-DUP PAIRS — the vector-space member of the
+    * dedup family (beside t01 exact, t06 MinHash, t07 SimHash, t08
+    * Jaccard): every unordered pair with cosine ≥ [[CosTau]].
+    *
+    * Candidate generation is hyperplane-LSH bucketed: each vector probes
+    * all buckets within Hamming radius [[PairRadius]] of its own sign
+    * code, so the pair join is EQUI on probe bucket — never all-pairs. A
+    * qualifying pair (hamming h ≤ radius) matches on exactly one mask
+    * (m = code_a XOR code_b), so no dedup step is needed. The exact cosine
+    * then verifies candidates. At 6 bits / radius 4 the per-bit flip
+    * probability at τ=0.4 (angle 66°, θ/π ≈ 0.37) gives expected pair
+    * recall ≈ 0.97 on this isotropic corpus (asserted ≥ 0.9 in AnnSpec);
+    * real near-dup corpora (cosine ≥ 0.9, flip prob ≈ 0.14) reach the
+    * same recall at radius 1-2 and a far smaller probe fraction.
+    *
+    * Oracle parity: DuckDB replays bucket assignment (same seeded ±1
+    * hyperplane literals as t12), the probe explosion, the a<b pairing and
+    * the rounded-cosine threshold bit-for-bit.
+    */
+  val CosTau = 0.4
+  val PairRadius = 4
+
+  def t15CosineNearDup(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+      .select(col("vec_id"), V.toDouble(col("embedding")).as("emb"))
+      .withColumn("bucket", Lsh.bucketOf(col("emb")))
+    val probes = e.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"),
+      explode(array(Lsh.masksWithin(PairRadius).map(m =>
+        col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+    e.join(probes, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_id"))
+      .select(col("vec_a"), col("vec_id").as("vec_b"),
+        round(V.cosine(col("emb_a"), col("emb")), 6).as("cosine"))
+      .filter(col("cosine") >= CosTau)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  lazy val t15Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |eb AS (SELECT vec_id, emb, ${Lsh.bucketSql("emb")} AS bucket FROM e),
+       |pr AS (
+       |  SELECT vec_id AS vec_a, emb AS emb_a, xor(bucket, m) AS bucket
+       |  FROM eb CROSS JOIN (SELECT unnest(${Lsh.masksSqlWithin(PairRadius)}) AS m)),
+       |cand AS (
+       |  SELECT p.vec_a, e.vec_id AS vec_b,
+       |    round(${cosineSql("p.emb_a", "e.emb")}, 6) AS cosine
+       |  FROM eb e JOIN pr p USING (bucket)
+       |  WHERE p.vec_a < e.vec_id)
+       |SELECT vec_a, vec_b, cosine FROM cand
+       |WHERE cosine >= $CosTau ORDER BY vec_a, vec_b""".stripMargin
+
   // ---------------------------------------------------------------- t13
   /** Near-duplicate CLUSTERS: connected components over the MinHash
     * candidate graph via iterative min-label propagation, then one
@@ -706,6 +758,7 @@ object TextOps {
     "t12_ann_lsh"         -> (t12AnnLsh _),
     "t13_dedup_clusters"  -> (t13DedupClusters _),
     "t14_ann_ivf"         -> (t14AnnIvf _),
+    "t15_cosine_near_dup" -> (t15CosineNearDup _),
   )
 
   /** Every TextOps query is oracle-checked. The dedup/fingerprint family
@@ -729,5 +782,6 @@ object TextOps {
     "t12_ann_lsh"         -> t12Sql,
     "t13_dedup_clusters"  -> t13Sql,
     "t14_ann_ivf"         -> t14Sql,
+    "t15_cosine_near_dup" -> t15Sql,
   )
 }

@@ -71,6 +71,26 @@ class AnnSpec extends SparkTestBase {
     assert(recall >= 0.8)
   }
 
+  test("t15 cosine near-dup: pair recall >= 0.9 vs exact all-pairs, no dup pairs") {
+    import graft.functions.{VectorOps => V}
+    val e = graft.core.Tables.embeddings(spark, sf())
+      .select(col("vec_id"), V.toDouble(col("embedding")).as("emb"))
+    val exact = e.as("a").crossJoin(e.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .filter(round(V.cosine(col("a.emb"), col("b.emb")), 6) >= TextOps.CosTau)
+      .select(col("a.vec_id"), col("b.vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = TextOps.t15CosineNearDup(spark, sf())
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === got.toSet.size) // one mask per qualifying pair
+    assert(got.toSet.subsetOf(exact))     // verify step admits no false positives
+    val recall = (exact intersect got.toSet).size.toDouble / exact.size
+    info(f"near-dup pair recall vs exact: $recall%.2f at tau=${TextOps.CosTau} " +
+      f"(radius ${TextOps.PairRadius}, ${Lsh.masksWithin(TextOps.PairRadius).size}/${1 << Lsh.Bits} codes probed)")
+    assert(recall >= 0.9)
+  }
+
   test("t14 IVF query plan contains no KMeans fit (pure assignment + probe)") {
     IvfModel.ensure(spark, sf())
     // the query is a closed-form DataFrame over embeddings + the persisted
