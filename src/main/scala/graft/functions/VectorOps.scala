@@ -3,9 +3,12 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Dense-vector primitives over ArrayType columns, built entirely from
-  * codegen'd higher-order functions (zip_with/aggregate) — no UDF, no
-  * serialization boundary, safe inside whole-stage codegen.
+/** Dense-vector primitives over ArrayType columns.
+  *
+  * The dot product — the only kernel that runs per candidate PAIR, not per
+  * row — is a native codegen'd expression ([[NativeVector.DotProduct]]);
+  * the interpreted HOF formulation it replaces is kept as `dotHof` for the
+  * equivalence spec. Everything per-row (casts) stays HOF.
   *
   * All math is done in Double regardless of the storage type (testdata
   * embeddings are float32): both Spark and any SQL oracle then fold the
@@ -13,11 +16,20 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
+  private val B = org.apache.spark.sql.graftshim.ColumnBridge
+
   /** Elementwise cast to double. */
   def toDouble(v: Column): Column = transform(v, _.cast("double"))
 
-  /** Sequential left-fold dot product. */
+  /** Sequential left-fold dot product (native, codegen'd). */
   def dot(a: Column, b: Column): Column =
+    B.column(NativeVector.DotProduct(B.expression(a), B.expression(b)))
+
+  /** The readable HOF formulation of [[dot]] — interpreted, per-element;
+    * exists as the semantic reference the native kernel is specced
+    * against (NativeHashesSpec pattern).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def normSq(a: Column): Column = dot(a, a)

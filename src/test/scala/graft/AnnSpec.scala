@@ -71,6 +71,18 @@ class AnnSpec extends SparkTestBase {
     assert(recall >= 0.8)
   }
 
+  test("native dot product matches the HOF formulation bit-for-bit") {
+    import graft.functions.{VectorOps => V}
+    val e = graft.core.Tables.embeddings(spark, sf())
+      .select(col("vec_id"), V.toDouble(col("embedding")).as("emb"))
+    val pairsDf = e.as("a").crossJoin(e.as("b"))
+      .filter(col("a.vec_id") % 7 === 0 && col("b.vec_id") % 11 === 0)
+      .select(V.dot(col("a.emb"), col("b.emb")).as("native"),
+        V.dotHof(col("a.emb"), col("b.emb")).as("hof"))
+    assert(pairsDf.filter(col("native") =!= col("hof")).count() === 0)
+    assert(pairsDf.count() > 0)
+  }
+
   test("t15 cosine near-dup: pair recall >= 0.9 vs exact all-pairs, no dup pairs") {
     import graft.functions.{VectorOps => V}
     val e = graft.core.Tables.embeddings(spark, sf())
