@@ -612,6 +612,40 @@ object TextOps {
        |SELECT query_id, vec_id, cluster, cosine, rk FROM ranked
        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
+  // ---------------------------------------------------------------- t16
+  /** BPE-style token counting beside the whitespace count (t02): a GPT-2
+    * pretokenizer-shaped regex (contraction suffixes, space-prefixed
+    * letter runs, digit runs, punctuation runs, residual whitespace) and
+    * the fertility ratio bpe/ws that tokenizer-budget pipelines track.
+    * The pattern stays inside the RE2 subset (no lookahead — the one
+    * GPT-2 construct dropped) so Java regex and DuckDB's regexp engine
+    * tokenize identically and the oracle replays the count. Single narrow
+    * projection, codegen'd, no shuffle — same scan shape as t02.
+    */
+  val BpePattern = "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  def t16TokenBpe(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"), TF.tokens(col("text")).as("toks"),
+        regexp_extract_all(col("text"), lit(BpePattern), lit(0)).as("bpe"))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens_ws"),
+        size(col("bpe")).as("n_tokens_bpe"),
+        round(size(col("bpe")).cast("double") / size(col("toks")), 4).as("fertility"))
+      .orderBy(col("doc_id"))
+
+  val t16Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS toks,
+       |    regexp_extract_all(text, '${BpePattern.replace("'", "''")}') AS bpe
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(toks) AS INT) AS n_tokens_ws,
+       |  CAST(len(bpe) AS INT) AS n_tokens_bpe,
+       |  round(len(bpe) * 1.0 / len(toks), 4) AS fertility
+       |FROM t ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- t15
   /** Embedding-cosine NEAR-DUP PAIRS — the vector-space member of the
     * dedup family (beside t01 exact, t06 MinHash, t07 SimHash, t08
@@ -767,6 +801,7 @@ object TextOps {
     "t13_dedup_clusters"  -> (t13DedupClusters _),
     "t14_ann_ivf"         -> (t14AnnIvf _),
     "t15_cosine_near_dup" -> (t15CosineNearDup _),
+    "t16_token_bpe"       -> (t16TokenBpe _),
   )
 
   /** Every TextOps query is oracle-checked. The dedup/fingerprint family
@@ -791,5 +826,6 @@ object TextOps {
     "t13_dedup_clusters"  -> t13Sql,
     "t14_ann_ivf"         -> t14Sql,
     "t15_cosine_near_dup" -> t15Sql,
+    "t16_token_bpe"       -> t16Sql,
   )
 }
