@@ -11,12 +11,14 @@ import graft.etl.Warehouse
   * val wh    = Graft.warehouse(spark, "/data/cas")
   *
   * // ETL (reference etl_sync.py, set-at-a-time):
-  * graft.etl.CasEtl.sync(wh, rawJsonDf, "operativas")
+  * graft.etl.CasEtl.syncPaged(wh, fetchPage, "operativas")  // REST page driver
+  * graft.etl.CasEtl.sync(wh, rawJsonDf, "operativas")       // pre-fetched frame
   * graft.etl.CasEtl.periodTransition(wh)
   *
   * // Serving (reference app.py endpoints):
   * graft.queries.CasServing.rankingGrupos(wh, "operativas", periodoId = Some(3))
-  * graft.queries.CasServing.historico(wh, "seguridad")
+  * graft.queries.CasServing.historicoHeatmap(wh, "seguridad")
+  * graft.queries.CasServing.tableDump(wh, "sucursales")
   *
   * // Training-data ops over any corpus:
   * graft.queries.TextOps.t06MinhashPairs(spark, dataDir)
