@@ -44,9 +44,12 @@ object Bench {
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // stdout can be wrapped by the build tool's logger ([info] prefixes
     // broke the round-1 parse), so the line ALSO lands in a file the
-    // driver can read verbatim.
-    java.nio.file.Files.writeString(
+    // driver can read verbatim. Neither channel may kill the other: an
+    // unwritable file must not lose the stdout line.
+    try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_RESULT.json")), json + "\n")
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] could not write result file: ${e.getMessage}") }
     println(json)
     spark.stop()
   }

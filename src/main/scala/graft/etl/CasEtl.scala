@@ -34,9 +34,13 @@ object CasEtl {
     * only the checkpoint rule: the reference stamps NOW() even after a
     * partial fetch (etl_sync.py:384), which silently skips the unfetched
     * tail on the next run (their date_submitted predates the new
-    * checkpoint). Here a partial run advances the checkpoint only to the
-    * max date_submitted that actually landed, so the next run re-covers
-    * the tail — deliberate divergence, same spirit as the surrogate ids.
+    * checkpoint). Here a partial run does NOT advance the checkpoint at
+    * all: what landed is loaded (and the J8 anti-join makes the refetch
+    * overlap idempotent), and the next run re-fetches from the last
+    * COMPLETE sync — correct under any page-stream ordering and under
+    * timestamp ties at the failure boundary, neither of which a
+    * max-landed-date checkpoint could guarantee. Deliberate divergence,
+    * same spirit as the surrogate ids.
     */
   def sync(wh: Warehouse, rawJson: DataFrame, tipo: String,
            complete: Boolean = true): SyncResult = {
@@ -122,15 +126,11 @@ object CasEtl {
     val spark = wh.spark
     import spark.implicits._
     val now = current_timestamp()
-    val ckptTs: Option[org.apache.spark.sql.Column] =
-      if (complete) Some(now)
-      else Option(parsedInc.agg(max(try_to_timestamp(col("date_submitted"))))
-        .first().getTimestamp(0)).map(lit(_))
-    ckptTs.foreach { ts =>
+    if (complete) {
       wh.rewrite("sync_checkpoints",
         wh.checkpoints.filter(col("formulario") =!= s"supervisiones_$tipo")
           .unionByName(Seq(s"supervisiones_$tipo").toDF("formulario")
-            .withColumn("ultima_fecha", ts)))
+            .withColumn("ultima_fecha", now)))
     }
     val estado = if (complete) "success" else "partial"
     wh.append("sync_log",

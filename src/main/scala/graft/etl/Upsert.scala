@@ -16,8 +16,10 @@ import org.apache.spark.sql.functions._
   * SQL MERGE raises on duplicate source keys; a distributed engine can't
   * cheaply detect them up front, so instead the incoming side is reduced
   * to one row per key before joining: by the `prefer` ordering when given
-  * (first row per key under that ordering wins), else an arbitrary single
-  * row (`dropDuplicates`). Either way the target never fans out.
+  * (first row per key under that ordering wins), else by the full-row
+  * ordering over the remaining columns — deterministic either way, so
+  * re-running the same merge (or a task retry) always keeps the same
+  * survivor, and the target never fans out.
   *
   * Parquet has no point updates, so a merge is a rewrite of the target —
   * at 100 TB that is bounded by partitioning: merge partition-by-partition
@@ -26,12 +28,21 @@ import org.apache.spark.sql.functions._
   */
 object Upsert {
 
-  /** One row per key: first under `prefer` if given, else arbitrary. */
-  private def onePerKey(df: DataFrame, key: String, prefer: Seq[Column]): DataFrame =
-    if (prefer.isEmpty) df.dropDuplicates(key)
+  /** One row per key: first under `prefer` if given, else first under the
+    * full-row ordering (deterministic, unlike dropDuplicates).
+    */
+  private def onePerKey(df: DataFrame, key: String, prefer: Seq[Column]): DataFrame = {
+    val ordering =
+      if (prefer.nonEmpty) prefer
+      else df.schema.fields
+        .filter(f => f.name != key &&
+          org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(f.dataType))
+        .map(f => col(f.name).asc_nulls_last).toSeq
+    if (ordering.isEmpty) df.dropDuplicates(key) // nothing orderable: rows indistinguishable anyway
     else df.withColumn("__rn",
-        row_number().over(Window.partitionBy(key).orderBy(prefer: _*)))
+        row_number().over(Window.partitionBy(key).orderBy(ordering: _*)))
       .filter(col("__rn") === 1).drop("__rn")
+  }
 
   def merge(existing: DataFrame, incoming: DataFrame, key: String,
             prefer: Seq[Column] = Nil): DataFrame = {

@@ -112,10 +112,25 @@ case class Warehouse(spark: SparkSession, dir: String) {
     if (!fs.rename(tmp, ptr))
       throw new java.io.IOException(s"rewrite of $name failed to commit pointer")
 
-    // best-effort GC: superseded versions and any legacy flat directory
-    listVersions(name).foreach { case (v, p) => if (v < next) fs.delete(p, true) }
+    // best-effort GC keeps the immediately previous version (and any
+    // legacy flat directory): a DataFrame whose scan resolved BEFORE this
+    // rewrite may still be evaluated after it — deleting its files would
+    // fail that job mid-flight, the very hazard versioning removes.
+    // Anything older than one rewrite ago is fair game; `vacuum` reclaims
+    // the rest once no pre-rewrite readers can exist.
+    listVersions(name).foreach { case (v, p) => if (v < next - 1) fs.delete(p, true) }
+  }
+
+  /** Reclaim all superseded storage for `name` (older versions and the
+    * legacy flat directory). Call when no reader holds a plan resolved
+    * before the last rewrite — e.g. between runs.
+    */
+  def vacuum(name: String): Unit = {
+    val current = readPointer(name).map(_.getName)
+    listVersions(name).foreach { case (_, p) =>
+      if (!current.contains(p.getName)) fs.delete(p, true) }
     val flat = new Path(dir, name)
-    if (fs.exists(flat)) fs.delete(flat, true)
+    if (current.nonEmpty && fs.exists(flat)) fs.delete(flat, true)
   }
 
   /** Materialize a computed increment before appending it to tables its

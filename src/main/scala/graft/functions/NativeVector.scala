@@ -32,15 +32,32 @@ object NativeVector {
     override def dataType: DataType = DoubleType
     override def prettyName: String = "dot_product"
 
+    // NULL exactly where the HOF reference is NULL: zip_with pads a length
+    // mismatch with nulls and a null product nulls the whole aggregate, so
+    // mismatched lengths or any null element → NULL result
+    override def nullable: Boolean = true
+
+    private def elemNullable: Boolean = Seq(left, right).exists {
+      _.dataType match { case ArrayType(_, n) => n; case _ => false }
+    }
+
     // reads ArrayData in place (getDouble) rather than toDoubleArray():
     // the copy allocates ~0.5 KB per side per PAIR on the hot join path
     override def nullSafeEval(a: Any, b: Any): Any = {
       val xs = a.asInstanceOf[ArrayData]
       val ys = b.asInstanceOf[ArrayData]
-      val n = math.min(xs.numElements(), ys.numElements())
+      val n = xs.numElements()
+      if (n != ys.numElements()) return null
       var acc = 0.0
       var i = 0
-      while (i < n) { acc += xs.getDouble(i) * ys.getDouble(i); i += 1 }
+      if (elemNullable) {
+        while (i < n) {
+          if (xs.isNullAt(i) || ys.isNullAt(i)) return null
+          acc += xs.getDouble(i) * ys.getDouble(i); i += 1
+        }
+      } else {
+        while (i < n) { acc += xs.getDouble(i) * ys.getDouble(i); i += 1 }
+      }
       acc
     }
 
@@ -49,11 +66,22 @@ object NativeVector {
         val n = ctx.freshName("n")
         val i = ctx.freshName("i")
         val acc = ctx.freshName("acc")
+        val nullCheck =
+          if (elemNullable)
+            s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+          else ""
         s"""
-           |int $n = Math.min($a.numElements(), $b.numElements());
-           |double $acc = 0.0;
-           |for (int $i = 0; $i < $n; $i++) { $acc += $a.getDouble($i) * $b.getDouble($i); }
-           |${ev.value} = $acc;
+           |int $n = $a.numElements();
+           |if ($n != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  double $acc = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    $nullCheck
+           |    $acc += $a.getDouble($i) * $b.getDouble($i);
+           |  }
+           |  if (!${ev.isNull}) ${ev.value} = $acc;
+           |}
            |""".stripMargin
       })
 

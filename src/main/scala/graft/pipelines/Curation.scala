@@ -22,6 +22,17 @@ object Curation {
   case class Thresholds(minTokens: Int = 10, maxStopwordRatio: Double = 0.6,
                         nearDupJaccard: Double = 0.5)
 
+  // the signals frame each session currently has pinned: a per-batch
+  // driver calling curate() in a loop holds at most ONE cached frame
+  // (the previous batch's pin is released on the next call), and
+  // release() reclaims the last one. Materialize both outputs before the
+  // next curate()/release() — after that the cached plan recomputes.
+  private val pinned = scala.collection.concurrent.TrieMap.empty[SparkSession, DataFrame]
+
+  /** Unpersist the signals frame cached by the last [[curate]] call. */
+  def release(spark: SparkSession): Unit =
+    pinned.remove(spark).foreach(_.unpersist(false))
+
   /** One lineage, no intermediate actions: every row is tagged with the
     * stage that drops it (or 'kept'), the curated corpus is the 'kept'
     * slice, and the audit is a single aggregate over the tags. The signals
@@ -34,6 +45,7 @@ object Curation {
     */
   def curate(spark: SparkSession, docs: DataFrame,
              t: Thresholds = Thresholds()): (DataFrame, DataFrame) = {
+    release(spark) // previous batch's pin, if any
     // single scan: every per-doc signal at once
     val signals = docs
       .withColumn("toks", TF.tokens(col("text")))
@@ -45,6 +57,7 @@ object Curation {
       .withColumn("sh", NT.md5ShingleHashes(col("text"), 3))
       .drop("toks", "n_stop")
       .cache()
+    pinned.put(spark, signals)
 
     // stage 1: quality
     val qOk = col("n_tokens") >= t.minTokens && col("stop_ratio") <= t.maxStopwordRatio

@@ -161,7 +161,16 @@ object TextOps {
     * on band keys; only colliding docs are ever paired.
     */
   private val pairCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (Long, DataFrame)]
+
+  /** Cache-invalidation stamp: the corpus file's modification time. A
+    * rewritten corpus at the same dir must not serve pre-rewrite pairs.
+    */
+  private def docsModTime(s: SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    try p.getFileSystem(s.sessionState.newHadoopConf()).getFileStatus(p).getModificationTime
+    catch { case _: java.io.IOException => -1L }
+  }
 
   /** The LSH pipeline over an arbitrary (doc_id, text) frame — also the
     * spec hook for cap/skew behavior on synthetic corpora.
@@ -194,9 +203,17 @@ object TextOps {
       .filter(col("est_jaccard") >= MinJaccard)
   }
 
-  def minhashCandidatePairs(s: SparkSession, dir: String): DataFrame =
-    pairCache.getOrElseUpdate((s, dir),
-      minhashPairsOf(documents(s, dir)).persist())
+  def minhashCandidatePairs(s: SparkSession, dir: String): DataFrame = {
+    val mt = docsModTime(s, dir)
+    pairCache.get((s, dir)) match {
+      case Some((`mt`, df)) => df
+      case stale =>
+        stale.foreach { case (_, old) => old.unpersist(false) }
+        val fresh = minhashPairsOf(documents(s, dir)).persist()
+        pairCache.put((s, dir), (mt, fresh))
+        fresh
+    }
+  }
 
   // -------------------------------------------- shared oracle SQL pieces
   // The whole dedup family is replayed in DuckDB: md5-60bit base hash,
@@ -631,7 +648,11 @@ object TextOps {
       .select(col("doc_id"),
         size(col("toks")).as("n_tokens_ws"),
         size(col("bpe")).as("n_tokens_bpe"),
-        round(size(col("bpe")).cast("double") / size(col("toks")), 4).as("fertility"))
+        // empty/whitespace-only doc: ws count 0 but '\s+' still matches →
+        // guard the divide (NULL both engines, not Infinity vs error)
+        when(size(col("toks")) === 0, lit(null).cast("double"))
+          .otherwise(round(size(col("bpe")).cast("double") / size(col("toks")), 4))
+          .as("fertility"))
       .orderBy(col("doc_id"))
 
   val t16Sql: String =
@@ -643,7 +664,7 @@ object TextOps {
        |SELECT doc_id,
        |  CAST(len(toks) AS INT) AS n_tokens_ws,
        |  CAST(len(bpe) AS INT) AS n_tokens_bpe,
-       |  round(len(bpe) * 1.0 / len(toks), 4) AS fertility
+       |  round(len(bpe) * 1.0 / NULLIF(len(toks), 0), 4) AS fertility
        |FROM t ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- t15

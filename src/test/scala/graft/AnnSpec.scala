@@ -83,6 +83,25 @@ class AnnSpec extends SparkTestBase {
     assert(pairsDf.count() > 0)
   }
 
+  test("native dot matches HOF on null elements and length mismatches") {
+    import graft.functions.{VectorOps => V}
+    import spark.implicits._
+    val df = Seq(
+      (1, Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0, 4.0)),
+      (2, Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](3.0, 4.0)),
+      (3, Seq[java.lang.Double](1.0), Seq[java.lang.Double](3.0, 4.0)))
+      .toDF("id", "a", "b")
+      .select(col("id"), V.dot(col("a"), col("b")).as("native"),
+        V.dotHof(col("a"), col("b")).as("hof"))
+      .orderBy("id").collect()
+    df.foreach { r =>
+      assert(r.isNullAt(1) === r.isNullAt(2), s"row ${r.getInt(0)} null mismatch")
+      if (!r.isNullAt(1)) assert(r.getDouble(1) === r.getDouble(2))
+    }
+    assert(df(0).getDouble(1) === 11.0)
+    assert(df(1).isNullAt(1) && df(2).isNullAt(1)) // null element; length mismatch
+  }
+
   test("t15 cosine near-dup: pair recall >= 0.9 vs exact all-pairs, no dup pairs") {
     import graft.functions.{VectorOps => V}
     val e = graft.core.Tables.embeddings(spark, sf())

@@ -129,30 +129,31 @@ class PagedFetchSpec extends SparkTestBase {
     val res1 = CasEtl.syncPaged(wh, api1.fetch, "operativas", pageSize = 2)
     assert(res1.nuevos === 2)
     assert(wh.supervisiones("operativas").count() === 2)
-    // partial checkpoint = max landed date (2026-01-11), NOT wall-clock now
-    val ckpt = wh.checkpoints
-      .filter(col("formulario") === "supervisiones_operativas")
-      .select("ultima_fecha").first().getTimestamp(0)
-    assert(ckpt === java.sql.Timestamp.valueOf("2026-01-11 10:00:00"))
+    // a partial run never advances the checkpoint: the unfetched tail must
+    // stay reachable under ANY page-stream ordering (a max-landed-date
+    // checkpoint would drop same-timestamp boundary rows, or the whole
+    // older tail on a newest-first stream)
+    assert(wh.checkpoints
+      .filter(col("formulario") === "supervisiones_operativas").count() === 0)
     val estado = wh.syncLog
       .orderBy(col("inicio").desc).select("estado").first().getString(0)
     assert(estado === "partial")
 
-    // run 2: healthy transport -> s3, s4 arrive (s1/s2 cut by checkpoint,
-    // and the s2 page-overlap duplicate by the checkpoint too)
+    // run 2: healthy transport -> the full stream replays; s1/s2 dedup via
+    // the J8 anti-join, s3/s4 land, the in-batch dup s2 collapses
     val api2 = new FakeApi(stream, pageSize = 2)
     val res2 = CasEtl.syncPaged(wh, api2.fetch, "operativas", pageSize = 2)
     assert(res2.nuevos === 2)
     assert(wh.supervisiones("operativas").count() === 4)
   }
 
-  test("e2e: partial fetch with zero rows leaves the checkpoint untouched") {
+  test("e2e: partial fetch never moves an existing checkpoint") {
     val wh = freshWarehouse()
     CasEtl.syncPaged(wh, new FakeApi(stream, 2).fetch, "operativas", pageSize = 2)
     val before = wh.checkpoints
       .filter(col("formulario") === "supervisiones_operativas")
       .select("ultima_fecha").first().getTimestamp(0)
-    // transport dead from the first page: nothing lands
+    // transport dies mid-stream on a later run: checkpoint stays put
     val res = CasEtl.syncPaged(wh,
       new FakeApi(stream, 2, failAt = Seq(0)).fetch, "operativas", pageSize = 2)
     assert(res.nuevos === 0)

@@ -24,15 +24,30 @@ class WarehouseSpec extends SparkTestBase {
   private def names(wh: Warehouse, n: String = "t"): Set[String] =
     wh.read(n, schema).collect().map(_.getString(1)).toSet
 
-  test("rewrite supersedes and GCs the previous version") {
+  test("rewrite supersedes; GC keeps exactly current + previous; vacuum reclaims") {
     val wh = fresh()
-    wh.rewrite("t", Seq((1L, "old")).toDF("id", "name"))
-    wh.rewrite("t", Seq((1L, "new")).toDF("id", "name"))
-    assert(names(wh) === Set("new"))
-    // only one version directory survives
+    wh.rewrite("t", Seq((1L, "v1")).toDF("id", "name"))
+    wh.rewrite("t", Seq((1L, "v2")).toDF("id", "name"))
+    wh.rewrite("t", Seq((1L, "v3")).toDF("id", "name"))
+    assert(names(wh) === Set("v3"))
+    // previous version survives (a reader resolved pre-rewrite may still
+    // be running); older ones are GC'd
     val fs = new Path(wh.dir).getFileSystem(spark.sessionState.newHadoopConf())
-    val versions = fs.globStatus(new Path(wh.dir, "t.__v*"))
-    assert(versions.length === 1)
+    assert(fs.globStatus(new Path(wh.dir, "t.__v*")).length === 2)
+    wh.vacuum("t")
+    assert(fs.globStatus(new Path(wh.dir, "t.__v*")).length === 1)
+    assert(names(wh) === Set("v3"))
+  }
+
+  test("a reader resolved before a rewrite still completes after it") {
+    val wh = fresh()
+    wh.rewrite("t", Seq((1L, "before")).toDF("id", "name"))
+    val pre = wh.read("t", schema) // plan resolves the current version NOW
+    wh.rewrite("t", Seq((1L, "after")).toDF("id", "name"))
+    // evaluation happens post-rewrite; the pre-rewrite version must still
+    // be on disk for this job to succeed
+    assert(pre.collect().map(_.getString(1)).toSet === Set("before"))
+    assert(names(wh) === Set("after"))
   }
 
   test("a stray uncommitted version (crash before pointer flip) is invisible") {
@@ -74,10 +89,13 @@ class WarehouseSpec extends SparkTestBase {
     wh.rewrite("t", wh.read("t", schema).withColumn("name",
       org.apache.spark.sql.functions.upper($"name")))
     assert(names(wh) === Set("A", "B"))
-    // the flat legacy dir is gone; appends land in the current version
+    // the flat legacy dir stays until vacuum (pre-rewrite readers may
+    // still scan it) but is no longer what reads/appends resolve to
+    wh.append("t", Seq((3L, "c")).toDF("id", "name"))
+    assert(names(wh) === Set("A", "B", "c"))
+    wh.vacuum("t")
     val fs = new Path(wh.dir).getFileSystem(spark.sessionState.newHadoopConf())
     assert(!fs.exists(new Path(wh.dir, "t")))
-    wh.append("t", Seq((3L, "c")).toDF("id", "name"))
     assert(names(wh) === Set("A", "B", "c"))
   }
 
