@@ -188,6 +188,23 @@ object CasEtl {
     nFixed
   }
 
+  /** Admin: make `periodoId` the single active period (app.py:165-183 —
+    * deactivate all, activate the selected one, as one rewrite).
+    */
+  def setPeriodoActivo(wh: Warehouse, periodoId: Int): Unit =
+    wh.rewrite("periodos_cas",
+      wh.periodos.withColumn("activo", col("id") === periodoId))
+
+  /** Admin: update one period's date range (app.py:185-209). */
+  def updatePeriodoFechas(wh: Warehouse, periodoId: Int,
+                          fechaInicio: java.sql.Date, fechaFin: java.sql.Date): Unit =
+    wh.rewrite("periodos_cas",
+      wh.periodos
+        .withColumn("fecha_inicio",
+          when(col("id") === periodoId, lit(fechaInicio)).otherwise(col("fecha_inicio")))
+        .withColumn("fecha_fin",
+          when(col("id") === periodoId, lit(fechaFin)).otherwise(col("fecha_fin"))))
+
   /** T8 — period transition state machine (etl_sync.py:504-566): when the
     * active period has supervised every active sucursal, deactivate it and
     * activate the next period by fecha_inicio. Driver-side control flow

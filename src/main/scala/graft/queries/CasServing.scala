@@ -272,6 +272,39 @@ object CasServing {
       .limit(1)
   }
 
+  /** /api/periodos (app.py:307-325): the 10 most recent periods, every
+    * column (runtime schema, newest first).
+    */
+  def periodosList(wh: Warehouse): DataFrame =
+    wh.periodos.orderBy(col("id").desc).limit(10)
+
+  /** /api/supervision/<id>/areas/<tipo> (app.py:966-1060): one specific
+    * supervision's header (with its period name) and per-area/KPI
+    * breakdown in catalog order — the drill-down when a trend bar is
+    * clicked, vs [[detalleSucursal]] which always shows the latest.
+    */
+  def supervisionAreas(wh: Warehouse, tipo: String, supervisionId: Long): DataFrame = {
+    val sup = wh.supervisiones(tipo)
+      .filter(col("id") === supervisionId)
+      .join(broadcast(wh.periodos.select(col("id").as("p_id"),
+        col("nombre").as("periodo_nombre"))),
+        col("periodo_id") === col("p_id"), "left")
+      .select(col("id"), col("calificacion_general"), col("fecha_supervision"),
+        col("supervisor"), col("periodo_nombre"))
+    val cat = broadcast(wh.catalogo(tipo)
+      .select(col("id").as("area_id"), col("nombre").as("area"), col("numero")))
+    sup.join(wh.detalle(tipo), sup("id") === col("supervision_id"))
+      .join(cat, Seq("area_id"))
+      .select(col("id").as("supervision_id"),
+        round(col("calificacion_general"), 2).as("calificacion"),
+        date_format(col("fecha_supervision"), "dd/MM/yyyy").as("fecha"),
+        col("supervisor"), col("periodo_nombre"),
+        col("area"), col("numero"),
+        round(col("porcentaje"), 2).as("porcentaje"),
+        severity100(col("porcentaje")).as("color"))
+      .orderBy(col("numero"))
+  }
+
   /** The admin table-dump allowlist (app.py:1310-1313). */
   val DumpableTables: Seq[String] = Seq(
     "periodos_cas", "grupos_operativos", "sucursales",

@@ -133,6 +133,49 @@ class CasServingSpec extends SparkTestBase {
     assert(t.toSeq === Seq((2.0, 5.0), (88.0, 88.0)))
   }
 
+  test("periodosList: newest first, capped at 10") {
+    val p = CasServing.periodosList(wh).collect()
+    assert(p.map(_.getAs[Int]("id")).toSeq === Seq(2, 1))
+    assert(p.head.schema.fieldNames.contains("fecha_inicio")) // every column
+  }
+
+  test("supervisionAreas: specific supervision's breakdown with periodo name") {
+    val w2 = Warehouse(spark, Files.createTempDirectory("graft_supareas_").toString)
+    w2.rewrite("periodos_cas", wh.periodos)
+    w2.rewrite("supervisiones_operativas", wh.supervisiones("operativas"))
+    w2.rewrite("catalogo_areas", spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1, "A_SERV", "SERVICIO", 2), Row(2, "A_QUESO", "QUESO", 1))),
+      CasSchema.catalogo))
+    w2.rewrite("supervision_areas", spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, 1, 91.0), Row(1L, 2, 62.0), Row(4L, 1, 70.0))),
+      CasSchema.detalle))
+    // supervision 1 (NOT the branch's latest — that's z4): its own rows only
+    val d = CasServing.supervisionAreas(w2, "operativas", supervisionId = 1L).collect()
+    assert(d.map(_.getAs[String]("area")).toSeq === Seq("QUESO", "SERVICIO")) // numero order
+    assert(d.map(_.getAs[Double]("porcentaje")).toSeq === Seq(62.0, 91.0))
+    assert(d.forall(_.getAs[String]("periodo_nombre") === "Enero"))
+    assert(d.forall(_.getAs[String]("fecha") === "10/01/2026"))
+    assert(d.head.getAs[String]("color") === "critico") // 62 < 70
+    // unknown id -> empty, the endpoint's 404 analog
+    assert(CasServing.supervisionAreas(w2, "operativas", 999L).isEmpty)
+  }
+
+  test("setPeriodoActivo and updatePeriodoFechas rewrite the control table") {
+    val w2 = Warehouse(spark, Files.createTempDirectory("graft_adminp_").toString)
+    w2.rewrite("periodos_cas", wh.periodos)
+    graft.etl.CasEtl.setPeriodoActivo(w2, 2)
+    val activos = w2.periodos.filter(col("activo")).collect()
+    assert(activos.map(_.getAs[Int]("id")).toSeq === Seq(2)) // all others off
+    graft.etl.CasEtl.updatePeriodoFechas(w2, 2,
+      java.sql.Date.valueOf("2026-02-02"), java.sql.Date.valueOf("2026-02-27"))
+    val p2 = w2.periodos.filter(col("id") === 2).collect().head
+    assert(p2.getAs[java.sql.Date]("fecha_inicio").toString === "2026-02-02")
+    val p1 = w2.periodos.filter(col("id") === 1).collect().head
+    assert(p1.getAs[java.sql.Date]("fecha_inicio").toString === "2026-01-01") // untouched
+  }
+
   test("alertas: HAVING thresholds + severity labels") {
     val a = CasServing.alertas(wh, "operativas", Some(1)).collect()
     assert(a.length === 1)
