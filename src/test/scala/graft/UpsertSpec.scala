@@ -61,6 +61,20 @@ class UpsertSpec extends SparkTestBase {
     assert(got.filter(col("id") === 1L).collect().head.getDouble(1) === 88.0)
   }
 
+  test("no-prefer dedup picks the same winner under any partitioning/order") {
+    val rows = Seq((5L, "x", 1.0), (5L, "y", 2.0), (5L, "a", 3.0), (6L, "q", 9.0))
+    val variants = Seq(
+      rows.toDF("id", "name", "v").repartition(1),
+      rows.reverse.toDF("id", "name", "v").repartition(7),
+      scala.util.Random.shuffle(rows).toDF("id", "name", "v").repartition(3, col("v")))
+    val winners = variants.map { df =>
+      Upsert.merge(existing.limit(0), df, "id")
+        .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    }
+    assert(winners.distinct.size === 1) // full-row ordering: "a" wins for id=5
+    assert(winners.head === Seq((5L, "a"), (6L, "q")))
+  }
+
   test("merge rejects mismatched schemas") {
     val bad = Seq((9L, "x")).toDF("id", "name")
     intercept[IllegalArgumentException] { Upsert.merge(existing, bad, "id") }
