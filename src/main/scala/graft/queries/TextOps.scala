@@ -667,6 +667,40 @@ object TextOps {
        |  round(len(bpe) * 1.0 / NULLIF(len(toks), 0), 4) AS fertility
        |FROM t ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t17
+  /** Deterministic train/val/test split — the reproducible way to split a
+    * training corpus at scale: bucket = md5(doc_id) mod 100, split by
+    * fixed bucket ranges (90/5/5). No randomness, no sampling pass, no
+    * state: the assignment is a pure per-row expression, stable under
+    * re-runs, re-partitioning, and corpus growth (a doc's split never
+    * changes when others are added — the property random splits lose).
+    * Same md5-60bit bigint trick as the dedup family, so DuckDB replays
+    * the exact assignment.
+    */
+  def t17TrainSplit(s: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("bigint"),
+      lit(100L))
+    documents(s, dir)
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val")
+          .otherwise("test"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t17Sql: String =
+    """WITH b AS (
+      |  SELECT doc_id, lang,
+      |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+      |  FROM documents)
+      |SELECT doc_id, lang, bucket,
+      |  CASE WHEN bucket < 90 THEN 'train'
+      |       WHEN bucket < 95 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM b ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- t15
   /** Embedding-cosine NEAR-DUP PAIRS — the vector-space member of the
     * dedup family (beside t01 exact, t06 MinHash, t07 SimHash, t08
@@ -823,6 +857,7 @@ object TextOps {
     "t14_ann_ivf"         -> (t14AnnIvf _),
     "t15_cosine_near_dup" -> (t15CosineNearDup _),
     "t16_token_bpe"       -> (t16TokenBpe _),
+    "t17_train_split"     -> (t17TrainSplit _),
   )
 
   /** Every TextOps query is oracle-checked. The dedup/fingerprint family
@@ -848,5 +883,6 @@ object TextOps {
     "t14_ann_ivf"         -> t14Sql,
     "t15_cosine_near_dup" -> t15Sql,
     "t16_token_bpe"       -> t16Sql,
+    "t17_train_split"     -> t17Sql,
   )
 }

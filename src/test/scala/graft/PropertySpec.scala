@@ -65,6 +65,22 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("train split assignment is stable under corpus growth") {
+    import graft.queries.TextOps
+    // every doc keeps its split when the corpus around it changes — the
+    // property a random split loses and the reason the bucket is a pure
+    // per-row hash
+    val full = TextOps.t17TrainSplit(spark, sf()).select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val half = TextOps.t17TrainSplit(spark, sf())
+      .filter(col("doc_id") % 2 === 0).select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(half.nonEmpty)
+    half.foreach { case (id, s) => assert(full(id) === s) }
+    // and the 90/5/5 ranges are all inhabited at corpus size
+    assert(full.values.toSet === Set("train", "val", "test"))
+  }
+
   test("identical token streams always produce identical minhash signatures") {
     import graft.functions.{TextFunctions => TF}
     val gen: Gen[List[String]] = Gen.listOfN(12, Gen.oneOf(
