@@ -48,7 +48,7 @@ object Bench {
     // unwritable file must not lose the stdout line.
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_RESULT.json")), json + "\n")
-    catch { case e: java.io.IOException =>
+    catch { case scala.util.control.NonFatal(e) => // incl. InvalidPathException
       System.err.println(s"[bench] could not write result file: ${e.getMessage}") }
     println(json)
     spark.stop()

@@ -17,9 +17,11 @@ import org.apache.spark.sql.functions._
   * cheaply detect them up front, so instead the incoming side is reduced
   * to one row per key before joining: by the `prefer` ordering when given
   * (first row per key under that ordering wins), else by the full-row
-  * ordering over the remaining columns — deterministic either way, so
-  * re-running the same merge (or a task retry) always keeps the same
-  * survivor, and the target never fans out.
+  * ordering over the remaining ORDERABLE columns — deterministic whenever
+  * duplicate rows are distinguishable by those columns (rows differing
+  * only in non-orderable columns like maps tie arbitrarily; pass `prefer`
+  * to pin those), so re-running the same merge or retrying a task keeps
+  * the same survivor, and the target never fans out.
   *
   * Parquet has no point updates, so a merge is a rewrite of the target —
   * at 100 TB that is bounded by partitioning: merge partition-by-partition

@@ -97,6 +97,9 @@ case class Warehouse(spark: SparkSession, dir: String) {
     * overwrites what it is still reading.
     */
   def rewrite(name: String, df: DataFrame): Unit = {
+    // what readers resolved BEFORE this rewrite (pointer, crash-recovered
+    // version, or the legacy flat dir) — the one directory GC must keep
+    val prevLive = resolve(name)
     val next = listVersions(name).lastOption.map(_._1).getOrElse(0L) + 1
     val vname = versionName(name, next)
     df.write.mode("overwrite").parquet(path(vname))
@@ -112,25 +115,30 @@ case class Warehouse(spark: SparkSession, dir: String) {
     if (!fs.rename(tmp, ptr))
       throw new java.io.IOException(s"rewrite of $name failed to commit pointer")
 
-    // best-effort GC keeps the immediately previous version (and any
-    // legacy flat directory): a DataFrame whose scan resolved BEFORE this
-    // rewrite may still be evaluated after it — deleting its files would
-    // fail that job mid-flight, the very hazard versioning removes.
-    // Anything older than one rewrite ago is fair game; `vacuum` reclaims
-    // the rest once no pre-rewrite readers can exist.
-    listVersions(name).foreach { case (v, p) => if (v < next - 1) fs.delete(p, true) }
+    // best-effort GC keeps what pre-rewrite readers resolved (prevLive, by
+    // identity — NOT by version number, which a stray uncommitted dir from
+    // a crashed write would shift) plus the new version: a DataFrame whose
+    // scan resolved BEFORE this rewrite may still be evaluated after it —
+    // deleting its files would fail that job mid-flight, the very hazard
+    // versioning removes. Everything else (strays included) is fair game;
+    // `vacuum` reclaims prevLive once no pre-rewrite readers can exist.
+    val keep = Set(vname, prevLive.getName)
+    listVersions(name).foreach { case (_, p) =>
+      if (!keep.contains(p.getName)) fs.delete(p, true) }
   }
 
   /** Reclaim all superseded storage for `name` (older versions and the
     * legacy flat directory). Call when no reader holds a plan resolved
-    * before the last rewrite — e.g. between runs.
+    * before the last rewrite — e.g. between runs. Keeps whatever
+    * [[resolve]] currently returns — in the crash window with no pointer,
+    * that is the newest complete version, never nothing.
     */
   def vacuum(name: String): Unit = {
-    val current = readPointer(name).map(_.getName)
+    val live = resolve(name).getName
     listVersions(name).foreach { case (_, p) =>
-      if (!current.contains(p.getName)) fs.delete(p, true) }
+      if (p.getName != live) fs.delete(p, true) }
     val flat = new Path(dir, name)
-    if (current.nonEmpty && fs.exists(flat)) fs.delete(flat, true)
+    if (live != name && fs.exists(flat)) fs.delete(flat, true)
   }
 
   /** Materialize a computed increment before appending it to tables its

@@ -14,10 +14,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * ~3.5M candidate pairs at sf0.1 vs ~2 s with this expression. Same trap
   * and same fix as the text-hash family (NativeHashes.scala).
   *
-  * Semantics match the HOF path and the DuckDB oracle formulation
-  * (`list_sum(list_transform(list_zip(a, b), p -> p[1] * p[2]))`): a
-  * sequential left-to-right fold of pairwise products in Double, so
-  * results stay bit-identical across all three formulations.
+  * Semantics match the Spark HOF path exactly (including NULL on length
+  * mismatch or null elements — see DotProduct). For the values the oracle
+  * corpora contain — fixed-dimension, non-null vectors — the DuckDB
+  * formulation (`list_sum(list_transform(list_zip(a, b), p -> p[1] *
+  * p[2]))`) folds the same per-element sequence left-to-right in Double,
+  * so results are bit-identical there; on ragged/null input DuckDB's
+  * list_sum skips NULLs instead, which is why such vectors must not reach
+  * an oracle-checked query.
   */
 object NativeVector {
 

@@ -29,9 +29,16 @@ object Curation {
   // next curate()/release() — after that the cached plan recomputes.
   private val pinned = scala.collection.concurrent.TrieMap.empty[SparkSession, DataFrame]
 
-  /** Unpersist the signals frame cached by the last [[curate]] call. */
-  def release(spark: SparkSession): Unit =
+  /** Unpersist the signals frame cached by the last [[curate]] call.
+    * Also sweeps entries for stopped sessions so per-job-session drivers
+    * that never call release don't accumulate dead references. curate()
+    * is not thread-safe per session (a concurrent call releases the
+    * other's cache); serialize batches per session.
+    */
+  def release(spark: SparkSession): Unit = {
     pinned.remove(spark).foreach(_.unpersist(false))
+    pinned.keys.filter(_.sparkContext.isStopped).foreach(pinned.remove)
+  }
 
   /** One lineage, no intermediate actions: every row is tagged with the
     * stage that drops it (or 'kept'), the curated corpus is the 'kept'

@@ -111,19 +111,28 @@ object IvfModel {
 
   private def marker = java.nio.file.Paths.get(CentroidPath, "_corpus")
 
-  /** Fit-and-persist once per corpus dir. The persisted table carries a
-    * `_corpus` marker naming the dir it was trained on, so alternating
-    * corpora — in this JVM or a previous one — always refit instead of
-    * silently probing another corpus's centroids. (Two JVMs fitting
-    * DIFFERENT corpora concurrently still race on the shared path; the
-    * driver protocol runs Verify and Bench sequentially, and a
-    * per-deployment path is the production answer.) Index construction,
-    * not query work: Bench warms this outside the timed region, the way
-    * any vector store builds its index before serving.
+  /** Fit-and-persist once per corpus. The persisted table carries a
+    * `_corpus` marker stamping the dir AND the embeddings file's
+    * modification time it was trained on, so alternating corpora — or the
+    * same dir regenerated with new content, in this JVM or a previous
+    * one — always refit instead of silently probing another corpus's
+    * centroids. (Two JVMs fitting DIFFERENT corpora concurrently still
+    * race on the shared path; the driver protocol runs Verify and Bench
+    * sequentially, and a per-deployment path is the production answer.)
+    * Index construction, not query work: Bench warms this outside the
+    * timed region, the way any vector store builds its index before
+    * serving.
     */
   def ensure(s: SparkSession, dir: String): Unit = synchronized {
+    val stamp = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+      val mt = try p.getFileSystem(s.sessionState.newHadoopConf())
+        .getFileStatus(p).getModificationTime
+      catch { case _: java.io.IOException => -1L }
+      s"$dir\n$mt"
+    }
     val persisted =
-      try java.nio.file.Files.readString(marker).trim == dir
+      try java.nio.file.Files.readString(marker).trim == stamp
       catch { case _: java.io.IOException => false }
     if (!persisted) {
       import org.apache.spark.ml.clustering.KMeans
@@ -136,7 +145,7 @@ object IvfModel {
         .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
       s.createDataFrame(cents).toDF("cid", "cvec")
         .coalesce(1).write.mode("overwrite").parquet(CentroidPath)
-      java.nio.file.Files.writeString(marker, dir)
+      java.nio.file.Files.writeString(marker, stamp)
     }
   }
 

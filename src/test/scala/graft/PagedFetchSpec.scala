@@ -95,9 +95,9 @@ class PagedFetchSpec extends SparkTestBase {
     wh
   }
 
-  private def sub(id: String, day: Int, score: Double): String =
+  private def sub(id: String, day: Int, score: Double, year: Int = 2026): String =
     s"""{"id": "$id",
-       | "smetadata": {"date_submitted": "2026-01-${f"$day%02d"}T10:00:00",
+       | "smetadata": {"date_submitted": "$year-01-${f"$day%02d"}T10:00:00",
        |   "lat": 25.1, "lon": -100.1,
        |   "location": {"id": 101, "name": "loc101"},
        |   "created_by": {"display_name": "Ana"}},
@@ -147,19 +147,33 @@ class PagedFetchSpec extends SparkTestBase {
     assert(wh.supervisiones("operativas").count() === 4)
   }
 
-  test("e2e: partial fetch never moves an existing checkpoint") {
+  test("e2e: partial fetch never moves an existing checkpoint — rows landed or not") {
     val wh = freshWarehouse()
     CasEtl.syncPaged(wh, new FakeApi(stream, 2).fetch, "operativas", pageSize = 2)
-    val before = wh.checkpoints
+    def ckpt() = wh.checkpoints
       .filter(col("formulario") === "supervisiones_operativas")
       .select("ultima_fecha").first().getTimestamp(0)
-    // transport dies mid-stream on a later run: checkpoint stays put
+    val before = ckpt()
+
+    // dead from the first page: nothing lands, checkpoint stays put
     val res = CasEtl.syncPaged(wh,
       new FakeApi(stream, 2, failAt = Seq(0)).fetch, "operativas", pageSize = 2)
     assert(res.nuevos === 0)
-    val after = wh.checkpoints
-      .filter(col("formulario") === "supervisiones_operativas")
-      .select("ultima_fecha").first().getTimestamp(0)
-    assert(after === before)
+    assert(ckpt() === before)
+
+    // NEW (post-checkpoint, 2027) rows land before the stream dies: they
+    // load, but the checkpoint still must not advance — the unfetched n3
+    // must survive for the next run
+    val stream27 = Seq(sub("n1", 10, 91.0, year = 2027), sub("n2", 11, 81.0, year = 2027),
+      sub("n3", 12, 71.0, year = 2027))
+    val res2 = CasEtl.syncPaged(wh,
+      new FakeApi(stream27, pageSize = 2, failAt = Seq(2)).fetch, "operativas", pageSize = 2)
+    assert(res2.nuevos === 2) // n1, n2 landed
+    assert(ckpt() === before) // landed rows did NOT move the checkpoint
+    // healthy retry recovers the tail; overlap dedups
+    val res3 = CasEtl.syncPaged(wh,
+      new FakeApi(stream27, pageSize = 2).fetch, "operativas", pageSize = 2)
+    assert(res3.nuevos === 1) // only n3
+    assert(wh.supervisiones("operativas").count() === 7) // 4 + n1 + n2 + n3
   }
 }

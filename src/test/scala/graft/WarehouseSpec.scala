@@ -81,6 +81,32 @@ class WarehouseSpec extends SparkTestBase {
     assert(names(wh) === Set("good"))
   }
 
+  test("vacuum with a missing pointer keeps the newest complete version") {
+    val wh = fresh()
+    wh.rewrite("t", Seq((1L, "v1")).toDF("id", "name"))
+    wh.rewrite("t", Seq((1L, "v2")).toDF("id", "name"))
+    val fs = new Path(wh.dir).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(wh.dir, "t.__current"), false) // crash mid-commit
+    wh.vacuum("t")
+    // the recovered live version must survive the vacuum, not be swept
+    assert(names(wh) === Set("v2"))
+    assert(fs.globStatus(new Path(wh.dir, "t.__v*")).length === 1)
+  }
+
+  test("GC keeps the live previous version by identity, not version number") {
+    val wh = fresh()
+    wh.rewrite("t", Seq((1L, "live-prev")).toDF("id", "name")) // v1, pointer -> v1
+    // stray: a later rewrite crashed after writing v2, before the flip
+    Seq((1L, "stray")).toDF("id", "name").write.parquet(s"${wh.dir}/t.__v000002")
+    val pre = wh.read("t", schema) // resolves pointer -> v1
+    wh.rewrite("t", Seq((1L, "new")).toDF("id", "name")) // v3; GC must keep v1, drop v2
+    assert(pre.collect().map(_.getString(1)).toSet === Set("live-prev"))
+    val fs = new Path(wh.dir).getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new Path(wh.dir, "t.__v000002"))) // stray swept
+    assert(fs.exists(new Path(wh.dir, "t.__v000001")))  // live previous kept
+    assert(names(wh) === Set("new"))
+  }
+
   test("append → rewrite → append stays one consistent table (backfill shape)") {
     val wh = fresh()
     wh.append("t", Seq((1L, "a")).toDF("id", "name"))
