@@ -667,6 +667,51 @@ object TextOps {
        |  round(len(bpe) * 1.0 / NULLIF(len(toks), 0), 4) AS fertility
        |FROM t ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t18
+  /** Document chunking — fixed-size token windows with stride overlap
+    * (the pretraining / retrieval-context chunker): window [[ChunkSize]],
+    * stride [[ChunkStride]], so consecutive chunks share
+    * ChunkSize − ChunkStride tokens. One `sequence` + `explode` per doc —
+    * a narrow map-side expansion, no shuffle until the final sort; at
+    * 100 TB chunk rows write straight back out partitioned by whatever
+    * the corpus is partitioned by. Chunks are reported as (token count,
+    * md5 of the space-joined window) so the oracle verifies CONTENT, not
+    * just shape, without materializing chunk text in the result.
+    */
+  val ChunkSize = 64
+  val ChunkStride = 48
+
+  def t18Chunks(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - 1, lit(ChunkStride))).as("start"))
+      .select(col("doc_id"),
+        (col("start") / ChunkStride).cast("int").as("chunk_idx"),
+        slice(col("toks"), col("start") + 1, lit(ChunkSize)).as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).as("chunk_tokens"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  val t18Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |st AS (
+       |  SELECT doc_id, toks, unnest(range(0, len(toks), $ChunkStride)) AS start
+       |  FROM t WHERE len(toks) > 0),
+       |ch AS (
+       |  SELECT doc_id, CAST(start / $ChunkStride AS INT) AS chunk_idx,
+       |    list_slice(toks, start + 1, start + $ChunkSize) AS chunk
+       |  FROM st)
+       |SELECT doc_id, chunk_idx,
+       |  CAST(len(chunk) AS INT) AS chunk_tokens,
+       |  md5(array_to_string(chunk, ' ')) AS chunk_hash
+       |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
+
   // ---------------------------------------------------------------- t17
   /** Deterministic train/val/test split — the reproducible way to split a
     * training corpus at scale: bucket = md5(doc_id) mod 100, split by
@@ -858,6 +903,7 @@ object TextOps {
     "t15_cosine_near_dup" -> (t15CosineNearDup _),
     "t16_token_bpe"       -> (t16TokenBpe _),
     "t17_train_split"     -> (t17TrainSplit _),
+    "t18_chunks"          -> (t18Chunks _),
   )
 
   /** Every TextOps query is oracle-checked. The dedup/fingerprint family
@@ -884,5 +930,6 @@ object TextOps {
     "t15_cosine_near_dup" -> t15Sql,
     "t16_token_bpe"       -> t16Sql,
     "t17_train_split"     -> t17Sql,
+    "t18_chunks"          -> t18Sql,
   )
 }
