@@ -712,6 +712,41 @@ object TextOps {
        |  md5(array_to_string(chunk, ' ')) AS chunk_hash
        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
 
+  // ---------------------------------------------------------------- t19
+  /** Repeated-passage (boilerplate / contamination) detection: chunk the
+    * corpus (t18's windows) and find chunk hashes occurring in more than
+    * one document — the scalable primitive behind boilerplate stripping
+    * and benchmark-contamination checks (hash the probe set's chunks the
+    * same way and semi-join). Shuffle is on the 128-bit chunk hash —
+    * uniform by construction, like t01.
+    */
+  def t19Boilerplate(s: SparkSession, dir: String): DataFrame =
+    t18Chunks(s, dir)
+      .groupBy(col("chunk_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("chunk_hash"))
+
+  val t19Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |st AS (
+       |  SELECT doc_id, toks, unnest(range(0, len(toks), $ChunkStride)) AS start
+       |  FROM t WHERE len(toks) > 0),
+       |ch AS (
+       |  SELECT doc_id,
+       |    md5(array_to_string(list_slice(toks, start + 1, start + $ChunkSize), ' ')) AS chunk_hash
+       |  FROM st)
+       |SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM ch GROUP BY chunk_hash HAVING count(DISTINCT doc_id) > 1
+       |ORDER BY chunk_hash""".stripMargin
+
   // ---------------------------------------------------------------- t17
   /** Deterministic train/val/test split — the reproducible way to split a
     * training corpus at scale: bucket = md5(doc_id) mod 100, split by
@@ -904,6 +939,7 @@ object TextOps {
     "t16_token_bpe"       -> (t16TokenBpe _),
     "t17_train_split"     -> (t17TrainSplit _),
     "t18_chunks"          -> (t18Chunks _),
+    "t19_boilerplate"     -> (t19Boilerplate _),
   )
 
   /** Every TextOps query is oracle-checked. The dedup/fingerprint family
@@ -931,5 +967,6 @@ object TextOps {
     "t16_token_bpe"       -> t16Sql,
     "t17_train_split"     -> t17Sql,
     "t18_chunks"          -> t18Sql,
+    "t19_boilerplate"     -> t19Sql,
   )
 }
