@@ -40,4 +40,23 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
+
+  /** Content stamp of a table path for cache invalidation: every data
+    * file's name, length and mtime. Unlike a bare directory mtime this
+    * changes whenever the listing or file contents-length change — and is
+    * meaningful on object stores too, where directory mtimes are synthetic
+    * (S3A) but per-object length+mtime are real.
+    */
+  def contentStamp(s: SparkSession, tablePath: String): String = {
+    val p = new org.apache.hadoop.fs.Path(tablePath)
+    try {
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      val st = fs.getFileStatus(p)
+      val entries =
+        if (st.isDirectory) fs.listStatus(p).toSeq.sortBy(_.getPath.getName)
+        else Seq(st)
+      entries.map(e => s"${e.getPath.getName}:${e.getLen}:${e.getModificationTime}")
+        .mkString(",")
+    } catch { case _: java.io.IOException => "absent" }
+  }
 }

@@ -62,11 +62,15 @@ object CasEtl {
     // J8 — dedup against target (etl_sync.py:215-217): only new submissions.
     // The reference's row-at-a-time loop also dedups WITHIN a batch (the
     // second occurrence's SELECT sees the first's INSERT); set-at-a-time
-    // needs that explicitly — keep the earliest submission per id
-    // (duplicates from overlapping pages carry identical content anyway).
+    // needs that explicitly — keep the earliest submission per id.
+    // Tiebreaker: duplicate ids from overlapping pages usually carry
+    // identical content, but an edited resubmission landing in the same
+    // fetch with a TIED timestamp must still pick the same winner across
+    // runs and partitionings — break ties by full-row content hash.
+    val contentTiebreak = xxhash64(struct(parsedInc.columns.map(col): _*))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("zenput_submission_id")
-      .orderBy(col("date_submitted").asc_nulls_last)
+      .orderBy(col("date_submitted").asc_nulls_last, contentTiebreak.asc)
     val fresh = parsedInc
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
       .join(existing.select(col("zenput_submission_id")),

@@ -117,15 +117,24 @@ case class Warehouse(spark: SparkSession, dir: String) {
 
     // best-effort GC keeps what pre-rewrite readers resolved (prevLive, by
     // identity — NOT by version number, which a stray uncommitted dir from
-    // a crashed write would shift) plus the new version: a DataFrame whose
-    // scan resolved BEFORE this rewrite may still be evaluated after it —
-    // deleting its files would fail that job mid-flight, the very hazard
-    // versioning removes. Everything else (strays included) is fair game;
-    // `vacuum` reclaims prevLive once no pre-rewrite readers can exist.
-    val keep = Set(vname, prevLive.getName)
+    // a crashed write would shift), the new version, AND the newest
+    // RetainVersions committed versions: a DataFrame whose scan resolved
+    // TWO OR MORE rewrites ago may still be unevaluated, and a one-
+    // generation window would delete its files mid-flight — the very
+    // hazard versioning removes. Multi-generation reclamation belongs
+    // solely to `vacuum`, which the caller invokes when no older readers
+    // can exist.
+    val recent = listVersions(name).takeRight(RetainVersions).map(_._2.getName)
+    val keep = (recent :+ vname :+ prevLive.getName).toSet
     listVersions(name).foreach { case (_, p) =>
       if (!keep.contains(p.getName)) fs.delete(p, true) }
   }
+
+  /** Version directories `rewrite` retains beyond the live one — bounds
+    * how far behind a still-unevaluated reader plan may lag before only
+    * `vacuum` (not a routine rewrite) could break it.
+    */
+  val RetainVersions = 3
 
   /** Reclaim all superseded storage for `name` (older versions and the
     * legacy flat directory). Call when no reader holds a plan resolved

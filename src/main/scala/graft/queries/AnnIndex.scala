@@ -103,36 +103,60 @@ object IvfModel {
   val Seed = 42L
   val MaxIter = 10
 
-  /** Fixed location so the statically-declared oracle SQL can read the same
-    * centroids DuckDB-side. Rewritten whenever `ensure` sees a new corpus
-    * dir, so the artifact always matches the last-prepared corpus.
-    */
-  val CentroidPath = "/tmp/graft_ivf_centroids"
+  private val user =
+    sys.props.getOrElse("user.name", "unknown").replaceAll("[^A-Za-z0-9_-]", "_")
 
-  private def marker = java.nio.file.Paths.get(CentroidPath, "_corpus")
+  /** Per-(user, corpus) centroid location, derived from the corpus dir:
+    * two drivers preparing DIFFERENT corpora get different paths (no race,
+    * no cross-corpus serving), and the path carries the OS user so the
+    * artifact is ours — `ensure` additionally refuses a directory owned by
+    * anyone else, closing the pre-created-poisoned-path hole a fixed
+    * world-writable literal had. Local scratch is the right home for a
+    * single-node model artifact; at cluster scale the centroid table lives
+    * in the warehouse next to the corpus it indexes.
+    */
+  def pathFor(dir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"$user\n$dir".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_ivf_${user}_$h").toString
+  }
+
+  /** The corpus most recently prepared in this JVM (set by [[ensure]];
+    * defaults to the driver's corpus env so a bare SQL dump still points
+    * somewhere sane). The generated oracle SQL reads [[centroidPath]] —
+    * Verify dumps the SQL AFTER running the queries, so by dump time this
+    * matches the corpus the queries actually ran on.
+    */
+  @volatile private var lastDir: String =
+    sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+  def centroidPath: String = pathFor(lastDir)
+
+  private def marker(root: String) = java.nio.file.Paths.get(root, "_corpus")
 
   /** Fit-and-persist once per corpus. The persisted table carries a
-    * `_corpus` marker stamping the dir AND the embeddings file's
-    * modification time it was trained on, so alternating corpora — or the
-    * same dir regenerated with new content, in this JVM or a previous
-    * one — always refit instead of silently probing another corpus's
-    * centroids. (Two JVMs fitting DIFFERENT corpora concurrently still
-    * race on the shared path; the driver protocol runs Verify and Bench
-    * sequentially, and a per-deployment path is the production answer.)
-    * Index construction, not query work: Bench warms this outside the
-    * timed region, the way any vector store builds its index before
-    * serving.
+    * `_corpus` marker stamping the dir AND the embeddings table's content
+    * (per-file name/length/mtime — Tables.contentStamp), so the same dir
+    * regenerated with new content, in this JVM or a previous one, refits
+    * instead of silently probing stale centroids. Index construction, not
+    * query work: Bench warms this outside the timed region, the way any
+    * vector store builds its index before serving.
     */
   def ensure(s: SparkSession, dir: String): Unit = synchronized {
-    val stamp = {
-      val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
-      val mt = try p.getFileSystem(s.sessionState.newHadoopConf())
-        .getFileStatus(p).getModificationTime
-      catch { case _: java.io.IOException => -1L }
-      s"$dir\n$mt"
+    lastDir = dir
+    val root = pathFor(dir)
+    val stamp = s"$dir\n${Tables.contentStamp(s, s"$dir/embeddings.parquet")}"
+    val rootNio = java.nio.file.Paths.get(root)
+    if (java.nio.file.Files.exists(rootNio)) {
+      val owner = java.nio.file.Files.getOwner(rootNio).getName
+      if (owner != sys.props.getOrElse("user.name", "unknown"))
+        throw new IllegalStateException(
+          s"IVF centroid dir $root is owned by '$owner', not us — refusing foreign centroids")
     }
     val persisted =
-      try java.nio.file.Files.readString(marker).trim == stamp
+      try java.nio.file.Files.readString(marker(root)).trim == stamp
       catch { case _: java.io.IOException => false }
     if (!persisted) {
       import org.apache.spark.ml.clustering.KMeans
@@ -144,10 +168,10 @@ object IvfModel {
       val cents = model.clusterCenters.zipWithIndex
         .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
       s.createDataFrame(cents).toDF("cid", "cvec")
-        .coalesce(1).write.mode("overwrite").parquet(CentroidPath)
-      java.nio.file.Files.writeString(marker, stamp)
+        .coalesce(1).write.mode("overwrite").parquet(root)
+      java.nio.file.Files.writeString(marker(root), stamp)
     }
   }
 
-  def centroids(s: SparkSession): DataFrame = s.read.parquet(CentroidPath)
+  def centroids(s: SparkSession): DataFrame = s.read.parquet(centroidPath)
 }

@@ -38,12 +38,9 @@ object Relational {
     round(sum(c.cast(MoneyDec)), d).cast("double")
 
   // The exact sum still divides to a DOUBLE, and round(double) itself is
-  // NOT portable: Spark rounds the double's shortest decimal rendering
-  // ("8443.925" → .93) while DuckDB rounds the binary value (8443.9249…
-  // → .92). floor(x·10^d + 0.5)/10^d is pure double arithmetic — identical
-  // operations on the identical quotient on both engines.
-  private def halfUp(c: Column, d: Int): Column =
-    floor(c * math.pow(10, d) + 0.5) / math.pow(10, d)
+  // NOT portable (see graft.functions.Rounding — shared with the ANN
+  // cosine columns in TextOps).
+  private val halfUp = graft.functions.Rounding.halfUp _
 
   private def avgMoney(c: Column, d: Int = 2): Column =
     halfUp(sum(c.cast(MoneyDec)).cast("double") / count(c), d)
@@ -52,10 +49,7 @@ object Relational {
   private def sumMoneySql(x: String, d: Int = 2): String =
     s"CAST(round(sum(CAST($x AS DECIMAL(26,4))), $d) AS DOUBLE)"
 
-  private def halfUpSql(x: String, d: Int): String = {
-    val scale = math.pow(10, d).toLong
-    s"(floor(($x) * $scale.0 + 0.5) / $scale.0)"
-  }
+  private val halfUpSql = graft.functions.Rounding.halfUpSql _
 
   private def avgMoneySql(x: String, d: Int = 2): String =
     halfUpSql(s"CAST(sum(CAST($x AS DECIMAL(26,4))) AS DOUBLE) / count($x)", d)

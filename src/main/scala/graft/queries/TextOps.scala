@@ -4,8 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.Tables
 import graft.core.Tables._
-import graft.functions.{NativeHashes => NH, NativeText => NT, TextFunctions => TF, VectorOps => V}
+import graft.functions.{NativeHashes => NH, NativeText => NT, Rounding => R, TextFunctions => TF, VectorOps => V}
 
 /** Training-data pipeline operators over `documents` and `embeddings`:
   * deduplication (exact, MinHash-LSH, SimHash, n-gram Jaccard), text
@@ -161,16 +162,15 @@ object TextOps {
     * on band keys; only colliding docs are ever paired.
     */
   private val pairCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (Long, DataFrame)]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, DataFrame)]
 
-  /** Cache-invalidation stamp: the corpus file's modification time. A
-    * rewritten corpus at the same dir must not serve pre-rewrite pairs.
+  /** Cache-invalidation stamp: the corpus table's per-file name/length/
+    * mtime listing (Tables.contentStamp) — a rewritten corpus at the same
+    * dir must not serve pre-rewrite pairs, including on object stores
+    * where bare directory mtimes are synthetic.
     */
-  private def docsModTime(s: SparkSession, dir: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
-    try p.getFileSystem(s.sessionState.newHadoopConf()).getFileStatus(p).getModificationTime
-    catch { case _: java.io.IOException => -1L }
-  }
+  private def docsStamp(s: SparkSession, dir: String): String =
+    Tables.contentStamp(s, s"$dir/documents.parquet")
 
   /** The LSH pipeline over an arbitrary (doc_id, text) frame — also the
     * spec hook for cap/skew behavior on synthetic corpora.
@@ -204,7 +204,10 @@ object TextOps {
   }
 
   def minhashCandidatePairs(s: SparkSession, dir: String): DataFrame = {
-    val mt = docsModTime(s, dir)
+    // sweep entries of stopped sessions — cached plans hold session refs,
+    // and a long-lived JVM cycling sessions would otherwise leak them
+    pairCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    val mt = docsStamp(s, dir)
     pairCache.get((s, dir)) match {
       case Some((`mt`, df)) => df
       case stale =>
@@ -423,23 +426,23 @@ object TextOps {
     e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(V.cosine(col("q_emb"), col("emb")), 6).as("cosine"))
+        R.halfUp(V.cosine(col("q_emb"), col("emb")), 6).as("cosine"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
       .select(col("query_id"), col("vec_id"), col("cosine"), col("rk"))
       .orderBy(col("query_id"), col("rk"))
   }
 
-  val t10Sql: String =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+  // cosine columns round via the shared portable halfUp (Rounding) on both
+  // engines — round(double, 6) near a .xxxxx5 boundary can flip the 6th
+  // digit differently per engine (the money-column divergence), and for
+  // t15 would also flip the >= CosTau candidate filter
+  lazy val t10Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
       |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 10),
       |scored AS (
       |  SELECT q.query_id, e.vec_id,
-      |    round(CASE WHEN sqrt(list_sum(list_transform(q.q_emb, x -> x * x))) = 0
-      |                 OR sqrt(list_sum(list_transform(e.emb, x -> x * x))) = 0 THEN 0.0
-      |          ELSE list_sum(list_transform(list_zip(q.q_emb, e.emb), p -> p[1] * p[2]))
-      |               / (sqrt(list_sum(list_transform(q.q_emb, x -> x * x)))
-      |                  * sqrt(list_sum(list_transform(e.emb, x -> x * x)))) END, 6) AS cosine
+      |    ${R.halfUpSql(cosineSql("q.q_emb", "e.emb"), 6)} AS cosine
       |  FROM e CROSS JOIN q
       |  WHERE e.vec_id <> q.query_id),
       |ranked AS (
@@ -522,7 +525,7 @@ object TextOps {
     e.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), col("bucket"),
-        round(V.cosine(col("q_emb"), col("emb")), 6).as("cosine"))
+        R.halfUp(V.cosine(col("q_emb"), col("emb")), 6).as("cosine"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
       .orderBy(col("query_id"), col("rk"))
@@ -544,7 +547,7 @@ object TextOps {
        |  WHERE vec_id < 10),
        |scored AS (
        |  SELECT q.query_id, e.vec_id, e.bucket,
-       |    round(${cosineSql("q.q_emb", "e.emb")}, 6) AS cosine
+       |    ${R.halfUpSql(cosineSql("q.q_emb", "e.emb"), 6)} AS cosine
        |  FROM eb e JOIN q ON e.bucket = q.bucket
        |  WHERE e.vec_id <> q.query_id),
        |ranked AS (
@@ -595,15 +598,19 @@ object TextOps {
     assigned.join(broadcast(probes), Seq("cluster"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), col("cluster"),
-        round(V.cosine(col("q_emb"), col("emb")), 6).as("cosine"))
+        R.halfUp(V.cosine(col("q_emb"), col("emb")), 6).as("cosine"))
       .withColumn("rk", row_number().over(wTop))
       .filter(col("rk") <= 5)
       .orderBy(col("query_id"), col("rk"))
   }
 
-  lazy val t14Sql: String =
+  /** A def, not a val: the centroid path derives from the corpus dir
+    * (IvfModel.centroidPath, set by the ensure() the query itself runs),
+    * and Verify dumps oracle SQL after running the queries.
+    */
+  def t14Sql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-       |c AS (SELECT cid, cvec FROM read_parquet('${IvfModel.CentroidPath}/*.parquet')),
+       |c AS (SELECT cid, cvec FROM read_parquet('${IvfModel.centroidPath}/*.parquet')),
        |ad AS (
        |  SELECT vec_id, emb, cid,
        |    list_sum(list_transform(list_zip(emb, cvec), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
@@ -619,7 +626,7 @@ object TextOps {
        |  WHERE pr <= ${IvfModel.NProbe}),
        |scored AS (
        |  SELECT p.query_id, a.vec_id, a.cluster,
-       |    round(${cosineSql("p.q_emb", "a.emb")}, 6) AS cosine
+       |    ${R.halfUpSql(cosineSql("p.q_emb", "a.emb"), 6)} AS cosine
        |  FROM assigned a JOIN probes p USING (cluster)
        |  WHERE a.vec_id <> p.query_id),
        |ranked AS (
@@ -820,7 +827,7 @@ object TextOps {
     e.join(probes, Seq("bucket"))
       .filter(col("vec_a") < col("vec_id"))
       .select(col("vec_a"), col("vec_id").as("vec_b"),
-        round(when(col("nrm_a") === 0.0 || col("nrm") === 0.0, 0.0)
+        R.halfUp(when(col("nrm_a") === 0.0 || col("nrm") === 0.0, 0.0)
           .otherwise(V.dot(col("emb_a"), col("emb")) / (col("nrm_a") * col("nrm"))), 6)
           .as("cosine"))
       .filter(col("cosine") >= CosTau)
@@ -835,7 +842,7 @@ object TextOps {
        |  FROM eb CROSS JOIN (SELECT unnest(${Lsh.masksSqlWithin(PairRadius)}) AS m)),
        |cand AS (
        |  SELECT p.vec_a, e.vec_id AS vec_b,
-       |    round(${cosineSql("p.emb_a", "e.emb")}, 6) AS cosine
+       |    ${R.halfUpSql(cosineSql("p.emb_a", "e.emb"), 6)} AS cosine
        |  FROM eb e JOIN pr p USING (bucket)
        |  WHERE p.vec_a < e.vec_id)
        |SELECT vec_a, vec_b, cosine FROM cand
@@ -948,7 +955,7 @@ object TextOps {
     * probing (t12: hyperplane literals; t14: the shared persisted centroid
     * table).
     */
-  val oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] = Map(
     "t01_dedup_exact"     -> t01Sql,
     "t02_token_stats"     -> t02Sql,
     "t03_lang_profile"    -> t03Sql,

@@ -138,6 +138,7 @@ class AnnSpec extends SparkTestBase {
     val scans = df.queryExecution.sparkPlan.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f.relation.location.rootPaths.mkString
     }
-    assert(scans.exists(_.contains("graft_ivf_centroids")))
+    val centroidDirName = new java.io.File(IvfModel.pathFor(sf())).getName
+    assert(scans.exists(_.contains(centroidDirName)))
   }
 }

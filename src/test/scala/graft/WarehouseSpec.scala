@@ -24,19 +24,30 @@ class WarehouseSpec extends SparkTestBase {
   private def names(wh: Warehouse, n: String = "t"): Set[String] =
     wh.read(n, schema).collect().map(_.getString(1)).toSet
 
-  test("rewrite supersedes; GC keeps exactly current + previous; vacuum reclaims") {
+  test("rewrite supersedes; GC retains a version window; vacuum reclaims") {
     val wh = fresh()
-    wh.rewrite("t", Seq((1L, "v1")).toDF("id", "name"))
-    wh.rewrite("t", Seq((1L, "v2")).toDF("id", "name"))
-    wh.rewrite("t", Seq((1L, "v3")).toDF("id", "name"))
-    assert(names(wh) === Set("v3"))
-    // previous version survives (a reader resolved pre-rewrite may still
-    // be running); older ones are GC'd
+    (1 to 5).foreach(i => wh.rewrite("t", Seq((1L, s"v$i")).toDF("id", "name")))
+    assert(names(wh) === Set("v5"))
+    // the newest RetainVersions survive routine rewrites (a reader plan
+    // resolved several rewrites ago may still be unevaluated); only
+    // vacuum — an explicit no-older-readers declaration — reclaims further
     val fs = new Path(wh.dir).getFileSystem(spark.sessionState.newHadoopConf())
-    assert(fs.globStatus(new Path(wh.dir, "t.__v*")).length === 2)
+    assert(fs.globStatus(new Path(wh.dir, "t.__v*")).length === wh.RetainVersions)
     wh.vacuum("t")
     assert(fs.globStatus(new Path(wh.dir, "t.__v*")).length === 1)
-    assert(names(wh) === Set("v3"))
+    assert(names(wh) === Set("v5"))
+  }
+
+  test("a reader lagging TWO rewrites still completes (multi-generation window)") {
+    val wh = fresh()
+    wh.rewrite("t", Seq((1L, "gen1")).toDF("id", "name"))
+    val pre = wh.read("t", schema) // plan resolves gen1 NOW
+    wh.rewrite("t", Seq((1L, "gen2")).toDF("id", "name"))
+    wh.rewrite("t", Seq((1L, "gen3")).toDF("id", "name"))
+    // two rewrites later the gen1 files must still exist — the one-
+    // generation GC deleted them and failed exactly this evaluation
+    assert(pre.collect().map(_.getString(1)).toSet === Set("gen1"))
+    assert(names(wh) === Set("gen3"))
   }
 
   test("a reader resolved before a rewrite still completes after it") {
@@ -99,11 +110,16 @@ class WarehouseSpec extends SparkTestBase {
     // stray: a later rewrite crashed after writing v2, before the flip
     Seq((1L, "stray")).toDF("id", "name").write.parquet(s"${wh.dir}/t.__v000002")
     val pre = wh.read("t", schema) // resolves pointer -> v1
-    wh.rewrite("t", Seq((1L, "new")).toDF("id", "name")) // v3; GC must keep v1, drop v2
+    wh.rewrite("t", Seq((1L, "new")).toDF("id", "name")) // v3; GC must keep v1
     assert(pre.collect().map(_.getString(1)).toSet === Set("live-prev"))
     val fs = new Path(wh.dir).getFileSystem(spark.sessionState.newHadoopConf())
-    assert(!fs.exists(new Path(wh.dir, "t.__v000002"))) // stray swept
     assert(fs.exists(new Path(wh.dir, "t.__v000001")))  // live previous kept
+    assert(names(wh) === Set("new"))
+    // the stray sits inside the recency window until vacuum reclaims it —
+    // readers never see it (pointer wins; recovery requires _SUCCESS which
+    // it has, but the pointer exists)
+    wh.vacuum("t")
+    assert(!fs.exists(new Path(wh.dir, "t.__v000002"))) // stray reclaimed
     assert(names(wh) === Set("new"))
   }
 
