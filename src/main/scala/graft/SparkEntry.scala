@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Relational, TextOps}
+import graft.queries.{QualityOps, Relational, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,7 +19,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.all ++ TextOps.all +
+    Relational.all ++ TextOps.all ++ QualityOps.all +
       ("q28_sessionize" -> (graft.streaming.Sessionize.query _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -27,6 +27,6 @@ object SparkEntry {
     * SimHash/fingerprint) → driver records a weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ TextOps.oracles +
+    Relational.oracles ++ TextOps.oracles ++ QualityOps.oracles +
       ("q28_sessionize" -> graft.streaming.Sessionize.oracleSql)
 }

@@ -1,0 +1,345 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables._
+import graft.functions.{NativeText => NT, Rounding => R, TextFunctions => TF}
+
+/** Corpus-curation operators beyond the dedup/ANN family (TextOps): the
+  * filters and bookkeeping a large-scale training-data pipeline runs
+  * between "raw crawl" and "training mix" — heuristic quality flags
+  * (Gopher-style rules: Rae et al. 2021 §A.1.1), PII scan/redaction,
+  * benchmark-contamination checks, deterministic stratified sampling,
+  * source-mix weighting, and intra-document repetition scoring.
+  *
+  * Every query is a single corpus scan plus at most one uniform-key
+  * shuffle, and every one is oracle-checked: the per-row signals are pure
+  * string/array expressions DuckDB reproduces exactly.
+  *
+  * Scale notes: the per-row array lambdas (lines, bullets) are interpreted
+  * HOFs — fine per ROW (unlike the per-PAIR hot paths that needed native
+  * expressions, NativeVector/NativeHashes); the regex counts are codegen'd.
+  */
+object QualityOps {
+
+  // ------------------------------------------------------------- t20
+  /** Gopher-style rule thresholds (the published ballpark, not a claim of
+    * exact parity with any paper's constants).
+    */
+  val MinTokens = 10
+  val TokLenLo = 2.0
+  val TokLenHi = 12.0
+  val MaxSymbolRatio = 0.3
+  val MaxBulletRatio = 0.5
+  val MaxDupLineFrac = 0.3
+
+  /** Per-document quality signals + keep/drop flag: token count, mean
+    * token length, symbol-character ratio, bullet-line ratio, duplicate-
+    * line fraction. One narrow projection per document — the shape of
+    * every heuristic quality filter at 100 TB (no shuffle at all until
+    * the presentation sort).
+    */
+  def qualityFlagsOf(docs: DataFrame): DataFrame = {
+    val lines = filter(transform(split(col("text"), "\n"), l => trim(l)), l => l =!= "")
+    val withSignals = docs
+      .select(col("doc_id"), col("n_chars"),
+        size(TF.tokens(col("text"))).as("n_tokens"),
+        lines.as("lines"),
+        length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")).as("n_symbols"))
+      .select(col("doc_id"), col("n_chars"), col("n_tokens"), col("n_symbols"),
+        size(col("lines")).as("n_lines"),
+        size(filter(col("lines"), l =>
+          l.startsWith("-") || l.startsWith("*") || l.startsWith("•"))).as("n_bullets"),
+        size(array_distinct(col("lines"))).as("n_distinct_lines"))
+    // unrounded doubles feed the flag so both engines compare identical
+    // values; division guards are explicit NULLs (Spark's double x/0 is
+    // Inf/NaN while SQL engines NULL or error — never rely on either)
+    def ratio(num: Column, den: Column): Column =
+      when(den === 0, lit(null).cast("double")).otherwise(num.cast("double") / den)
+    val avgTokLen = ratio(col("n_chars"), col("n_tokens"))
+    val symbolRatio = ratio(col("n_symbols"), col("n_chars"))
+    val bulletRatio = ratio(col("n_bullets"), col("n_lines"))
+    val dupLineFrac = ratio(col("n_lines") - col("n_distinct_lines"), col("n_lines"))
+    withSignals
+      .select(col("doc_id"), col("n_tokens"), col("n_lines"),
+        R.halfUp(avgTokLen, 4).as("avg_token_len"),
+        R.halfUp(symbolRatio, 4).as("symbol_ratio"),
+        R.halfUp(bulletRatio, 4).as("bullet_ratio"),
+        R.halfUp(dupLineFrac, 4).as("dup_line_frac"),
+        (col("n_tokens") >= MinTokens &&
+          avgTokLen.between(TokLenLo, TokLenHi) &&
+          symbolRatio <= MaxSymbolRatio &&
+          bulletRatio <= MaxBulletRatio &&
+          dupLineFrac <= MaxDupLineFrac).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  def t20QualityFlags(s: SparkSession, dir: String): DataFrame =
+    qualityFlagsOf(documents(s, dir))
+
+  val t20Sql: String = {
+    val rawAvg = "n_chars * 1.0 / NULLIF(n_tokens, 0)"
+    val rawSym = "n_symbols * 1.0 / NULLIF(n_chars, 0)"
+    val rawBul = "n_bullets * 1.0 / NULLIF(n_lines, 0)"
+    val rawDup = "(n_lines - n_distinct_lines) * 1.0 / NULLIF(n_lines, 0)"
+    s"""WITH sig AS (
+       |  SELECT doc_id, n_chars,
+       |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS INT) AS n_tokens,
+       |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l <> '') AS lines,
+       |    CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS INT) AS n_symbols
+       |  FROM documents),
+       |cnt AS (
+       |  SELECT doc_id, n_chars, n_tokens, n_symbols,
+       |    CAST(len(lines) AS INT) AS n_lines,
+       |    CAST(len(list_filter(lines, l -> l LIKE '-%' OR l LIKE '*%' OR l LIKE '•%')) AS INT) AS n_bullets,
+       |    CAST(len(list_distinct(lines)) AS INT) AS n_distinct_lines
+       |  FROM sig)
+       |SELECT doc_id, n_tokens, n_lines,
+       |  ${R.halfUpSql(rawAvg, 4)} AS avg_token_len,
+       |  ${R.halfUpSql(rawSym, 4)} AS symbol_ratio,
+       |  ${R.halfUpSql(rawBul, 4)} AS bullet_ratio,
+       |  ${R.halfUpSql(rawDup, 4)} AS dup_line_frac,
+       |  (n_tokens >= $MinTokens
+       |    AND $rawAvg BETWEEN $TokLenLo AND $TokLenHi
+       |    AND $rawSym <= $MaxSymbolRatio
+       |    AND $rawBul <= $MaxBulletRatio
+       |    AND $rawDup <= $MaxDupLineFrac) AS keep
+       |FROM cnt ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------- t21
+  /** PII patterns — RE2-subset regexes (no lookaround) so Java and DuckDB
+    * match identically. Redaction replaces in a fixed order (email → ip →
+    * phone) so overlapping matches resolve the same way on both engines.
+    */
+  val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pat = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhonePat = "\\+[0-9][0-9\\- ]{5,}[0-9]"
+
+  /** Per-document PII scan + redaction audit: match counts per category,
+    * a has_pii flag, and the md5 of the fully-redacted text — the check
+    * that redaction actually happened (content-verified, without shipping
+    * redacted text through the result). Single scan, all regex ops
+    * codegen'd, no shuffle.
+    */
+  def piiScanOf(docs: DataFrame): DataFrame = {
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), EmailPat, "<EMAIL>"),
+          Ipv4Pat, "<IP>"),
+        PhonePat, "<PHONE>")
+    docs
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(EmailPat), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(Ipv4Pat), lit(0))).as("n_ips"),
+        size(regexp_extract_all(col("text"), lit(PhonePat), lit(0))).as("n_phones"),
+        md5(redacted).as("redacted_hash"))
+      .withColumn("has_pii",
+        col("n_emails") + col("n_ips") + col("n_phones") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  def t21PiiScan(s: SparkSession, dir: String): DataFrame =
+    piiScanOf(documents(s, dir))
+
+  val t21Sql: String = {
+    // SQL '...' literals do not process backslashes — escape quotes only
+    // (none in these patterns; kept for safety), backslashes pass through
+    def esc(p: String) = p.replace("'", "''")
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '${esc(EmailPat)}')) AS INT) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '${esc(Ipv4Pat)}')) AS INT) AS n_ips,
+       |  CAST(len(regexp_extract_all(text, '${esc(PhonePat)}')) AS INT) AS n_phones,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+       |    '${esc(EmailPat)}', '<EMAIL>', 'g'),
+       |    '${esc(Ipv4Pat)}', '<IP>', 'g'),
+       |    '${esc(PhonePat)}', '<PHONE>', 'g')) AS redacted_hash,
+       |  (len(regexp_extract_all(text, '${esc(EmailPat)}'))
+       |   + len(regexp_extract_all(text, '${esc(Ipv4Pat)}'))
+       |   + len(regexp_extract_all(text, '${esc(PhonePat)}'))) > 0 AS has_pii
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------- t22
+  /** Benchmark-contamination check: which corpus documents share a
+    * [[ContamNGram]]-token shingle with a "benchmark" probe set (here: a
+    * deterministic slice of the corpus, doc_id ≡ 0 mod [[ProbeMod]],
+    * standing in for an eval set hashed the same way). 13-grams are the
+    * published contamination window (GPT-3 appx C); a 64-token chunk
+    * window misses near-verbatim overlap, which is the whole point. The
+    * scalable primitive: shingle-hash both sides identically (the dedup
+    * family's native single-pass expression), join on the hash — shuffle
+    * is uniform by construction, and a real eval probe set is tiny and
+    * broadcastable at any corpus scale. Matching on the mod-p hash admits
+    * the same (documented, negligible) collision odds as the MinHash
+    * family — both engines compute identical hashes, so parity is exact.
+    */
+  val ProbeMod = 17
+  val ContamNGram = 13
+
+  def contaminationOf(docs: DataFrame): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      explode(NT.md5ShingleHashes(col("text"), ContamNGram)).as("h"))
+    val probe = sh.filter(col("doc_id") % ProbeMod === 0)
+      .select(col("doc_id").as("probe_doc"), col("h"))
+    val corpus = sh.filter(col("doc_id") % ProbeMod =!= 0)
+      .select(col("doc_id").as("corpus_doc"), col("h"))
+    corpus.join(broadcast(probe), Seq("h"))
+      .groupBy(col("probe_doc"), col("corpus_doc"))
+      .agg(countDistinct(col("h")).as("n_shared_ngrams"))
+      .orderBy(col("probe_doc"), col("corpus_doc"))
+  }
+
+  def t22Contamination(s: SparkSession, dir: String): DataFrame =
+    contaminationOf(documents(s, dir))
+
+  val t22Sql: String = {
+    val gram = (0 until ContamNGram).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(1, len(toks) - ${ContamNGram - 1}), i -> $gram)) AS shs
+       |  FROM t WHERE len(toks) >= $ContamNGram),
+       |hs AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(shs,
+       |      x -> CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT) % 2147483647)) AS h
+       |  FROM sh)
+       |SELECT p.doc_id AS probe_doc, c.doc_id AS corpus_doc,
+       |  count(DISTINCT c.h) AS n_shared_ngrams
+       |FROM hs c JOIN hs p USING (h)
+       |WHERE p.doc_id % $ProbeMod = 0 AND c.doc_id % $ProbeMod <> 0
+       |GROUP BY 1, 2 ORDER BY probe_doc, corpus_doc""".stripMargin
+  }
+
+  // ------------------------------------------------------------- t23
+  /** Deterministic stratified sample: within each language, rank documents
+    * by md5(doc_id) (a stable pseudo-random order — no RNG state, no
+    * sampling pass) and keep the first ceil([[SampleFrac]] · |lang|). The
+    * per-group window shuffles once on lang; at 100 TB skewed strata ride
+    * the same salting/AQE machinery as any grouped op — and a doc's rank
+    * only changes if its own stratum changes, unlike rand() sampling.
+    */
+  val SampleFrac = 0.1
+
+  def stratifiedSampleOf(docs: DataFrame): DataFrame = {
+    val orderKey = md5(col("doc_id").cast("string"))
+    val w = Window.partitionBy(col("lang")).orderBy(orderKey, col("doc_id"))
+    docs
+      .select(col("doc_id"), col("lang"))
+      .withColumn("n_lang", count(lit(1)).over(Window.partitionBy(col("lang"))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= ceil(col("n_lang") * SampleFrac))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  def t23StratifiedSample(s: SparkSession, dir: String): DataFrame =
+    stratifiedSampleOf(documents(s, dir))
+
+  val t23Sql: String =
+    s"""WITH r AS (
+       |  SELECT doc_id, lang,
+       |    count(*) OVER (PARTITION BY lang) AS n_lang,
+       |    CAST(row_number() OVER (PARTITION BY lang
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rk
+       |  FROM documents)
+       |SELECT doc_id, lang, n_lang, rk FROM r
+       |WHERE rk <= ceil(n_lang * $SampleFrac)
+       |ORDER BY lang, rk""".stripMargin
+
+  // ------------------------------------------------------------- t24
+  /** Source-mix weighting: per-source document share and the resampling
+    * weight that would flatten the mix to uniform across sources — the
+    * bookkeeping behind "upsample source X" decisions. Aggregates to
+    * |sources| rows, then unpartitioned windows over that tiny frame (the
+    * documented post-aggregation exception to the no-global-window rule).
+    */
+  def sourceMixOf(docs: DataFrame): DataFrame = {
+    val agged = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    agged
+      .withColumn("total", sum(col("n_docs")).over())
+      .withColumn("n_sources", count(lit(1)).over())
+      .select(col("source"), col("n_docs"),
+        R.halfUp(col("n_docs").cast("double") / col("total"), 6).as("actual_frac"),
+        R.halfUp(col("total").cast("double") / (col("n_sources") * col("n_docs")), 6)
+          .as("uniform_weight"))
+      .orderBy(col("source"))
+  }
+
+  def t24SourceMix(s: SparkSession, dir: String): DataFrame =
+    sourceMixOf(documents(s, dir))
+
+  val t24Sql: String =
+    s"""WITH agged AS (
+       |  SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+       |w AS (
+       |  SELECT source, n_docs,
+       |    sum(n_docs) OVER () AS total,
+       |    count(*) OVER () AS n_sources
+       |  FROM agged)
+       |SELECT source, n_docs,
+       |  ${R.halfUpSql("n_docs * 1.0 / total", 6)} AS actual_frac,
+       |  ${R.halfUpSql("total * 1.0 / (n_sources * n_docs)", 6)} AS uniform_weight
+       |FROM w ORDER BY source""".stripMargin
+
+  // ------------------------------------------------------------- t25
+  /** Intra-document repetition: 1 − distinct/total trigrams — the Gopher
+    * "repetition" family's n-gram member, the signal that catches looping
+    * generations and boilerplate-stuffed pages. Distinct counting rides
+    * the dedup family's shingle machinery (NativeText — one native pass
+    * per row); total is just len(toks)−2. No shuffle before the sort.
+    */
+  def repetitionOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), size(TF.tokens(col("text"))).as("n_toks"),
+        size(NT.md5ShingleHashes(col("text"), 3)).as("n_distinct_tri"))
+      .filter(col("n_toks") >= 3)
+      .select(col("doc_id"),
+        (col("n_toks") - 2).as("n_trigrams"),
+        col("n_distinct_tri"),
+        R.halfUp(lit(1.0) -
+          col("n_distinct_tri").cast("double") / (col("n_toks") - 2), 4).as("rep_ratio"))
+      .orderBy(col("doc_id"))
+
+  def t25Repetition(s: SparkSession, dir: String): DataFrame =
+    repetitionOf(documents(s, dir))
+
+  val t25Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, CAST(len(toks) AS INT) AS n_toks,
+       |    CAST(len(list_distinct(list_transform(generate_series(1, len(toks)-2),
+       |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS INT) AS n_distinct_tri
+       |  FROM t WHERE len(toks) >= 3)
+       |SELECT doc_id, (n_toks - 2) AS n_trigrams, n_distinct_tri,
+       |  ${R.halfUpSql("1.0 - n_distinct_tri * 1.0 / (n_toks - 2)", 4)} AS rep_ratio
+       |FROM sh ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------ registry
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t20_quality_flags"     -> (t20QualityFlags _),
+    "t21_pii_scan"          -> (t21PiiScan _),
+    "t22_contamination"     -> (t22Contamination _),
+    "t23_stratified_sample" -> (t23StratifiedSample _),
+    "t24_source_mix"        -> (t24SourceMix _),
+    "t25_repetition"        -> (t25Repetition _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "t20_quality_flags"     -> t20Sql,
+    "t21_pii_scan"          -> t21Sql,
+    "t22_contamination"     -> t22Sql,
+    "t23_stratified_sample" -> t23Sql,
+    "t24_source_mix"        -> t24Sql,
+    "t25_repetition"        -> t25Sql,
+  )
+}

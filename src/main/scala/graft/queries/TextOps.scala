@@ -688,8 +688,12 @@ object TextOps {
   val ChunkSize = 64
   val ChunkStride = 48
 
-  def t18Chunks(s: SparkSession, dir: String): DataFrame =
-    documents(s, dir)
+  /** The chunker over an arbitrary (doc_id, text) frame — shared with the
+    * contamination check (QualityOps), which chunks probe and corpus sides
+    * the same way.
+    */
+  def chunksOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) > 0)
       .select(col("doc_id"), col("toks"),
@@ -700,7 +704,9 @@ object TextOps {
       .select(col("doc_id"), col("chunk_idx"),
         size(col("chunk")).as("chunk_tokens"),
         md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
-      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  def t18Chunks(s: SparkSession, dir: String): DataFrame =
+    chunksOf(documents(s, dir)).orderBy(col("doc_id"), col("chunk_idx"))
 
   val t18Sql: String =
     s"""WITH t AS (

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalactic.Tolerance._
+
+import graft.queries.QualityOps
+
+class QualityOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("unit"))
+      .withColumn("n_chars", length($"text"))
+
+  // ------------------------------------------------------------- t20
+  test("t20 quality flags: clean prose kept; bullets, symbols, dup lines dropped") {
+    val prose = (1 to 30).map(i => s"word$i").mkString(" ")
+    val bullets = (1 to 12).map(i => s"- item$i of the list").mkString("\n")
+    val symbols = "@#$% ^&*( )!~ @#$% ^&*( )!~ @#$% ^&*( )!~ @#$% ^&*( )!~"
+    val dupLines = (("unique line one" +: Seq.fill(9)("the same line twice")) :+
+      "unique line two").mkString("\n")
+    val out = QualityOps.qualityFlagsOf(docs(
+      1L -> prose, 2L -> bullets, 3L -> symbols, 4L -> dupLines))
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(out(1L) === true)
+    assert(out(2L) === false) // every line is a bullet
+    assert(out(3L) === false) // symbol ratio ≈ 0.7
+    assert(out(4L) === false) // 9/11 duplicate lines
+  }
+
+  test("t20 signals: exact ratios on a crafted doc") {
+    val text = "alpha beta\nalpha beta\n- bullet here and more words padd"
+    val r = QualityOps.qualityFlagsOf(docs(1L -> text)).collect().head
+    assert(r.getAs[Int]("n_lines") === 3)
+    // 1 bullet line of 3; 1 duplicated line of 3 — halfUp to 4 dp
+    assert(r.getAs[Double]("bullet_ratio") === 0.3333)
+    assert(r.getAs[Double]("dup_line_frac") === 0.3333)
+  }
+
+  // ------------------------------------------------------------- t21
+  test("t21 PII scan counts and verified redaction") {
+    val pii = "contact bob.smith+x@corp.example.com or +52 55 1234 5678 " +
+      "from 10.0.0.17 today"
+    val clean = "no personal data in this sentence at all"
+    val out = QualityOps.piiScanOf(docs(1L -> pii, 2L -> clean)).collect()
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(1L).getAs[Int]("n_emails") === 1)
+    assert(byId(1L).getAs[Int]("n_ips") === 1)
+    assert(byId(1L).getAs[Int]("n_phones") === 1)
+    assert(byId(1L).getAs[Boolean]("has_pii"))
+    assert(!byId(2L).getAs[Boolean]("has_pii"))
+    // redaction verified by content: re-scanning the redacted text finds
+    // nothing, and its hash differs from the original's
+    val redacted = pii
+      .replaceAll(QualityOps.EmailPat, "<EMAIL>")
+      .replaceAll(QualityOps.Ipv4Pat, "<IP>")
+      .replaceAll(QualityOps.PhonePat, "<PHONE>")
+    val rescan = QualityOps.piiScanOf(docs(1L -> redacted)).collect().head
+    assert(!rescan.getAs[Boolean]("has_pii"))
+    assert(byId(1L).getAs[String]("redacted_hash") !==
+      java.security.MessageDigest.getInstance("MD5").digest(pii.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)
+    // an unredacted clean doc's hash IS the original md5
+    assert(byId(2L).getAs[String]("redacted_hash") ===
+      java.security.MessageDigest.getInstance("MD5").digest(clean.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)
+  }
+
+  // ------------------------------------------------------------- t22
+  test("t22 contamination: planted 13-gram overlap is found, clean docs are not") {
+    val leaked = (1 to 20).map(i => s"tok$i").mkString(" ") // 20 shared tokens
+    val probeDoc = s"benchmark question preamble $leaked and trailing words"
+    val contaminated = s"training page happens to contain $leaked inside prose"
+    val clean = (100 to 140).map(i => s"other$i").mkString(" ")
+    // ProbeMod = 17: doc 0 and 17 are probe-side; 1, 2 corpus-side
+    val out = QualityOps.contaminationOf(docs(
+      0L -> probeDoc, 1L -> contaminated, 2L -> clean))
+      .as[(Long, Long, Long)].collect()
+    assert(out.map(t => (t._1, t._2)).toSet === Set((0L, 1L)))
+    // 20 shared tokens → 20 − 13 + 1 = 8 shared distinct 13-grams
+    assert(out.head._3 === 8L)
+  }
+
+  // ------------------------------------------------------------- t23
+  test("t23 stratified sample: per-stratum quota and re-run determinism") {
+    val rows = (1L to 40L).map(i => i -> s"text $i about topic ${i % 7}")
+    val base = docs(rows: _*)
+      .withColumn("lang", when($"doc_id" % 2 === 0, "en").otherwise("es"))
+    val s1 = QualityOps.stratifiedSampleOf(base)
+      .select("doc_id").as[Long].collect().toSet
+    // ceil(0.1 * 20) = 2 docs per stratum
+    assert(s1.size === 4)
+    val s2 = QualityOps.stratifiedSampleOf(base.repartition(7))
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 === s2) // partitioning-independent membership
+  }
+
+  // ------------------------------------------------------------- t24
+  test("t24 source mix: fractions sum to 1, weights flatten the mix") {
+    val rows = (1L to 30L).map(i => i -> s"doc number $i")
+    val base = docs(rows: _*)
+      .withColumn("source",
+        when($"doc_id" <= 15, "web").when($"doc_id" <= 25, "books").otherwise("code"))
+    val out = QualityOps.sourceMixOf(base)
+      .select("source", "n_docs", "actual_frac", "uniform_weight")
+      .as[(String, Long, Double, Double)].collect()
+    assert(out.map(_._3).sum === 1.0 +- 1e-4)
+    // n_docs · weight is the same for every source: the flattened mix
+    val flattened = out.map(t => t._2 * t._4)
+    assert(flattened.max === flattened.min +- 1e-3)
+  }
+
+  // ------------------------------------------------------------- t25
+  test("t25 repetition: looping text scores high, varied text scores zero") {
+    val loop = Seq.fill(10)("spam ham eggs").mkString(" ") // 30 toks, 3 distinct trigrams
+    val varied = (1 to 30).map(i => s"w$i").mkString(" ")
+    val out = QualityOps.repetitionOf(docs(1L -> loop, 2L -> varied))
+      .select("doc_id", "n_trigrams", "n_distinct_tri", "rep_ratio")
+      .as[(Long, Int, Int, Double)].collect().map(t => t._1 -> t).toMap
+    assert(out(1L)._2 === 28)
+    assert(out(1L)._3 === 3)
+    assert(out(1L)._4 === (1.0 - 3.0 / 28) +- 1e-4)
+    assert(out(2L)._4 === 0.0)
+  }
+}
