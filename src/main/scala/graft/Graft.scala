@@ -22,6 +22,8 @@ import graft.etl.Warehouse
   *
   * // Training-data ops over any corpus:
   * graft.queries.TextOps.t06MinhashPairs(spark, dataDir)
+  * graft.queries.QualityOps.qualityFlagsOf(docsDf)      // keep/drop signals
+  * graft.queries.QualityOps.contaminationOf(docsDf)     // eval-set overlap
   * graft.streaming.Sessionize.sessionsBatch(eventsDf)
   * }}}
   */

@@ -886,13 +886,15 @@ object TextOps {
         .join(labels.select(col("doc_id").as("doc_b"), col("cluster").as("nb_cluster")), Seq("doc_b"))
         .groupBy(col("doc_a")).agg(min(col("nb_cluster")).as("min_nb"))
         .select(col("doc_a").as("doc_id"), col("min_nb"))
-      val next = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+      // one Spark job per iteration: the lazy localCheckpoint materializes
+      // under the change-count action (old and new label side by side), so
+      // the convergence check costs no second pass over the lineage
+      val joined = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("cluster").as("prev"),
           least(col("cluster"), coalesce(col("min_nb"), col("cluster"))).as("cluster"))
-        .localCheckpoint()
-      converged = next.join(labels.select(col("doc_id"), col("cluster").as("prev")), Seq("doc_id"))
-        .filter(col("cluster") =!= col("prev")).isEmpty
-      labels = next
+        .localCheckpoint(false)
+      converged = joined.filter(col("cluster") =!= col("prev")).isEmpty
+      labels = joined.select(col("doc_id"), col("cluster"))
       iter += 1
     }
     if (!converged)

@@ -84,6 +84,14 @@ class QualityOpsSpec extends SparkTestBase {
     assert(out.head._3 === 8L)
   }
 
+  test("t22 plan: probe side broadcasts (no corpus-side shuffle for the join)") {
+    val plan = QualityOps.contaminationOf(docs(
+      0L -> "a b c d e f g h i j k l m n o p", 1L -> "q r s t u v w x y z a2 b2 c2"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"contamination join should broadcast the probe side:\n$plan")
+  }
+
   // ------------------------------------------------------------- t23
   test("t23 stratified sample: per-stratum quota and re-run determinism") {
     val rows = (1L to 40L).map(i => i -> s"text $i about topic ${i % 7}")
