@@ -20,7 +20,7 @@ import graft.functions.{NativeHashes => NH, NativeText => NT, TextFunctions => T
 object Curation {
 
   case class Thresholds(minTokens: Int = 10, maxStopwordRatio: Double = 0.6,
-                        nearDupJaccard: Double = 0.5)
+                        maxRepRatio: Double = 0.9, nearDupJaccard: Double = 0.5)
 
   // the signals frame each session currently has pinned: a per-batch
   // driver calling curate() in a loop holds at most ONE cached frame
@@ -66,8 +66,16 @@ object Curation {
       .cache()
     pinned.put(spark, signals)
 
-    // stage 1: quality
-    val qOk = col("n_tokens") >= t.minTokens && col("stop_ratio") <= t.maxStopwordRatio
+    // stage 1: quality — length/stopword rules plus the t25 repetition
+    // signal, free here: the shingle array is already computed for the
+    // near-dup stage, and 1 − distinct/total trigrams is the Gopher-style
+    // looping-text catch (repetitive docs would otherwise sail through the
+    // stopword test and flood the near-dup buckets downstream)
+    val repRatio = when(col("n_tokens") >= 3,
+      lit(1.0) - size(col("sh")).cast("double") / (col("n_tokens") - 2))
+      .otherwise(0.0)
+    val qOk = col("n_tokens") >= t.minTokens &&
+      col("stop_ratio") <= t.maxStopwordRatio && repRatio <= t.maxRepRatio
 
     // stage 2: exact dedup — min doc_id among quality survivors per hash
     val keepId = min(when(qOk, col("doc_id")))

@@ -37,11 +37,14 @@ object QualityOps {
 
   /** Per-document quality signals + keep/drop flag: token count, mean
     * token length, symbol-character ratio, bullet-line ratio, duplicate-
-    * line fraction. One narrow projection per document — the shape of
-    * every heuristic quality filter at 100 TB (no shuffle at all until
-    * the presentation sort).
+    * line fraction. One narrow STATELESS projection per document — the
+    * shape of every heuristic quality filter at 100 TB (no shuffle at all
+    * until the presentation sort), which is also why the same frame drops
+    * into a Structured Streaming ingest unchanged (QualityOpsSpec proves
+    * stream == batch; the sort lives in the batch wrapper because global
+    * sorts don't exist on unbounded streams).
     */
-  def qualityFlagsOf(docs: DataFrame): DataFrame = {
+  def qualitySignalsOf(docs: DataFrame): DataFrame = {
     val lines = filter(transform(split(col("text"), "\n"), l => trim(l)), l => l =!= "")
     val withSignals = docs
       .select(col("doc_id"), col("n_chars"),
@@ -73,8 +76,10 @@ object QualityOps {
           symbolRatio <= MaxSymbolRatio &&
           bulletRatio <= MaxBulletRatio &&
           dupLineFrac <= MaxDupLineFrac).as("keep"))
-      .orderBy(col("doc_id"))
   }
+
+  def qualityFlagsOf(docs: DataFrame): DataFrame =
+    qualitySignalsOf(docs).orderBy(col("doc_id"))
 
   def t20QualityFlags(s: SparkSession, dir: String): DataFrame =
     qualityFlagsOf(documents(s, dir))

@@ -14,14 +14,15 @@ class CurationSpec extends SparkTestBase {
       (2L, base),                          // exact dup of 1 -> dropped
       (3L, base + " tonight"),             // near dup of 1 -> dropped
       (4L, "too short"),                   // quality drop
-      (5L, "completely different content about spark engines and columnar execution at scale"))
+      (5L, "completely different content about spark engines and columnar execution at scale"),
+      (6L, Seq.fill(25)("buy now click").mkString(" "))) // looping text: rep_ratio ≈ 0.96
       .toDF("doc_id", "text")
     val (curated, audit) = Curation.curate(spark, docs)
     val kept = curated.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept === Set(1L, 5L))
     val a = audit.collect().head
-    assert(a.getAs[Long]("input_docs") === 5)
-    assert(a.getAs[Long]("dropped_quality") === 1)
+    assert(a.getAs[Long]("input_docs") === 6)
+    assert(a.getAs[Long]("dropped_quality") === 2)
     assert(a.getAs[Long]("dropped_exact_dup") === 1)
     assert(a.getAs[Long]("dropped_near_dup") === 1)
     assert(a.getAs[Long]("curated_docs") === 2)

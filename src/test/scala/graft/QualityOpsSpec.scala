@@ -6,6 +6,12 @@ import org.scalactic.Tolerance._
 
 import graft.queries.QualityOps
 
+/** documents-schema record for the streaming test's MemoryStream encoder. */
+case class QDoc(doc_id: Long, text: String, lang: String, source: String, n_chars: Int)
+object QDoc {
+  def apply(id: Long, text: String): QDoc = QDoc(id, text, "en", "unit", text.length)
+}
+
 class QualityOpsSpec extends SparkTestBase {
   import spark.implicits._
 
@@ -119,6 +125,24 @@ class QualityOpsSpec extends SparkTestBase {
     // n_docs · weight is the same for every source: the flattened mix
     val flattened = out.map(t => t._2 * t._4)
     assert(flattened.max === flattened.min +- 1e-3)
+  }
+
+  test("t20 signals run unchanged on a structured stream (stream == batch)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val data = Seq(
+      QDoc(1L, (1 to 30).map(i => s"word$i").mkString(" ")),
+      QDoc(2L, "- a\n- b\n- c"),
+      QDoc(3L, "@#$% ^&*( )!~ @#$% ^&*( )!~"))
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[QDoc]
+    stream.addData(data: _*)
+    val q = QualityOps.qualitySignalsOf(stream.toDF())
+      .writeStream.format("memory").queryName("q20_stream").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("q20_stream").orderBy("doc_id").collect().toSeq
+    val batch = QualityOps.qualityFlagsOf(
+      data.toDF()).collect().toSeq
+    assert(streamed === batch)
   }
 
   // ------------------------------------------------------------- t25
