@@ -329,6 +329,110 @@ object QualityOps {
        |  ${R.halfUpSql("1.0 - n_distinct_tri * 1.0 / (n_toks - 2)", 4)} AS rep_ratio
        |FROM sh ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------- t26
+  /** Train→eval split leakage: t17's deterministic train/val/test split,
+    * then every train document sharing a [[ContamNGram]]-token shingle
+    * with a val/test document — the pre-training check that the held-out
+    * split is actually held out (near-verbatim overlap across the split
+    * boundary inflates eval scores exactly like benchmark contamination).
+    * Composition of two existing primitives: the md5-bucket split is a
+    * per-row expression, the overlap join is t22's shape with the split
+    * boundary as the probe predicate. The eval side is 10% of the corpus
+    * by construction — broadcast, so the train side never shuffles.
+    */
+  def splitLeakageOf(docs: DataFrame): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("bigint"),
+      lit(100L))
+    val sh = docs
+      .withColumn("split",
+        when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"))
+      .select(col("doc_id"), col("split"),
+        explode(NT.md5ShingleHashes(col("text"), ContamNGram)).as("h"))
+    val eval_ = sh.filter(col("split") =!= "train")
+      .select(col("doc_id").as("eval_doc"), col("split").as("eval_split"), col("h"))
+    val train = sh.filter(col("split") === "train")
+      .select(col("doc_id").as("train_doc"), col("h"))
+    train.join(broadcast(eval_), Seq("h"))
+      .groupBy(col("eval_doc"), col("eval_split"), col("train_doc"))
+      .agg(countDistinct(col("h")).as("n_shared_ngrams"))
+      .orderBy(col("eval_doc"), col("train_doc"))
+  }
+
+  def t26SplitLeakage(s: SparkSession, dir: String): DataFrame =
+    splitLeakageOf(documents(s, dir))
+
+  val t26Sql: String = {
+    val gram = (0 until ContamNGram).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+    s"""WITH b AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'train'
+       |         WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 95 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents),
+       |t AS (
+       |  SELECT doc_id, split,
+       |    list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS toks
+       |  FROM b),
+       |sh AS (
+       |  SELECT doc_id, split, list_distinct(list_transform(
+       |    generate_series(1, len(toks) - ${ContamNGram - 1}), i -> $gram)) AS shs
+       |  FROM t WHERE len(toks) >= $ContamNGram),
+       |hs AS (
+       |  SELECT doc_id, split,
+       |    unnest(list_transform(shs,
+       |      x -> CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT) % 2147483647)) AS h
+       |  FROM sh)
+       |SELECT e.doc_id AS eval_doc, e.split AS eval_split, tr.doc_id AS train_doc,
+       |  count(DISTINCT tr.h) AS n_shared_ngrams
+       |FROM hs tr JOIN hs e USING (h)
+       |WHERE tr.split = 'train' AND e.split <> 'train'
+       |GROUP BY 1, 2, 3 ORDER BY eval_doc, train_doc""".stripMargin
+  }
+
+  // ------------------------------------------------------------- t27
+  /** Int8 embedding quantization audit: symmetric per-vector max-abs
+    * scaling (code = halfUp(x/scale) clamped implicitly by construction,
+    * scale = max|x|/127), reporting per-vector scale and reconstruction
+    * MSE — the storage-planning numbers behind "can this corpus ship as
+    * int8". Pure per-row arithmetic (both engines fold the same element
+    * sequence left-to-right in double), zero shuffles before the sort.
+    * At 100 TB the same projection writes the int8 codes column next to
+    * the float column; this query is its loss audit.
+    */
+  def embedQuantizeOf(embs: DataFrame): DataFrame = {
+    val x = graft.functions.VectorOps.toDouble(col("embedding"))
+    val maxAbs = array_max(transform(x, v => abs(v)))
+    // quantize→dequantize inline: recon = halfUp0(x/scale) * scale where
+    // halfUp0 = floor(v + 0.5) (identical-op rounding on both engines)
+    val scale = maxAbs / 127.0
+    val err = transform(x, v =>
+      v - floor(v / scale + 0.5) * scale)
+    val mse = aggregate(transform(err, e => e * e), lit(0.0), (a, e) => a + e) /
+      size(x)
+    embs
+      .select(col("vec_id"), col("label"),
+        when(maxAbs === 0.0, 0.0).otherwise(R.halfUp(scale, 8)).as("scale8"),
+        when(maxAbs === 0.0, 0.0).otherwise(R.halfUp(mse, 10)).as("mse"))
+      .orderBy(col("vec_id"))
+  }
+
+  def t27EmbedQuantize(s: SparkSession, dir: String): DataFrame =
+    embedQuantizeOf(embeddings(s, dir))
+
+  val t27Sql: String = {
+    val x = "embedding::DOUBLE[]"
+    val maxAbs = s"list_max(list_transform($x, v -> abs(v)))"
+    val scale = s"($maxAbs / 127.0)"
+    val mse = s"list_sum(list_transform($x, v -> " +
+      s"(v - floor(v / $scale + 0.5) * $scale) * (v - floor(v / $scale + 0.5) * $scale)))" +
+      s" / len($x)"
+    s"""SELECT vec_id, label,
+       |  CASE WHEN $maxAbs = 0.0 THEN 0.0 ELSE ${R.halfUpSql(scale, 8)} END AS scale8,
+       |  CASE WHEN $maxAbs = 0.0 THEN 0.0 ELSE ${R.halfUpSql(mse, 10)} END AS mse
+       |FROM embeddings ORDER BY vec_id""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t20_quality_flags"     -> (t20QualityFlags _),
@@ -337,6 +441,8 @@ object QualityOps {
     "t23_stratified_sample" -> (t23StratifiedSample _),
     "t24_source_mix"        -> (t24SourceMix _),
     "t25_repetition"        -> (t25Repetition _),
+    "t26_split_leakage"     -> (t26SplitLeakage _),
+    "t27_embed_quantize"    -> (t27EmbedQuantize _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -346,5 +452,7 @@ object QualityOps {
     "t23_stratified_sample" -> t23Sql,
     "t24_source_mix"        -> t24Sql,
     "t25_repetition"        -> t25Sql,
+    "t26_split_leakage"     -> t26Sql,
+    "t27_embed_quantize"    -> t27Sql,
   )
 }

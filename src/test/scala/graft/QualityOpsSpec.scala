@@ -145,6 +145,39 @@ class QualityOpsSpec extends SparkTestBase {
     assert(streamed === batch)
   }
 
+  // ------------------------------------------------------------- t26
+  test("t26 split leakage: cross-split 13-gram overlap found; within-train ignored") {
+    val leaked = (1 to 15).map(i => s"tok$i").mkString(" ")
+    // md5-bucket assignment: ids 1,2 → train; 11 → val (computed from the
+    // same md5(doc_id) % 100 both engines use)
+    val out = QualityOps.splitLeakageOf(docs(
+      1L -> s"train page with $leaked inside",
+      2L -> s"another train page with $leaked copy", // train↔train: not leakage
+      11L -> s"val question contains $leaked too"))
+      .select("eval_doc", "eval_split", "train_doc", "n_shared_ngrams")
+      .as[(Long, String, Long, Long)].collect().toSet
+    // 15 shared tokens → 3 shared 13-grams per (train, eval) pair
+    assert(out === Set((11L, "val", 1L, 3L), (11L, "val", 2L, 3L)))
+  }
+
+  // ------------------------------------------------------------- t27
+  test("t27 int8 quantization: scale, reconstruction error bound, zero-vector guard") {
+    val embs = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f, 0.125f), "a"),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f), "b"))
+      .toDF("vec_id", "embedding", "label")
+    val out = QualityOps.embedQuantizeOf(embs)
+      .select("vec_id", "scale8", "mse").as[(Long, Double, Double)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(out(1L)._2 === 1.0 / 127 +- 1e-8)
+    // every element's quantization error is ≤ scale/2 → mse ≤ (scale/2)²
+    val halfStep = (1.0 / 127) / 2
+    assert(out(1L)._3 > 0.0)
+    assert(out(1L)._3 <= halfStep * halfStep + 1e-12)
+    assert(out(2L)._2 === 0.0) // zero vector: no scale, no loss
+    assert(out(2L)._3 === 0.0)
+  }
+
   // ------------------------------------------------------------- t25
   test("t25 repetition: looping text scores high, varied text scores zero") {
     val loop = Seq.fill(10)("spam ham eggs").mkString(" ") // 30 toks, 3 distinct trigrams
