@@ -401,19 +401,26 @@ object QualityOps {
     * the float column; this query is its loss audit.
     */
   def embedQuantizeOf(embs: DataFrame): DataFrame = {
-    val x = graft.functions.VectorOps.toDouble(col("embedding"))
-    val maxAbs = array_max(transform(x, v => abs(v)))
+    // scale materializes as a real column BEFORE the error lambda: an
+    // inlined array_max subexpression would re-evaluate inside every
+    // lambda element (the round-1 HOF trap — measured 2.3 s vs 0.6 s here)
+    val staged = embs
+      .select(col("vec_id"), col("label"),
+        graft.functions.VectorOps.toDouble(col("embedding")).as("x"))
+      .select(col("vec_id"), col("label"), col("x"),
+        array_max(transform(col("x"), v => abs(v))).as("max_abs"))
+      .select(col("vec_id"), col("label"), col("x"), col("max_abs"),
+        (col("max_abs") / 127.0).as("scale"))
     // quantize→dequantize inline: recon = halfUp0(x/scale) * scale where
     // halfUp0 = floor(v + 0.5) (identical-op rounding on both engines)
-    val scale = maxAbs / 127.0
-    val err = transform(x, v =>
-      v - floor(v / scale + 0.5) * scale)
+    val err = transform(col("x"), v =>
+      v - floor(v / col("scale") + 0.5) * col("scale"))
     val mse = aggregate(transform(err, e => e * e), lit(0.0), (a, e) => a + e) /
-      size(x)
-    embs
+      size(col("x"))
+    staged
       .select(col("vec_id"), col("label"),
-        when(maxAbs === 0.0, 0.0).otherwise(R.halfUp(scale, 8)).as("scale8"),
-        when(maxAbs === 0.0, 0.0).otherwise(R.halfUp(mse, 10)).as("mse"))
+        when(col("max_abs") === 0.0, 0.0).otherwise(R.halfUp(col("scale"), 8)).as("scale8"),
+        when(col("max_abs") === 0.0, 0.0).otherwise(R.halfUp(mse, 10)).as("mse"))
       .orderBy(col("vec_id"))
   }
 
