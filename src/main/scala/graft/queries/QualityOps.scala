@@ -390,6 +390,65 @@ object QualityOps {
        |GROUP BY 1, 2, 3 ORDER BY eval_doc, train_doc""".stripMargin
   }
 
+  // ------------------------------------------------------------- t28
+  /** Decontaminated split — t26's detection turned into the action a
+    * pipeline actually takes: the t17 assignment, with every train
+    * document that shares a 13-gram with the held-out split moved to
+    * 'quarantined' (dropped from training, NOT promoted to eval — its
+    * content is still leaked). Same plan shape as t26 plus one broadcast
+    * semi-join of the tiny leaked-id set against the assignment.
+    */
+  def decontaminatedSplitOf(docs: DataFrame): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("bigint"),
+      lit(100L))
+    val assigned = docs.select(col("doc_id"), col("lang"))
+      .withColumn("split",
+        when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"))
+    val leaked = splitLeakageOf(docs).select(col("train_doc").as("doc_id")).distinct()
+      .withColumn("leaked", lit(true))
+    assigned.join(broadcast(leaked), Seq("doc_id"), "left")
+      .withColumn("final_split",
+        when(col("split") === "train" && col("leaked"), "quarantined")
+          .otherwise(col("split")))
+      .select(col("doc_id"), col("lang"), col("split"), col("final_split"))
+      .orderBy(col("doc_id"))
+  }
+
+  def t28DecontaminatedSplit(s: SparkSession, dir: String): DataFrame =
+    decontaminatedSplitOf(documents(s, dir))
+
+  val t28Sql: String = {
+    val gram = (0 until ContamNGram).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+    s"""WITH b AS (
+       |  SELECT doc_id, lang, text,
+       |    CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'train'
+       |         WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 95 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents),
+       |t AS (
+       |  SELECT doc_id, split,
+       |    list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS toks
+       |  FROM b),
+       |sh AS (
+       |  SELECT doc_id, split, list_distinct(list_transform(
+       |    generate_series(1, len(toks) - ${ContamNGram - 1}), i -> $gram)) AS shs
+       |  FROM t WHERE len(toks) >= $ContamNGram),
+       |hs AS (
+       |  SELECT doc_id, split,
+       |    unnest(list_transform(shs,
+       |      x -> CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT) % 2147483647)) AS h
+       |  FROM sh),
+       |leaked AS (
+       |  SELECT DISTINCT tr.doc_id FROM hs tr JOIN hs e USING (h)
+       |  WHERE tr.split = 'train' AND e.split <> 'train')
+       |SELECT b.doc_id, b.lang, b.split,
+       |  CASE WHEN b.split = 'train' AND l.doc_id IS NOT NULL THEN 'quarantined'
+       |       ELSE b.split END AS final_split
+       |FROM b LEFT JOIN leaked l ON b.doc_id = l.doc_id
+       |ORDER BY b.doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------- t27
   /** Int8 embedding quantization audit: symmetric per-vector max-abs
     * scaling (code = halfUp(x/scale) clamped implicitly by construction,
@@ -450,6 +509,7 @@ object QualityOps {
     "t25_repetition"        -> (t25Repetition _),
     "t26_split_leakage"     -> (t26SplitLeakage _),
     "t27_embed_quantize"    -> (t27EmbedQuantize _),
+    "t28_decontaminated_split" -> (t28DecontaminatedSplit _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -461,5 +521,6 @@ object QualityOps {
     "t25_repetition"        -> t25Sql,
     "t26_split_leakage"     -> t26Sql,
     "t27_embed_quantize"    -> t27Sql,
+    "t28_decontaminated_split" -> t28Sql,
   )
 }

@@ -160,6 +160,19 @@ class QualityOpsSpec extends SparkTestBase {
     assert(out === Set((11L, "val", 1L, 3L), (11L, "val", 2L, 3L)))
   }
 
+  test("t28 decontaminated split: leaked train docs quarantined, eval untouched") {
+    val leaked = (1 to 15).map(i => s"tok$i").mkString(" ")
+    val out = QualityOps.decontaminatedSplitOf(docs(
+      1L -> s"train page with $leaked inside",      // train, leaks into 11 → quarantined
+      2L -> "clean train page about something else entirely with words",
+      11L -> s"val question contains $leaked too")) // val: never quarantined
+      .select("doc_id", "split", "final_split")
+      .as[(Long, String, String)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(out(1L) === ("train", "quarantined"))
+    assert(out(2L) === ("train", "train"))
+    assert(out(11L) === ("val", "val"))
+  }
+
   // ------------------------------------------------------------- t27
   test("t27 int8 quantization: scale, reconstruction error bound, zero-vector guard") {
     val embs = Seq(
