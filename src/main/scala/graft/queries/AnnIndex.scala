@@ -150,10 +150,14 @@ object IvfModel {
     val stamp = s"$dir\n${Tables.contentStamp(s, s"$dir/embeddings.parquet")}"
     val rootNio = java.nio.file.Paths.get(root)
     if (java.nio.file.Files.exists(rootNio)) {
-      val owner = java.nio.file.Files.getOwner(rootNio).getName
-      if (owner != sys.props.getOrElse("user.name", "unknown"))
+      // owner lookup is POSIX-only; where unsupported, the user-suffixed
+      // hashed path remains the (weaker) isolation
+      val owner = try Some(java.nio.file.Files.getOwner(rootNio).getName)
+                  catch { case _: UnsupportedOperationException => None }
+      owner.filter(_ != sys.props.getOrElse("user.name", "unknown")).foreach { o =>
         throw new IllegalStateException(
-          s"IVF centroid dir $root is owned by '$owner', not us — refusing foreign centroids")
+          s"IVF centroid dir $root is owned by '$o', not us — refusing foreign centroids")
+      }
     }
     val persisted =
       try java.nio.file.Files.readString(marker(root)).trim == stamp
