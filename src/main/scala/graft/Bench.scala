@@ -32,11 +32,15 @@ object Bench {
     // Per-query time = min of two back-to-back runs (standard steady-state
     // practice): a transient external load spike — round 2's driver run
     // measured 2-10x inflation on whatever queries overlapped one — must
-    // not masquerade as a plan regression. Both runs execute the full
-    // physical plan; min, not mean, because external contention only ever
-    // adds time.
+    // not masquerade as a plan regression. Min, not mean, because external
+    // contention only ever adds time. Every measured run is COLD: the
+    // shared LSH pair cache is dropped first, otherwise the second run of
+    // t06/t08/t13 would time an in-memory cache scan instead of the
+    // pipeline. (The IVF centroid table stays: that is a persisted index
+    // built before serving, not per-query work.)
     val results = selected.map { case (name, fn) =>
       def once(): Double = {
+        graft.queries.TextOps.invalidatePairCache()
         val t0 = System.nanoTime()
         // toRdd executes the physical plan with all output columns; a bare
         // count() would let Catalyst prune the final projections and

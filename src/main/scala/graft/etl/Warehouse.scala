@@ -28,7 +28,38 @@ case class Warehouse(spark: SparkSession, dir: String) {
   private def fs: FileSystem = new Path(dir).getFileSystem(hconf)
 
   private def pointerPath(name: String) = new Path(dir, s"$name.__current")
+  private def historyPath(name: String) = new Path(dir, s"$name.__history")
   private def versionName(name: String, v: Long) = f"$name.__v$v%06d"
+
+  /** The last committed pointer targets, oldest→newest — the only
+    * directories a reader can ever have resolved through the pointer.
+    * Retention windows count THESE, not raw version dirs: a stray from a
+    * crashed uncommitted write must not occupy a reader-window slot.
+    */
+  private def history(name: String): Seq[String] = {
+    val p = historyPath(name)
+    if (!fs.exists(p)) Nil
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      txt.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+    }
+  }
+
+  private def appendHistory(name: String, vname: String): Unit = {
+    // best-effort (a crash between pointer flip and this append costs the
+    // missing entry at most one early GC, bounded by the prevLive keep);
+    // trimmed so the file never grows past a few dozen lines
+    try {
+      val entries = (history(name) :+ vname).takeRight(16)
+      val tmp = new Path(dir, s"$name.__history.tmp")
+      val out = fs.create(tmp, true)
+      try out.write((entries.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
+      if (fs.exists(historyPath(name))) fs.delete(historyPath(name), false)
+      fs.rename(tmp, historyPath(name))
+    } catch { case _: java.io.IOException => () }
+  }
 
   private def listVersions(name: String): Seq[(Long, Path)] = {
     val glob = new Path(dir, s"$name.__v*")
@@ -114,17 +145,20 @@ case class Warehouse(spark: SparkSession, dir: String) {
     if (fs.exists(ptr)) fs.delete(ptr, false)
     if (!fs.rename(tmp, ptr))
       throw new java.io.IOException(s"rewrite of $name failed to commit pointer")
+    appendHistory(name, vname)
 
     // best-effort GC keeps what pre-rewrite readers resolved (prevLive, by
     // identity — NOT by version number, which a stray uncommitted dir from
     // a crashed write would shift), the new version, AND the newest
-    // RetainVersions committed versions: a DataFrame whose scan resolved
-    // TWO OR MORE rewrites ago may still be unevaluated, and a one-
-    // generation window would delete its files mid-flight — the very
-    // hazard versioning removes. Multi-generation reclamation belongs
-    // solely to `vacuum`, which the caller invokes when no older readers
-    // can exist.
-    val recent = listVersions(name).takeRight(RetainVersions).map(_._2.getName)
+    // RetainVersions COMMITTED generations (pointer-target history — a
+    // stray dir never occupies a reader-window slot, since no reader can
+    // have resolved it through the pointer): a DataFrame whose scan
+    // resolved TWO OR MORE rewrites ago may still be unevaluated, and a
+    // one-generation window would delete its files mid-flight — the very
+    // hazard versioning removes. Strays are swept here; multi-generation
+    // reclamation belongs solely to `vacuum`, which the caller invokes
+    // when no older readers can exist.
+    val recent = history(name).takeRight(RetainVersions)
     val keep = (recent :+ vname :+ prevLive.getName).toSet
     listVersions(name).foreach { case (_, p) =>
       if (!keep.contains(p.getName)) fs.delete(p, true) }
@@ -148,6 +182,11 @@ case class Warehouse(spark: SparkSession, dir: String) {
       if (p.getName != live) fs.delete(p, true) }
     val flat = new Path(dir, name)
     if (live != name && fs.exists(flat)) fs.delete(flat, true)
+    // reset the retention history to the sole surviving generation
+    try {
+      if (fs.exists(historyPath(name))) fs.delete(historyPath(name), false)
+      if (live.startsWith(s"$name.__v")) appendHistory(name, live)
+    } catch { case _: java.io.IOException => () }
   }
 
   /** Materialize a computed increment before appending it to tables its

@@ -125,9 +125,12 @@ object IvfModel {
 
   /** The corpus most recently prepared in this JVM (set by [[ensure]];
     * defaults to the driver's corpus env so a bare SQL dump still points
-    * somewhere sane). The generated oracle SQL reads [[centroidPath]] —
-    * Verify dumps the SQL AFTER running the queries, so by dump time this
-    * matches the corpus the queries actually ran on.
+    * somewhere sane). ONLY the generated oracle-SQL text reads
+    * [[centroidPath]] — Verify is single-threaded and dumps the SQL AFTER
+    * running the queries, so by dump time this matches the corpus the
+    * queries ran on. Query execution never goes through this global:
+    * [[centroids]] takes the corpus dir explicitly, so concurrent
+    * sessions on different corpora cannot cross-serve.
     */
   @volatile private var lastDir: String =
     sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
@@ -150,10 +153,15 @@ object IvfModel {
     val stamp = s"$dir\n${Tables.contentStamp(s, s"$dir/embeddings.parquet")}"
     val rootNio = java.nio.file.Paths.get(root)
     if (java.nio.file.Files.exists(rootNio)) {
-      // owner lookup is POSIX-only; where unsupported, the user-suffixed
-      // hashed path remains the (weaker) isolation
+      // owner lookup is POSIX-only; where unsupported — or if the dir
+      // vanishes between exists() and here (shared-tmp reapers) — skip
+      // the check: the user-suffixed hashed path remains the (weaker)
+      // isolation, and a vanished dir just refits below
       val owner = try Some(java.nio.file.Files.getOwner(rootNio).getName)
-                  catch { case _: UnsupportedOperationException => None }
+                  catch {
+                    case _: UnsupportedOperationException => None
+                    case _: java.io.IOException => None
+                  }
       owner.filter(_ != sys.props.getOrElse("user.name", "unknown")).foreach { o =>
         throw new IllegalStateException(
           s"IVF centroid dir $root is owned by '$o', not us — refusing foreign centroids")
@@ -177,5 +185,10 @@ object IvfModel {
     }
   }
 
-  def centroids(s: SparkSession): DataFrame = s.read.parquet(centroidPath)
+  /** The persisted centroid table for `dir`'s corpus — path derived from
+    * the argument, never from JVM-global state, so two sessions querying
+    * different corpora concurrently each read their own index.
+    */
+  def centroids(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(pathFor(dir))
 }

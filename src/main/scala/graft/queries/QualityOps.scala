@@ -14,8 +14,12 @@ import graft.functions.{NativeText => NT, Rounding => R, TextFunctions => TF}
   * benchmark-contamination checks, deterministic stratified sampling,
   * source-mix weighting, and intra-document repetition scoring.
   *
-  * Every query is a single corpus scan plus at most one uniform-key
-  * shuffle, and every one is oracle-checked: the per-row signals are pure
+  * The per-row operators (t20/t21/t23/t24/t25/t27) are a single corpus
+  * scan plus at most one uniform-key shuffle; the cross-split overlap
+  * family (t22/t26/t28) scans the corpus once per join side — the probe
+  * branch here is a corpus slice standing in for an external eval table,
+  * which in production is its own (tiny) input and the corpus side is one
+  * scan. Every query is oracle-checked: the per-row signals are pure
   * string/array expressions DuckDB reproduces exactly.
   *
   * Scale notes: the per-row array lambdas (lines, bullets) are interpreted
@@ -177,8 +181,12 @@ object QualityOps {
     * window misses near-verbatim overlap, which is the whole point. The
     * scalable primitive: shingle-hash both sides identically (the dedup
     * family's native single-pass expression), join on the hash — shuffle
-    * is uniform by construction, and a real eval probe set is tiny and
-    * broadcastable at any corpus scale. Matching on the mod-p hash admits
+    * is uniform by construction. A REAL eval probe set is tiny and
+    * broadcastable at any corpus scale; the corpus-derived stand-in wired
+    * here (a fixed corpus fraction, exploded) is demo-sized only — at
+    * warehouse scale its shingles outgrow the broadcast limit and the
+    * hint must come off (the hash equi-join shape is unchanged, shuffled
+    * on both sides). Matching on the mod-p hash admits
     * the same (documented, negligible) collision odds as the MinHash
     * family — both engines compute identical hashes, so parity is exact.
     */
@@ -338,7 +346,9 @@ object QualityOps {
     * Composition of two existing primitives: the md5-bucket split is a
     * per-row expression, the overlap join is t22's shape with the split
     * boundary as the probe predicate. The eval side is 10% of the corpus
-    * by construction — broadcast, so the train side never shuffles.
+    * by construction — broadcast here so the train side never shuffles;
+    * like t22, past broadcast size the same join runs shuffled on the
+    * uniform hash key (drop the hint, shape unchanged).
     */
   def splitLeakageOf(docs: DataFrame): DataFrame = {
     val bucket = pmod(

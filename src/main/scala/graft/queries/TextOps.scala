@@ -203,6 +203,18 @@ object TextOps {
       .filter(col("est_jaccard") >= MinJaccard)
   }
 
+  /** Drop every cached LSH pair frame. Bench hook: with per-query
+    * best-of-two timing, a second run hitting the persisted pair frame
+    * would measure an in-memory cache scan instead of the LSH pipeline —
+    * invalidating before each measured run keeps the t06/t08/t13 numbers
+    * honest (production runs share the pass by design; the bench reports
+    * each operator cold).
+    */
+  def invalidatePairCache(): Unit = {
+    pairCache.values.foreach { case (_, df) => df.unpersist(false) }
+    pairCache.clear()
+  }
+
   def minhashCandidatePairs(s: SparkSession, dir: String): DataFrame = {
     // sweep entries of stopped sessions — cached plans hold session refs,
     // and a long-lived JVM cycling sessions would otherwise leak them
@@ -577,7 +589,7 @@ object TextOps {
     IvfModel.ensure(s, dir)
     val e = embeddings(s, dir)
       .select(col("vec_id"), V.toDouble(col("embedding")).as("emb"))
-    val c = broadcast(IvfModel.centroids(s))
+    val c = broadcast(IvfModel.centroids(s, dir))
     val ad = e.crossJoin(c)
       .withColumn("dist",
         aggregate(zip_with(col("emb"), col("cvec"), (x, y) => (x - y) * (x - y)),
@@ -688,9 +700,10 @@ object TextOps {
   val ChunkSize = 64
   val ChunkStride = 48
 
-  /** The chunker over an arbitrary (doc_id, text) frame — shared with the
-    * contamination check (QualityOps), which chunks probe and corpus sides
-    * the same way.
+  /** The chunker over an arbitrary (doc_id, text) frame (t18's windows,
+    * also reusable for chunking any probe corpus the same way; note the
+    * contamination check t22 deliberately uses 13-gram shingles instead —
+    * chunk-window hashes miss near-verbatim overlap).
     */
   def chunksOf(docs: DataFrame): DataFrame =
     docs

@@ -114,13 +114,24 @@ class WarehouseSpec extends SparkTestBase {
     assert(pre.collect().map(_.getString(1)).toSet === Set("live-prev"))
     val fs = new Path(wh.dir).getFileSystem(spark.sessionState.newHadoopConf())
     assert(fs.exists(new Path(wh.dir, "t.__v000001")))  // live previous kept
+    // the stray was never a pointer target, so it occupies no reader-
+    // window slot — swept by the rewrite's GC, not retained
+    assert(!fs.exists(new Path(wh.dir, "t.__v000002")))
     assert(names(wh) === Set("new"))
-    // the stray sits inside the recency window until vacuum reclaims it —
-    // readers never see it (pointer wins; recovery requires _SUCCESS which
-    // it has, but the pointer exists)
-    wh.vacuum("t")
-    assert(!fs.exists(new Path(wh.dir, "t.__v000002"))) // stray reclaimed
-    assert(names(wh) === Set("new"))
+  }
+
+  test("a stray never shrinks the reader window (retention counts committed generations)") {
+    val wh = fresh()
+    wh.rewrite("t", Seq((1L, "gen1")).toDF("id", "name")) // v1, committed
+    val pre = wh.read("t", schema)                        // reader holds v1
+    // crashed rewrite: v2 fully written (_SUCCESS) but never pointed to
+    Seq((1L, "stray")).toDF("id", "name").write.parquet(s"${wh.dir}/t.__v000002")
+    wh.rewrite("t", Seq((1L, "gen2")).toDF("id", "name")) // v3
+    wh.rewrite("t", Seq((1L, "gen3")).toDF("id", "name")) // v4
+    // two committed rewrites later the v1 reader is still inside the
+    // window — a version-dir count would have let the stray push v1 out
+    assert(pre.collect().map(_.getString(1)).toSet === Set("gen1"))
+    assert(names(wh) === Set("gen3"))
   }
 
   test("append → rewrite → append stays one consistent table (backfill shape)") {
