@@ -193,18 +193,27 @@ object QualityOps {
   val ProbeMod = 17
   val ContamNGram = 13
 
-  def contaminationOf(docs: DataFrame): DataFrame = {
-    val sh = docs.select(col("doc_id"),
+  /** The production shape: corpus vs an EXTERNAL probe table (an eval
+    * set's documents), each shingle-hashed identically. The probe side is
+    * genuinely tiny there, hence the broadcast hint; see t22's scaladoc
+    * for when it must come off.
+    */
+  def contaminationAgainst(corpus: DataFrame, probe: DataFrame): DataFrame = {
+    def shingles(df: DataFrame, idAs: String) = df.select(
+      col("doc_id").as(idAs),
       explode(NT.md5ShingleHashes(col("text"), ContamNGram)).as("h"))
-    val probe = sh.filter(col("doc_id") % ProbeMod === 0)
-      .select(col("doc_id").as("probe_doc"), col("h"))
-    val corpus = sh.filter(col("doc_id") % ProbeMod =!= 0)
-      .select(col("doc_id").as("corpus_doc"), col("h"))
-    corpus.join(broadcast(probe), Seq("h"))
+    shingles(corpus, "corpus_doc")
+      .join(broadcast(shingles(probe, "probe_doc")), Seq("h"))
       .groupBy(col("probe_doc"), col("corpus_doc"))
       .agg(countDistinct(col("h")).as("n_shared_ngrams"))
       .orderBy(col("probe_doc"), col("corpus_doc"))
   }
+
+  /** Testdata stand-in: the probe set is a deterministic corpus slice. */
+  def contaminationOf(docs: DataFrame): DataFrame =
+    contaminationAgainst(
+      docs.filter(col("doc_id") % ProbeMod =!= 0),
+      docs.filter(col("doc_id") % ProbeMod === 0))
 
   def t22Contamination(s: SparkSession, dir: String): DataFrame =
     contaminationOf(documents(s, dir))

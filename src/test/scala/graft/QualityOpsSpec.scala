@@ -90,6 +90,17 @@ class QualityOpsSpec extends SparkTestBase {
     assert(out.head._3 === 8L)
   }
 
+  test("t22 production shape: contamination against an external probe table") {
+    val leaked = (1 to 14).map(i => s"eval$i").mkString(" ")
+    val corpus = docs(100L -> s"web page quoting $leaked verbatim",
+      101L -> "unrelated training text with plenty of words here")
+    val probe = docs(7L -> s"benchmark item: $leaked")
+    val out = QualityOps.contaminationAgainst(corpus, probe)
+      .as[(Long, Long, Long)].collect()
+    assert(out.map(t => (t._1, t._2)).toSeq === Seq((7L, 100L)))
+    assert(out.head._3 === 2L) // 14 shared tokens → 2 shared 13-grams
+  }
+
   test("t22 plan: probe side broadcasts (no corpus-side shuffle for the join)") {
     val plan = QualityOps.contaminationOf(docs(
       0L -> "a b c d e f g h i j k l m n o p", 1L -> "q r s t u v w x y z a2 b2 c2"))
