@@ -960,6 +960,39 @@ object Relational {
       |GROUP BY c.c_nationkey
       |ORDER BY c.c_nationkey""".stripMargin
 
+  // ---------------------------------------------------------------- q38
+  /** Time-RANGE window frame: per-user trailing-10-minute event count and
+    * average — the window family member rows-frames can't express (q36 is
+    * the ROWS counterpart). The frame bound is arithmetic on the raw
+    * nanosecond epoch (events.ts is parquet TIMESTAMP(NANOS) read as
+    * long), so both engines evaluate the identical inclusive numeric
+    * range [ts − 600e9, ts] with identical peer semantics. One shuffle on
+    * user_id; the frame scan is the standard sliding-window
+    * accumulate/retract within each partition.
+    */
+  def q38RangeWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      .rangeBetween(-600L * 1000000000L, 0L)
+    events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("n_10m", count(lit(1)).over(w))
+      .withColumn("avg_10m",
+        halfUp(sum(col("value").cast(MoneyDec)).over(w).cast("double")
+          / count(col("value")).over(w), 2))
+      .select(col("event_id"), col("user_id"), col("n_10m"), col("avg_10m"))
+      .orderBy(col("event_id"))
+  }
+
+  val q38Sql: String =
+    s"""WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS ns, value FROM events)
+       |SELECT event_id, user_id,
+       |  count(*) OVER w AS n_10m,
+       |  ${halfUpSql("CAST(sum(CAST(value AS DECIMAL(26,4))) OVER w AS DOUBLE) / count(value) OVER w", 2)} AS avg_10m
+       |FROM e
+       |WINDOW w AS (PARTITION BY user_id ORDER BY ns
+       |  RANGE BETWEEN 600000000000 PRECEDING AND CURRENT ROW)
+       |ORDER BY event_id""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"    -> (q01PricingSummary _),
@@ -998,6 +1031,7 @@ object Relational {
     "q35_percentiles"        -> (q35Percentiles _),
     "q36_running_total"      -> (q36RunningTotal _),
     "q37_argmax"             -> (q37ArgMax _),
+    "q38_range_window"       -> (q38RangeWindow _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1037,5 +1071,6 @@ object Relational {
     "q35_percentiles"        -> q35Sql,
     "q36_running_total"      -> q36Sql,
     "q37_argmax"             -> q37Sql,
+    "q38_range_window"       -> q38Sql,
   )
 }

@@ -68,6 +68,23 @@ class RelationalSpec extends SparkTestBase {
       Seq("GRUPO PLOG", "GRUPO PLOG", "Solo"))
   }
 
+  test("q38 RANGE frame equals an independent self-join recompute (inclusive bounds)") {
+    val e = graft.core.Tables.events(spark, sf())
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val win = 600L * 1000000000L
+    val expected = e.as("a")
+      .join(e.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("b.ts") >= col("a.ts") - win && col("b.ts") <= col("a.ts"))
+      .groupBy(col("a.event_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = graft.queries.Relational.q38RangeWindow(spark, sf())
+      .select("event_id", "n_10m")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected) // same frames, including the boundary event at exactly -10min
+    assert(got.values.max > 1) // the window actually aggregates neighbors
+  }
+
   test("A10 vs A11: average-of-averages differs from weighted average") {
     // periods with different fact counts: avg-of-avgs (50+100)/2 = 75,
     // weighted (50*1 + 100*3)/4 = 87.5
