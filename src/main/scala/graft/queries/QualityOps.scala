@@ -243,12 +243,31 @@ object QualityOps {
   // ------------------------------------------------------------- t23
   /** Deterministic stratified sample: within each language, rank documents
     * by md5(doc_id) (a stable pseudo-random order — no RNG state, no
-    * sampling pass) and keep the first ceil([[SampleFrac]] · |lang|). The
-    * per-group window shuffles once on lang; at 100 TB skewed strata ride
-    * the same salting/AQE machinery as any grouped op — and a doc's rank
-    * only changes if its own stratum changes, unlike rand() sampling.
+    * sampling pass) and keep the first ceil([[SampleFrac]] · |lang|) —
+    * EXACT per-stratum quotas. Honest scale note: the rank window puts a
+    * whole stratum in one task, so this exact-quota form is for
+    * dim-cardinality strata / report-sized corpora. The 100 TB path is
+    * [[stratifiedSampleApproxOf]]: a pure per-row hash threshold (t17's
+    * mechanism) — no window, no per-stratum task, quotas exact in
+    * expectation (binomial, ±0.3% at 10^6 docs/stratum).
     */
   val SampleFrac = 0.1
+
+  /** The scale path: keep a document iff its md5 bucket (0-9999) falls
+    * under frac·10000 — stateless, shuffle-free, stable under corpus
+    * growth (a doc's membership never changes when others are added, the
+    * property rand() sampling loses). Stratification is implicit: the
+    * hash is independent of lang, so each stratum is sampled at `frac`
+    * in expectation regardless of skew.
+    */
+  def stratifiedSampleApproxOf(docs: DataFrame, frac: Double = SampleFrac): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 16, 15), 16, 10).cast("bigint"),
+      lit(10000L))
+    docs.select(col("doc_id"), col("lang"))
+      .filter(bucket < math.round(frac * 10000).toInt)
+      .orderBy(col("doc_id"))
+  }
 
   def stratifiedSampleOf(docs: DataFrame): DataFrame = {
     val orderKey = md5(col("doc_id").cast("string"))

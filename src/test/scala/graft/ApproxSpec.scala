@@ -12,4 +12,21 @@ class ApproxSpec extends SparkTestBase {
     assert(r.getAs[Boolean]("approx_parts_within_5pct"))
     assert(r.getAs[Boolean]("approx_supps_within_5pct"))
   }
+
+  test("approx_percentile (q35's documented 100TB swap) stays within rank tolerance") {
+    import org.apache.spark.sql.functions._
+    // the swap SCALE.md promises for q35: prove the single-pass sketch's
+    // error bound on the same column the exact query uses. accuracy a ⇒
+    // rank error ≤ n/a; convert to a value-rank assertion, not a value
+    // distance (percentile error is a rank guarantee)
+    val acc = 1000
+    val li = graft.core.Tables.lineitem(spark, sf())
+    val n = li.count()
+    val approx = li.agg(
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(acc))).first().getDouble(0)
+    val rankOfApprox = li.filter(col("l_extendedprice") <= approx).count()
+    val tol = math.max(1L, n / acc) + 1
+    assert(math.abs(rankOfApprox - n / 2) <= tol,
+      s"approx median rank $rankOfApprox vs exact ${n / 2} (n=$n, tol=$tol)")
+  }
 }

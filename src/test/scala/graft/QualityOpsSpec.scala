@@ -123,6 +123,23 @@ class QualityOpsSpec extends SparkTestBase {
     assert(s1 === s2) // partitioning-independent membership
   }
 
+  test("t23 scale path: hash-threshold sample hits frac per stratum, stable under growth") {
+    def corpus(n: Long) = docs((1L to n).map(i => i -> s"text $i"): _*)
+      .withColumn("lang", when($"doc_id" % 2 === 0, "en").otherwise("es"))
+    val s1 = QualityOps.stratifiedSampleApproxOf(corpus(2000))
+      .select("doc_id").as[Long].collect().toSet
+    // binomial around 10% per stratum (1000 docs each)
+    val fracEn = s1.count(_ % 2 == 0) / 1000.0
+    val fracEs = s1.count(_ % 2 == 1) / 1000.0
+    assert(fracEn > 0.06 && fracEn < 0.14, s"en stratum sampled at $fracEn")
+    assert(fracEs > 0.06 && fracEs < 0.14, s"es stratum sampled at $fracEs")
+    // growing the corpus never changes an existing doc's membership —
+    // the property the per-stratum-quota (and any rand()) variant loses
+    val s2 = QualityOps.stratifiedSampleApproxOf(corpus(3000))
+      .select("doc_id").as[Long].collect().toSet
+    assert(s2.filter(_ <= 2000L) === s1)
+  }
+
   // ------------------------------------------------------------- t24
   test("t24 source mix: fractions sum to 1, weights flatten the mix") {
     val rows = (1L to 30L).map(i => i -> s"doc number $i")
