@@ -9,7 +9,9 @@ import org.apache.spark.sql.graftshim.ColumnBridge
   * the same codegen'd operators as the Column API:
   *
   *   token_hashes(text), shingle_hashes(text, k), simhash63(hashes),
-  *   minhash_signature(hashes, num), rolling_fingerprint(hashes)
+  *   minhash_signature(hashes, num), rolling_fingerprint(hashes),
+  *   md5_token_hashes(text), md5_shingle_hashes(text, k),
+  *   dot_product(array<double>, array<double>)
   *
   * Two wirings: [[GraftFunctions.register]] for an existing session, and
   * [[graft.GraftExtensions]] via `spark.sql.extensions` for cluster
@@ -37,6 +39,7 @@ object GraftFunctions {
     "md5_token_hashes" -> { args => NativeText.Md5TokenHashes(args.head) },
     "md5_shingle_hashes" -> { args =>
       NativeText.Md5ShingleHashes(args.head, intLit(args(1), "shingle k")) },
+    "dot_product" -> { args => NativeVector.DotProduct(args.head, args(1)) },
   )
 
   def register(spark: SparkSession): Unit =

@@ -24,6 +24,18 @@ class SqlFunctionsSpec extends SparkTestBase {
     assert(viaSql.getSeq[Long](2) === viaCols.getSeq[Long](2))
   }
 
+  test("dot_product from SQL equals the Column API kernel") {
+    GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT dot_product(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d")
+      .collect().head.getDouble(0)
+    assert(viaSql === 32.0)
+    // NULL contract carried through SQL: length mismatch → NULL
+    val mismatched = spark.sql(
+      "SELECT dot_product(array(1.0D), array(1.0D, 2.0D)) AS d").collect().head
+    assert(mismatched.isNullAt(0))
+  }
+
   test("non-literal signature size is rejected with a clear error") {
     GraftFunctions.register(spark)
     val e = intercept[Exception] {
