@@ -35,30 +35,42 @@ case class Warehouse(spark: SparkSession, dir: String) {
     * directories a reader can ever have resolved through the pointer.
     * Retention windows count THESE, not raw version dirs: a stray from a
     * crashed uncommitted write must not occupy a reader-window slot.
+    * An absent file reads Nil; any OTHER read failure propagates — the
+    * GC caller treats it as "window unknown, skip reclamation", never as
+    * an empty window (which would delete still-referenced versions).
     */
   private def history(name: String): Seq[String] = {
-    val p = historyPath(name)
-    if (!fs.exists(p)) Nil
-    else {
-      val in = fs.open(p)
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-      txt.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
-    }
+    val in = try fs.open(historyPath(name))
+             catch { case _: java.io.FileNotFoundException => return Nil }
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    txt.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
   }
 
-  private def appendHistory(name: String, vname: String): Unit = {
-    // best-effort (a crash between pointer flip and this append costs the
-    // missing entry at most one early GC, bounded by the prevLive keep);
-    // trimmed so the file never grows past a few dozen lines
+  /** History plus the new entry, SEEDED for the upgrade path: a table
+    * whose version dirs predate the history file treats every existing
+    * version as committed (they were written by the pre-history scheme,
+    * so any of them may be reader-visible) rather than letting the window
+    * collapse to just the new generation. Returns the entries (computed
+    * before any IO, so the GC can use them even if the best-effort write
+    * fails — a lost append costs at most one early reclamation, still
+    * bounded by the prevLive keep).
+    */
+  private def appendHistory(name: String, vname: String): Seq[String] = {
+    val prior = {
+      val h = try history(name) catch { case _: java.io.IOException => Nil }
+      if (h.nonEmpty) h
+      else listVersions(name).map(_._2.getName).filterNot(_ == vname)
+    }
+    val entries = (prior :+ vname).takeRight(16)
     try {
-      val entries = (history(name) :+ vname).takeRight(16)
       val tmp = new Path(dir, s"$name.__history.tmp")
       val out = fs.create(tmp, true)
       try out.write((entries.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
       if (fs.exists(historyPath(name))) fs.delete(historyPath(name), false)
       fs.rename(tmp, historyPath(name))
     } catch { case _: java.io.IOException => () }
+    entries
   }
 
   private def listVersions(name: String): Seq[(Long, Path)] = {
@@ -145,7 +157,7 @@ case class Warehouse(spark: SparkSession, dir: String) {
     if (fs.exists(ptr)) fs.delete(ptr, false)
     if (!fs.rename(tmp, ptr))
       throw new java.io.IOException(s"rewrite of $name failed to commit pointer")
-    appendHistory(name, vname)
+    val committed = appendHistory(name, vname)
 
     // best-effort GC keeps what pre-rewrite readers resolved (prevLive, by
     // identity — NOT by version number, which a stray uncommitted dir from
@@ -158,7 +170,7 @@ case class Warehouse(spark: SparkSession, dir: String) {
     // hazard versioning removes. Strays are swept here; multi-generation
     // reclamation belongs solely to `vacuum`, which the caller invokes
     // when no older readers can exist.
-    val recent = history(name).takeRight(RetainVersions)
+    val recent = committed.takeRight(RetainVersions)
     val keep = (recent :+ vname :+ prevLive.getName).toSet
     listVersions(name).foreach { case (_, p) =>
       if (!keep.contains(p.getName)) fs.delete(p, true) }

@@ -156,11 +156,13 @@ object IvfModel {
       // owner lookup is POSIX-only; where unsupported — or if the dir
       // vanishes between exists() and here (shared-tmp reapers) — skip
       // the check: the user-suffixed hashed path remains the (weaker)
-      // isolation, and a vanished dir just refits below
+      // isolation, and a vanished dir just refits below. Any OTHER
+      // IOException (e.g. AccessDenied on a foreign un-stat-able dir)
+      // propagates — refusing loudly, never silently trusting
       val owner = try Some(java.nio.file.Files.getOwner(rootNio).getName)
                   catch {
                     case _: UnsupportedOperationException => None
-                    case _: java.io.IOException => None
+                    case _: java.nio.file.NoSuchFileException => None
                   }
       owner.filter(_ != sys.props.getOrElse("user.name", "unknown")).foreach { o =>
         throw new IllegalStateException(

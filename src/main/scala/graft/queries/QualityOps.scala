@@ -253,21 +253,27 @@ object QualityOps {
     */
   val SampleFrac = 0.1
 
-  /** The scale path: keep a document iff its md5 bucket (0-9999) falls
-    * under frac·10000 — stateless, shuffle-free, stable under corpus
-    * growth (a doc's membership never changes when others are added, the
-    * property rand() sampling loses). Stratification is implicit: the
-    * hash is independent of lang, so each stratum is sampled at `frac`
-    * in expectation regardless of skew.
+  /** md5-derived bucket in [0, n): 15 hex chars of md5(doc_id) starting
+    * at `offset`, as a bigint mod n. Offset 1 is the t17/t26/t28 SPLIT
+    * hash (and must stay in sync with their oracle SQL); offset 16 (the
+    * digest's second half) gives a bucket INDEPENDENT of the split hash —
+    * the sampler uses it so sampling never systematically favors one
+    * split. Not a typo: the two offsets are deliberate decorrelation.
     */
-  def stratifiedSampleApproxOf(docs: DataFrame, frac: Double = SampleFrac): DataFrame = {
-    val bucket = pmod(
-      conv(substring(md5(col("doc_id").cast("string")), 16, 15), 16, 10).cast("bigint"),
-      lit(10000L))
+  private def md5Bucket(id: Column, n: Long, offset: Int = 1): Column =
+    pmod(conv(substring(md5(id.cast("string")), offset, 15), 16, 10).cast("bigint"), lit(n))
+
+  /** The scale path: keep a document iff its md5 bucket (0-9999) falls
+    * under frac·10000 — a stateless per-row filter (no window, no
+    * shuffle; callers add their own presentation sort), stable under
+    * corpus growth (a doc's membership never changes when others are
+    * added, the property rand() sampling loses). Stratification is
+    * implicit: the hash is independent of lang, so each stratum is
+    * sampled at `frac` in expectation regardless of skew.
+    */
+  def stratifiedSampleApproxOf(docs: DataFrame, frac: Double = SampleFrac): DataFrame =
     docs.select(col("doc_id"), col("lang"))
-      .filter(bucket < math.round(frac * 10000).toInt)
-      .orderBy(col("doc_id"))
-  }
+      .filter(md5Bucket(col("doc_id"), 10000L, offset = 16) < math.round(frac * 10000).toInt)
 
   def stratifiedSampleOf(docs: DataFrame): DataFrame = {
     val orderKey = md5(col("doc_id").cast("string"))
@@ -379,9 +385,7 @@ object QualityOps {
     * uniform hash key (drop the hint, shape unchanged).
     */
   def splitLeakageOf(docs: DataFrame): DataFrame = {
-    val bucket = pmod(
-      conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("bigint"),
-      lit(100L))
+    val bucket = md5Bucket(col("doc_id"), 100L)
     val sh = docs
       .withColumn("split",
         when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"))
@@ -437,9 +441,7 @@ object QualityOps {
     * semi-join of the tiny leaked-id set against the assignment.
     */
   def decontaminatedSplitOf(docs: DataFrame): DataFrame = {
-    val bucket = pmod(
-      conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("bigint"),
-      lit(100L))
+    val bucket = md5Bucket(col("doc_id"), 100L)
     val assigned = docs.select(col("doc_id"), col("lang"))
       .withColumn("split",
         when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"))

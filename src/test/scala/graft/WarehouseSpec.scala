@@ -120,6 +120,21 @@ class WarehouseSpec extends SparkTestBase {
     assert(names(wh) === Set("new"))
   }
 
+  test("upgrade path: version dirs predating the history file stay in the reader window") {
+    val wh = fresh()
+    wh.rewrite("t", Seq((1L, "old1")).toDF("id", "name"))
+    val pre = wh.read("t", schema) // reader holds the pre-history generation
+    // simulate a warehouse written by the pre-history scheme
+    val fs = new Path(wh.dir).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(wh.dir, "t.__history"), false)
+    wh.rewrite("t", Seq((1L, "new1")).toDF("id", "name"))
+    wh.rewrite("t", Seq((1L, "new2")).toDF("id", "name"))
+    // the seed treats pre-history versions as committed — the window must
+    // not collapse to just the post-upgrade generations
+    assert(pre.collect().map(_.getString(1)).toSet === Set("old1"))
+    assert(names(wh) === Set("new2"))
+  }
+
   test("a stray never shrinks the reader window (retention counts committed generations)") {
     val wh = fresh()
     wh.rewrite("t", Seq((1L, "gen1")).toDF("id", "name")) // v1, committed
