@@ -51,11 +51,15 @@ object CasEtl {
     val ckpt = wh.checkpoints
       .filter(col("formulario") === s"supervisiones_$tipo")
       .select(max(col("ultima_fecha"))).first().getTimestamp(0)
-    val parsedInc = Option(ckpt) match {
+    val parsedIncRaw = Option(ckpt) match {
       case Some(ts) => parsed0.filter(try_to_timestamp(col("date_submitted")) > lit(ts))
       case None     => parsed0
     }
-    val fetched = parsedInc.count()
+    // the fetched count rides the staging write as an Observation instead
+    // of its own count() action — a dedicated count re-parses the whole
+    // raw JSON increment, i.e. one extra full pass per sync at scale
+    val fetchedObs = org.apache.spark.sql.Observation()
+    val parsedInc = parsedIncRaw.observe(fetchedObs, count(lit(1)).as("fetched"))
 
     val existing = wh.supervisiones(tipo)
 
@@ -84,8 +88,19 @@ object CasEtl {
     // reference drops submissions without a resolvable location
     // (etl_sync.py:211-213, 293-295). Staged: everything below re-reads
     // this lineage after the master append, and the J8 anti-join against
-    // the target must not see its own output.
+    // the target must not see its own output. This write is also the one
+    // action that traverses the parse lineage — it materializes the
+    // fetched-count observation above.
     val withLoc = wh.stage(located.filter(col("zenput_location_id").isNotNull))
+    // AQE's runtime empty-relation propagation can eliminate the
+    // CollectMetrics node when the increment turns out empty (e.g. an
+    // idempotent re-run) — the observation then completes WITHOUT the
+    // metric. Fall back to the explicit count only in that rare case; the
+    // loaded-rows path always rides the staging write.
+    val fetched = fetchedObs.get.get("fetched") match {
+      case Some(n) => n.asInstanceOf[Long]
+      case None    => parsedIncRaw.count()
+    }
 
     // T6 + J7 + J6
     val scored = withLoc.withColumn("calificacion_general",
