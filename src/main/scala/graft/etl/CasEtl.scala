@@ -193,18 +193,26 @@ object CasEtl {
     val fixes = broadcast(source
       .filter(col("calificacion").isNotNull && col("calificacion") > 0)
       .select(col("zenput_submission_id"), col("calificacion")))
+    val fixable = (col("calificacion_general").isNull || col("calificacion_general") === 0) &&
+      col("calificacion").isNotNull
+    // the fixed-row count rides the rewrite's own write action (same
+    // Observation pattern as sync's fetched count) — the previous
+    // dedicated semi-join count() was a second full pass over the target
+    val obs = org.apache.spark.sql.Observation()
     val updated = target
       .join(fixes, Seq("zenput_submission_id"), "left")
+      .observe(obs, count(when(fixable, lit(1))).as("n_fixed"))
       .withColumn("calificacion_general",
-        when((col("calificacion_general").isNull || col("calificacion_general") === 0)
-          && col("calificacion").isNotNull, col("calificacion"))
-          .otherwise(col("calificacion_general")))
+        when(fixable, col("calificacion")).otherwise(col("calificacion_general")))
       .drop("calificacion")
-    val nFixed = target.filter(col("calificacion_general").isNull || col("calificacion_general") === 0)
-      .join(fixes, Seq("zenput_submission_id"), "left_semi").count()
     wh.rewrite(s"supervisiones_$tipo", updated.select(
       CasSchema.supervisiones.fieldNames.map(col).toIndexedSeq: _*))
-    nFixed
+    obs.get.get("n_fixed") match {
+      case Some(n) => n.asInstanceOf[Long]
+      case None    => // AQE eliminated the node (empty target/fixes)
+        target.filter(col("calificacion_general").isNull || col("calificacion_general") === 0)
+          .join(fixes, Seq("zenput_submission_id"), "left_semi").count()
+    }
   }
 
   /** Admin: make `periodoId` the single active period (app.py:165-183 —
