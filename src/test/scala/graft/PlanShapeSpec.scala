@@ -35,6 +35,23 @@ class PlanShapeSpec extends SparkTestBase {
       "vec_a < vec_id was not pushed into the hash join condition")
   }
 
+  test("t15's per-pair cosine projection stays inside whole-stage codegen") {
+    // the difference between the native DotProduct kernel and an
+    // interpreted formulation measured 105 s vs 5 s at sf0.1 — pin that
+    // the hot projection actually compiles (AQE off: WSCG nodes are only
+    // visible in the non-adaptive executedPlan)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = TextOps.t15CosineNearDup(spark, sf()).queryExecution.executedPlan
+      val codegenWithDot = plan.collect {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec
+          if w.toString.contains("dot_product") => w
+      }
+      assert(codegenWithDot.nonEmpty,
+        "per-pair dot_product projection is outside whole-stage codegen")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("t06 minhash band join is an equi join (bucketed, not all-pairs)") {
     val plan = TextOps.t06MinhashPairs(spark, sf()).queryExecution.sparkPlan
     val nodes = collectPlan(plan)
