@@ -539,6 +539,53 @@ object QualityOps {
        |FROM embeddings ORDER BY vec_id""".stripMargin
   }
 
+  // ------------------------------------------------------------- t29
+  /** Sequence packing — contiguous token-bin assignment for pretraining
+    * batch construction: within each language shard, documents (in
+    * doc_id order) fill fixed-[[PackCapacity]]-token bins; a document's
+    * bin/offset derive from the running token total before it, so the
+    * assignment is a pure windowed cumsum — deterministic, and a shard's
+    * packing never changes when OTHER shards grow. Real packers work per
+    * shard exactly like this (monolingual batches); the per-shard window
+    * is the inherent sequential core of packing, parallel across shards.
+    * Documents longer than the remaining bin space spill into the next
+    * bin (offset + n_tokens > capacity) — the chunker (t18) is what
+    * splits them downstream.
+    */
+  val PackCapacity = 2048L
+
+  def sequencePackingOf(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), col("lang"),
+        size(TF.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("tokens_before",
+        sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        expr(s"tokens_before div $PackCapacity").as("bin"),
+        (col("tokens_before") % PackCapacity).as("bin_offset"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
+  def t29SequencePacking(s: SparkSession, dir: String): DataFrame =
+    sequencePackingOf(documents(s, dir))
+
+  val t29Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS tokens_before
+       |  FROM t)
+       |SELECT doc_id, lang, n_tokens,
+       |  tokens_before // $PackCapacity AS bin,
+       |  tokens_before % $PackCapacity AS bin_offset
+       |FROM c ORDER BY lang, doc_id""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t20_quality_flags"     -> (t20QualityFlags _),
@@ -550,6 +597,7 @@ object QualityOps {
     "t26_split_leakage"     -> (t26SplitLeakage _),
     "t27_embed_quantize"    -> (t27EmbedQuantize _),
     "t28_decontaminated_split" -> (t28DecontaminatedSplit _),
+    "t29_sequence_packing"  -> (t29SequencePacking _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -562,5 +610,6 @@ object QualityOps {
     "t26_split_leakage"     -> t26Sql,
     "t27_embed_quantize"    -> t27Sql,
     "t28_decontaminated_split" -> t28Sql,
+    "t29_sequence_packing"  -> t29Sql,
   )
 }

@@ -219,6 +219,29 @@ class QualityOpsSpec extends SparkTestBase {
     assert(out(2L)._3 === 0.0)
   }
 
+  test("t29 sequence packing: bins fill to capacity, offsets contiguous per shard") {
+    // 5 docs of 1000 tokens in one lang: capacity 2048 → bins 0,0,1,1,2
+    val text1k = (1 to 1000).map(i => s"w$i").mkString(" ")
+    val out = QualityOps.sequencePackingOf(docs((1L to 5L).map(_ -> text1k): _*))
+      .select("doc_id", "bin", "bin_offset").as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    // bin/offset are where the document STARTS; doc 3 starts at offset
+    // 2000 of bin 0 and spills into bin 1 (the chunker splits it there)
+    assert(out(1L) === (0L, 0L))
+    assert(out(2L) === (0L, 1000L))
+    assert(out(3L) === (0L, 2000L))
+    assert(out(4L) === (1L, 952L))
+    assert(out(5L) === (1L, 1952L))
+    // shard isolation: adding an 'es' doc changes nothing for 'en'
+    val mixed = docs((1L to 5L).map(_ -> text1k) :+ (6L -> text1k): _*)
+      .withColumn("lang", when($"doc_id" === 6L, "es").otherwise("en"))
+    val again = QualityOps.sequencePackingOf(mixed)
+      .filter($"lang" === "en")
+      .select("doc_id", "bin", "bin_offset").as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(again === out)
+  }
+
   // ------------------------------------------------------------- t25
   test("t25 repetition: looping text scores high, varied text scores zero") {
     val loop = Seq.fill(10)("spam ham eggs").mkString(" ") // 30 toks, 3 distinct trigrams
