@@ -190,9 +190,14 @@ object CasEtl {
     */
   def backfillScores(wh: Warehouse, tipo: String, source: DataFrame): Long = {
     val target = wh.supervisiones(tipo)
+    // one fix row per submission id BEFORE the join: duplicate source
+    // keys (overlapping REST pages) would otherwise fan out the target
+    // rows through the left join — corrupting the rewrite's row count —
+    // and double-count n_fixed. Highest score wins deterministically.
     val fixes = broadcast(source
       .filter(col("calificacion").isNotNull && col("calificacion") > 0)
-      .select(col("zenput_submission_id"), col("calificacion")))
+      .groupBy(col("zenput_submission_id"))
+      .agg(max(col("calificacion")).as("calificacion")))
     val fixable = (col("calificacion_general").isNull || col("calificacion_general") === 0) &&
       col("calificacion").isNotNull
     // the fixed-row count rides the rewrite's own write action (same

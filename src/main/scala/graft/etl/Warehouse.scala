@@ -48,20 +48,23 @@ case class Warehouse(spark: SparkSession, dir: String) {
   }
 
   /** History plus the new entry, SEEDED for the upgrade path: a table
-    * whose version dirs predate the history file treats every existing
-    * version as committed (they were written by the pre-history scheme,
-    * so any of them may be reader-visible) rather than letting the window
-    * collapse to just the new generation. Returns the entries (computed
-    * before any IO, so the GC can use them even if the best-effort write
-    * fails — a lost append costs at most one early reclamation, still
-    * bounded by the prevLive keep).
+    * whose version dirs predate the history file (it reads ABSENT, not
+    * failed) treats every existing version as committed — they were
+    * written by the pre-history scheme, so any of them may be
+    * reader-visible. A TRANSIENT read failure is different: the committed
+    * set is unknown, and fabricating it from raw version dirs would let a
+    * stray occupy a window slot and be recorded as committed — so the
+    * caller gets None, skips GC for this rewrite, and leaves the history
+    * file untouched for the next rewrite to read (the missing vname entry
+    * is covered by the prevLive keep until then).
     */
-  private def appendHistory(name: String, vname: String): Seq[String] = {
-    val prior = {
-      val h = try history(name) catch { case _: java.io.IOException => Nil }
-      if (h.nonEmpty) h
-      else listVersions(name).map(_._2.getName).filterNot(_ == vname)
-    }
+  private def appendHistory(name: String, vname: String): Option[Seq[String]] = {
+    val prior =
+      try {
+        val h = history(name)
+        if (h.nonEmpty) h
+        else listVersions(name).map(_._2.getName).filterNot(_ == vname)
+      } catch { case _: java.io.IOException => return None }
     val entries = (prior :+ vname).takeRight(16)
     try {
       val tmp = new Path(dir, s"$name.__history.tmp")
@@ -70,7 +73,7 @@ case class Warehouse(spark: SparkSession, dir: String) {
       if (fs.exists(historyPath(name))) fs.delete(historyPath(name), false)
       fs.rename(tmp, historyPath(name))
     } catch { case _: java.io.IOException => () }
-    entries
+    Some(entries)
   }
 
   private def listVersions(name: String): Seq[(Long, Path)] = {
@@ -157,7 +160,7 @@ case class Warehouse(spark: SparkSession, dir: String) {
     if (fs.exists(ptr)) fs.delete(ptr, false)
     if (!fs.rename(tmp, ptr))
       throw new java.io.IOException(s"rewrite of $name failed to commit pointer")
-    val committed = appendHistory(name, vname)
+    val committedOpt = appendHistory(name, vname)
 
     // best-effort GC keeps what pre-rewrite readers resolved (prevLive, by
     // identity — NOT by version number, which a stray uncommitted dir from
@@ -170,10 +173,12 @@ case class Warehouse(spark: SparkSession, dir: String) {
     // hazard versioning removes. Strays are swept here; multi-generation
     // reclamation belongs solely to `vacuum`, which the caller invokes
     // when no older readers can exist.
-    val recent = committed.takeRight(RetainVersions)
-    val keep = (recent :+ vname :+ prevLive.getName).toSet
-    listVersions(name).foreach { case (_, p) =>
-      if (!keep.contains(p.getName)) fs.delete(p, true) }
+    committedOpt.foreach { committed =>
+      val recent = committed.takeRight(RetainVersions)
+      val keep = (recent :+ vname :+ prevLive.getName).toSet
+      listVersions(name).foreach { case (_, p) =>
+        if (!keep.contains(p.getName)) fs.delete(p, true) }
+    }
   }
 
   /** Version directories `rewrite` retains beyond the live one — bounds

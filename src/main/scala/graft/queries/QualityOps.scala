@@ -582,8 +582,8 @@ object QualityOps {
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS tokens_before
        |  FROM t)
        |SELECT doc_id, lang, n_tokens,
-       |  tokens_before // $PackCapacity AS bin,
-       |  tokens_before % $PackCapacity AS bin_offset
+       |  CAST(tokens_before // $PackCapacity AS BIGINT) AS bin,
+       |  CAST(tokens_before % $PackCapacity AS BIGINT) AS bin_offset
        |FROM c ORDER BY lang, doc_id""".stripMargin
 
   // ------------------------------------------------------------ registry

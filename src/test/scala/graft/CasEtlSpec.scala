@@ -161,6 +161,17 @@ class CasEtlSpec extends SparkTestBase {
     val scores = wh.supervisiones("seguridad").orderBy("zenput_submission_id")
       .collect().map(_.getAs[Double]("calificacion_general"))
     assert(scores.toSeq === Seq(85.0, 90.0)) // g9 untouched (already nonzero)
+
+    // duplicate source keys (overlapping REST pages): the target must not
+    // fan out through the join, the count must not double, highest wins
+    val wh2 = freshWarehouse()
+    wh2.append("supervisiones_seguridad", seed)
+    val dupSource = Seq(("g1", 70.0), ("g1", 80.0))
+      .toDF("zenput_submission_id", "calificacion")
+    assert(CasEtl.backfillScores(wh2, "seguridad", dupSource) === 1)
+    val rows = wh2.supervisiones("seguridad").collect()
+    assert(rows.length === 2) // no row fan-out through the rewrite
+    assert(rows.map(_.getAs[Double]("calificacion_general")).sorted.toSeq === Seq(80.0, 90.0))
   }
 
   test("T8 period transition fires only at full coverage") {

@@ -40,6 +40,7 @@ class PlanShapeSpec extends SparkTestBase {
     // interpreted formulation measured 105 s vs 5 s at sf0.1 — pin that
     // the hot projection actually compiles (AQE off: WSCG nodes are only
     // visible in the non-adaptive executedPlan)
+    val saved = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val plan = TextOps.t15CosineNearDup(spark, sf()).queryExecution.executedPlan
@@ -49,7 +50,7 @@ class PlanShapeSpec extends SparkTestBase {
       }
       assert(codegenWithDot.nonEmpty,
         "per-pair dot_product projection is outside whole-stage codegen")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
   }
 
   test("t06 minhash band join is an equi join (bucketed, not all-pairs)") {
