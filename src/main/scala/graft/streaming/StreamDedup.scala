@@ -1,0 +1,44 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Watermark-bounded exact dedup of a continuous document stream — the
+  * streaming face of t01 (exact dedup) for a corpus ingested as it
+  * arrives rather than scanned at rest.
+  *
+  * At 100 TB of continuous ingestion the naive stream dedup
+  * (`dropDuplicates` with no watermark) keeps every key ever seen in
+  * state forever — state grows with the corpus and the job eventually
+  * dies. `dropDuplicatesWithinWatermark` keeps state only for keys whose
+  * event time is newer than the watermark: duplicates that arrive within
+  * `delay` of the original are dropped with O(arrival-rate × delay)
+  * state, independent of stream length. Duplicates separated by MORE
+  * than `delay` pass through — by contract — and are the batch dedup's
+  * job downstream (t01 over the landed corpus). That split (cheap
+  * bounded-state online dedup for the common near-in-time repeat —
+  * re-crawls, retried uploads — plus a periodic exact batch pass for the
+  * long tail) is how continuous pipelines actually run.
+  */
+object StreamDedup {
+
+  /** One row per distinct `keyCols` combination among rows arriving
+    * within the watermark delay of each other; first arrival wins.
+    * Works on streaming frames (bounded state) and, degenerately, on
+    * batch frames (plain dedup) — StreamDedupSpec pins both and the
+    * state-expiry boundary.
+    */
+  def withinWatermark(docs: DataFrame, keyCols: Seq[String],
+                      eventCol: String, delay: String): DataFrame =
+    docs.withWatermark(eventCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Content-identity variant: dedup by exact text digest (t01's key) so
+    * re-crawled bodies with different ids collapse too. The digest is
+    * computed once, pre-state; payload columns ride along untouched.
+    */
+  def byContent(docs: DataFrame, eventCol: String, delay: String): DataFrame =
+    withinWatermark(
+      docs.withColumn("content_key", xxhash64(col("text"))),
+      Seq("content_key"), eventCol, delay)
+}
