@@ -586,6 +586,101 @@ object QualityOps {
        |  CAST(tokens_before % $PackCapacity AS BIGINT) AS bin_offset
        |FROM c ORDER BY lang, doc_id""".stripMargin
 
+  // ------------------------------------------------------------- t30
+  /** Deterministic corpus shuffle into numbered training shards — the
+    * reproducible "global shuffle" a training run needs for example order,
+    * without RNG state: shard and within-shard position both derive from
+    * md5 of the doc id, so any two runs (and any cluster size) produce the
+    * same order. The hash input is prefixed `shard:` to decorrelate it
+    * from the split hash (t17, md5 offset 1) and the sampler bucket (t23,
+    * offset 16) — shard must not be a function of split membership.
+    *
+    * Scale shape: shard assignment is a stateless per-row hash (no
+    * shuffle); the only exchange is the position window's partition-by-
+    * shard, and each shard sorts independently — exactly the
+    * `repartition(shard).sortWithinPartitions(hash)` layout a sharded
+    * training-file writer uses. [[NumShards]] is corpus/shard-size at
+    * 100 TB (thousands), so no shard outgrows a task.
+    */
+  val NumShards = 8L
+
+  def corpusShuffleOf(docs: DataFrame): DataFrame = {
+    val withHash = docs.select(col("doc_id"),
+      md5(concat(lit("shard:"), col("doc_id").cast("string"))).as("hx"))
+    val sharded = withHash.withColumn("shard",
+      pmod(conv(substring(col("hx"), 1, 15), 16, 10).cast("bigint"), lit(NumShards)))
+    val w = Window.partitionBy(col("shard")).orderBy(col("hx"), col("doc_id"))
+    sharded
+      .withColumn("pos", row_number().over(w))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  def t30CorpusShuffle(s: SparkSession, dir: String): DataFrame =
+    corpusShuffleOf(documents(s, dir))
+
+  val t30Sql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id, md5('shard:' || CAST(doc_id AS VARCHAR)) AS hx
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, hx,
+       |    CAST(('0x' || substring(hx, 1, 15)) AS BIGINT) % $NumShards AS shard
+       |  FROM h)
+       |SELECT doc_id, shard,
+       |  CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id) AS INT) AS pos
+       |FROM s ORDER BY shard, pos""".stripMargin
+
+  // ------------------------------------------------------------- t31
+  /** Per-language top-k trigram heavy hitters — the corpus-level n-gram
+    * frequency profile behind boilerplate discovery ("which exact phrases
+    * dominate this crawl?") and dedup-rule tuning. Non-distinct trigrams
+    * (unlike [[TF.shingles]]) because frequency IS the signal.
+    *
+    * Scale shape: explode fans out to ~|tokens| rows but the groupBy
+    * aggregates map-side (partial combine) before the one uniform-key
+    * shuffle on (lang, trigram); the top-k window then runs over the
+    * already-aggregated counts frame and `row_number ≤ k` compiles to a
+    * WindowGroupLimit partial below the window's exchange, so no task
+    * ever holds more than k rows per language past the shuffle.
+    */
+  val TopNgrams = 10
+
+  def topNgramsOf(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("lang"), TF.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+    val tri = toks.select(col("lang"),
+      explode(transform(sequence(lit(0), size(col("toks")) - 3),
+        i => concat_ws(" ", slice(col("toks"), i + 1, lit(3))))).as("trigram"))
+    val counts = tri.groupBy(col("lang"), col("trigram")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("trigram"))
+    counts
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopNgrams)
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  def t31TopNgrams(s: SparkSession, dir: String): DataFrame =
+    topNgramsOf(documents(s, dir))
+
+  val t31Sql: String =
+    s"""WITH t AS (
+       |  SELECT lang,
+       |    list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |g AS (
+       |  SELECT lang,
+       |    unnest(list_transform(generate_series(1, len(toks)-2),
+       |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS trigram
+       |  FROM t WHERE len(toks) >= 3),
+       |c AS (SELECT lang, trigram, count(*) AS n FROM g GROUP BY lang, trigram),
+       |r AS (
+       |  SELECT lang, trigram, n,
+       |    CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, trigram) AS INT) AS rk
+       |  FROM c)
+       |SELECT lang, trigram, n, rk FROM r
+       |WHERE rk <= $TopNgrams ORDER BY lang, rk""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t20_quality_flags"     -> (t20QualityFlags _),
@@ -598,6 +693,8 @@ object QualityOps {
     "t27_embed_quantize"    -> (t27EmbedQuantize _),
     "t28_decontaminated_split" -> (t28DecontaminatedSplit _),
     "t29_sequence_packing"  -> (t29SequencePacking _),
+    "t30_corpus_shuffle"    -> (t30CorpusShuffle _),
+    "t31_top_ngrams"        -> (t31TopNgrams _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -611,5 +708,7 @@ object QualityOps {
     "t27_embed_quantize"    -> t27Sql,
     "t28_decontaminated_split" -> t28Sql,
     "t29_sequence_packing"  -> t29Sql,
+    "t30_corpus_shuffle"    -> t30Sql,
+    "t31_top_ngrams"        -> t31Sql,
   )
 }

@@ -783,11 +783,11 @@ object TextOps {
     * Same md5-60bit bigint trick as the dedup family, so DuckDB replays
     * the exact assignment.
     */
-  def t17TrainSplit(s: SparkSession, dir: String): DataFrame = {
+  def trainSplitOf(docs: DataFrame): DataFrame = {
     val bucket = pmod(
       conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("bigint"),
       lit(100L))
-    documents(s, dir)
+    docs
       .select(col("doc_id"), col("lang"), bucket.as("bucket"))
       .withColumn("split",
         when(col("bucket") < 90, "train")
@@ -795,6 +795,9 @@ object TextOps {
           .otherwise("test"))
       .orderBy(col("doc_id"))
   }
+
+  def t17TrainSplit(s: SparkSession, dir: String): DataFrame =
+    trainSplitOf(documents(s, dir))
 
   val t17Sql: String =
     """WITH b AS (

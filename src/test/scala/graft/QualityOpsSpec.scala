@@ -254,4 +254,50 @@ class QualityOpsSpec extends SparkTestBase {
     assert(out(1L)._4 === (1.0 - 3.0 / 28) +- 1e-4)
     assert(out(2L)._4 === 0.0)
   }
+
+  // ------------------------------------------------------------- t30
+  test("t30 corpus shuffle: exact cover, contiguous positions, partitioning-invariant") {
+    val corpus = docs((1L to 100L).map(id => id -> s"doc $id body"): _*)
+    val out = QualityOps.corpusShuffleOf(corpus)
+      .select("doc_id", "shard", "pos").as[(Long, Long, Int)].collect()
+    // every doc lands in exactly one shard
+    assert(out.map(_._1).sorted.toSeq === (1L to 100L))
+    // positions are contiguous 1..n within each shard (a total order)
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1 to rows.length)) }
+    // more than one shard actually used on 100 docs
+    assert(out.map(_._2).distinct.length > 1)
+    // the order is a pure function of doc_id: physical partitioning is irrelevant
+    val again = QualityOps.corpusShuffleOf(corpus.repartition(7))
+      .select("doc_id", "shard", "pos").as[(Long, Long, Int)].collect()
+    assert(again.sortBy(_._1).toSeq === out.sortBy(_._1).toSeq)
+  }
+
+  test("t30 shard is decorrelated from the t17 split hash") {
+    // split uses md5(doc_id) offset 1; shard uses md5('shard:'||doc_id).
+    // If shard were derived from the split hash, every doc in one split
+    // bucket would share a shard residue (8 divides 10000). Check train
+    // docs spread across ALL shards.
+    val corpus = docs((1L to 200L).map(id => id -> s"doc $id"): _*)
+    val shards = QualityOps.corpusShuffleOf(corpus)
+    val split = graft.queries.TextOps.trainSplitOf(corpus)
+    val trainShards = shards.join(split, "doc_id")
+      .filter($"split" === "train")
+      .select("shard").as[Long].collect().distinct
+    assert(trainShards.length === QualityOps.NumShards)
+  }
+
+  // ------------------------------------------------------------- t31
+  test("t31 top ngrams: frequencies exact, ties alphabetical, per-lang isolation") {
+    val looping = "a b c a b c a b c" // "a b c"×3, "b c a"×2, "c a b"×2
+    val corpus = docs(1L -> looping, 2L -> "x y z w")
+      .withColumn("lang", when($"doc_id" === 2L, "es").otherwise("en"))
+    val out = QualityOps.topNgramsOf(corpus)
+      .select("lang", "trigram", "n", "rk").as[(String, String, Long, Int)].collect()
+    val en = out.filter(_._1 == "en").sortBy(_._4)
+    assert(en.toSeq === Seq(
+      ("en", "a b c", 3L, 1), ("en", "b c a", 2L, 2), ("en", "c a b", 2L, 3)))
+    val es = out.filter(_._1 == "es").sortBy(_._4)
+    assert(es.toSeq === Seq(("es", "x y z", 1L, 1), ("es", "y z w", 1L, 2)))
+  }
 }
