@@ -681,6 +681,119 @@ object QualityOps {
        |SELECT lang, trigram, n, rk FROM r
        |WHERE rk <= $TopNgrams ORDER BY lang, rk""".stripMargin
 
+  // ------------------------------------------------------------- t32
+  /** Source-mix flattening by deterministic downsampling: every source is
+    * hash-thresholded down to the SMALLEST source's document count, the
+    * executable counterpart of t24's bookkeeping (whose upsample weights
+    * a filter cannot apply). Per-doc keep/drop is a pure hash of the doc
+    * id against a per-source integer threshold `min_n·10^6 div n_s` —
+    * integer arithmetic end to end, so Spark and DuckDB agree bit-for-bit
+    * and membership is stable under re-runs and re-partitioning. Quotas
+    * are binomial-exact-in-expectation (the t23 scale-path trade: no
+    * per-stratum window, no RNG state). The hash input is
+    * `mix:`-prefixed — independent of the split (t17), sampler (t23),
+    * and shard (t30) hashes.
+    *
+    * Scale shape: one corpus scan, the per-source count agg, and a
+    * broadcast of the |sources|-row threshold table back onto the scan —
+    * the filter itself never shuffles.
+    */
+  def flattenMixOf(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("min_n", min(col("n_docs")).over())
+      .withColumn("keep_ppm", expr("(min_n * 1000000L) div n_docs"))
+    val bucket = pmod(
+      conv(substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+        .cast("bigint"),
+      lit(1000000L))
+    docs.select(col("doc_id"), col("source"), bucket.as("ppm"))
+      .join(broadcast(counts), "source")
+      .filter(col("ppm") < col("keep_ppm"))
+      .groupBy(col("source"))
+      .agg(max(col("n_docs")).as("n_docs"), max(col("keep_ppm")).as("keep_ppm"),
+        count(lit(1)).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
+  def t32FlattenMix(s: SparkSession, dir: String): DataFrame =
+    flattenMixOf(documents(s, dir))
+
+  val t32Sql: String =
+    """WITH counts AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    min(count(*)) OVER () AS min_n
+      |  FROM documents GROUP BY source),
+      |th AS (
+      |  SELECT source, n_docs, min_n * 1000000 // n_docs AS keep_ppm FROM counts),
+      |kept AS (
+      |  SELECT d.source, t.n_docs, t.keep_ppm
+      |  FROM documents d JOIN th t USING (source)
+      |  WHERE CAST(('0x' || substring(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 15))
+      |          AS BIGINT) % 1000000 < t.keep_ppm)
+      |SELECT source, max(n_docs) AS n_docs, max(keep_ppm) AS keep_ppm,
+      |  count(*) AS n_kept
+      |FROM kept GROUP BY source ORDER BY source""".stripMargin
+
+  // ------------------------------------------------------------- t33
+  /** Token-IDF rarity score — the "is this document made of rare or
+    * common vocabulary" signal used for quality triage and
+    * domain-shift detection: corpus document frequency per token,
+    * idf = ln(N/df), and per-document mean idf over distinct tokens.
+    *
+    * Determinism across engines: idf is snapped to integer MICRO-UNITS
+    * (`floor(idf·10^6 + 0.5)` as bigint) before the per-document sum, so
+    * the aggregation is exact integer arithmetic — no FP accumulation
+    * order to diverge between Spark's partial aggregates and DuckDB. The
+    * mean then divides two exact integers, which both engines round
+    * identically ([[graft.functions.Rounding]]).
+    *
+    * Scale shape: distinct-token explode (one corpus scan per side — a
+    * production pipeline materializes the idf vocab table once and
+    * reuses it), map-side-combined df aggregation shuffled on token
+    * (uniform), the idf join shuffled on token, and the per-doc roll-up
+    * shuffled on doc_id. The N scalar rides a broadcast cross join, not
+    * a driver action.
+    */
+  def tokenIdfOf(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(array_distinct(TF.tokens(col("text")))).as("token"))
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    val idf = toks.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(total))
+      .select(col("token"),
+        floor(log(col("n_total").cast("double") / col("df")) * 1000000 + 0.5)
+          .cast("bigint").as("idf_micro"))
+    toks.join(idf, "token")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_distinct"), sum(col("idf_micro")).as("idf_sum_micro"))
+      .select(col("doc_id"), col("n_distinct"), col("idf_sum_micro"),
+        R.halfUp(col("idf_sum_micro") / (col("n_distinct") * lit(1000000.0)), 4)
+          .as("rarity"))
+      .orderBy(col("doc_id"))
+  }
+
+  def t33TokenIdf(s: SparkSession, dir: String): DataFrame =
+    tokenIdfOf(documents(s, dir))
+
+  val t33Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    unnest(list_distinct(list_filter(
+       |      string_split_regex(lower(trim(text)), '\\s+'), x -> x <> ''))) AS token
+       |  FROM documents),
+       |n AS (SELECT count(*) AS n_total FROM documents),
+       |i AS (
+       |  SELECT token,
+       |    CAST(floor(ln(n_total * 1.0 / count(*)) * 1000000 + 0.5) AS BIGINT) AS idf_micro
+       |  FROM t, n GROUP BY token, n_total),
+       |d AS (
+       |  SELECT t.doc_id, count(*) AS n_distinct,
+       |    CAST(sum(i.idf_micro) AS BIGINT) AS idf_sum_micro
+       |  FROM t JOIN i USING (token) GROUP BY t.doc_id)
+       |SELECT doc_id, n_distinct, idf_sum_micro,
+       |  ${R.halfUpSql("idf_sum_micro * 1.0 / (n_distinct * 1000000)", 4)} AS rarity
+       |FROM d ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t20_quality_flags"     -> (t20QualityFlags _),
@@ -695,6 +808,8 @@ object QualityOps {
     "t29_sequence_packing"  -> (t29SequencePacking _),
     "t30_corpus_shuffle"    -> (t30CorpusShuffle _),
     "t31_top_ngrams"        -> (t31TopNgrams _),
+    "t32_flatten_mix"       -> (t32FlattenMix _),
+    "t33_token_idf"         -> (t33TokenIdf _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -710,5 +825,7 @@ object QualityOps {
     "t29_sequence_packing"  -> t29Sql,
     "t30_corpus_shuffle"    -> t30Sql,
     "t31_top_ngrams"        -> t31Sql,
+    "t32_flatten_mix"       -> t32Sql,
+    "t33_token_idf"         -> t33Sql,
   )
 }

@@ -300,4 +300,41 @@ class QualityOpsSpec extends SparkTestBase {
     val es = out.filter(_._1 == "es").sortBy(_._4)
     assert(es.toSeq === Seq(("es", "x y z", 1L, 1), ("es", "y z w", 1L, 2)))
   }
+
+  // ------------------------------------------------------------- t32
+  test("t32 flatten mix: smallest source kept whole, larger sources thresholded") {
+    val corpus = docs((1L to 110L).map(id => id -> s"doc $id"): _*)
+      .withColumn("source", when($"doc_id" <= 100L, "big").otherwise("small"))
+    val out = QualityOps.flattenMixOf(corpus)
+      .select("source", "n_docs", "keep_ppm", "n_kept")
+      .as[(String, Long, Long, Long)].collect().map(t => t._1 -> t).toMap
+    // the smallest source's threshold is exactly 10^6 → every doc passes
+    assert(out("small") === ("small", 10L, 1000000L, 10L))
+    // the big source is downsampled toward 10 docs (hash-binomial around 10%)
+    assert(out("big")._3 === 100000L)
+    assert(out("big")._4 > 0L && out("big")._4 < 100L)
+    // membership is a pure hash: physical partitioning changes nothing
+    val again = QualityOps.flattenMixOf(corpus.repartition(7))
+      .select("source", "n_docs", "keep_ppm", "n_kept")
+      .as[(String, Long, Long, Long)].collect().map(t => t._1 -> t).toMap
+    assert(again === out)
+  }
+
+  // ------------------------------------------------------------- t33
+  test("t33 token idf: ubiquitous tokens score zero, rare tokens raise the mean") {
+    val corpus = docs(
+      1L -> "common",
+      2L -> "common common rare", // duplicate 'common' counts once (distinct)
+      3L -> "common",
+      4L -> "common")
+    val out = QualityOps.tokenIdfOf(corpus)
+      .select("doc_id", "n_distinct", "idf_sum_micro", "rarity")
+      .as[(Long, Long, Long, Double)].collect().map(t => t._1 -> t).toMap
+    // df(common)=4 of N=4 → idf 0; a doc of only 'common' has rarity 0
+    assert(out(1L) === (1L, 1L, 0L, 0.0))
+    // df(rare)=1 → idf ln(4); micro-snapped then averaged over 2 tokens
+    val lnFourMicro = math.floor(math.log(4.0) * 1e6 + 0.5).toLong
+    assert(out(2L)._3 === lnFourMicro)
+    assert(out(2L)._4 === math.floor(lnFourMicro / 2e6 * 1e4 + 0.5) / 1e4)
+  }
 }
