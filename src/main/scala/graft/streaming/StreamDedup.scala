@@ -35,10 +35,12 @@ object StreamDedup {
 
   /** Content-identity variant: dedup by exact text digest (t01's key) so
     * re-crawled bodies with different ids collapse too. The digest is
-    * computed once, pre-state; payload columns ride along untouched.
+    * computed once, pre-state, and dropped after — the survivor stream
+    * has the input schema; payload columns ride along untouched.
     */
   def byContent(docs: DataFrame, eventCol: String, delay: String): DataFrame =
     withinWatermark(
       docs.withColumn("content_key", xxhash64(col("text"))),
       Seq("content_key"), eventCol, delay)
+      .drop("content_key")
 }

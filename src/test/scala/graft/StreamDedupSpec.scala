@@ -62,5 +62,7 @@ class StreamDedupSpec extends SparkTestBase {
     } finally q.stop()
     val out = spark.table("sd_content").collect().map(_.getAs[Long]("doc_id")).toSeq.sorted
     assert(out === Seq(1L, 3L)) // first arrival wins per content digest
+    // the internal digest column does not leak: output schema == input schema
+    assert(spark.table("sd_content").columns.toSeq === Seq("doc_id", "ts", "text"))
   }
 }
