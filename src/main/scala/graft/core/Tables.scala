@@ -57,6 +57,12 @@ object Tables {
         else Seq(st)
       entries.map(e => s"${e.getPath.getName}:${e.getLen}:${e.getModificationTime}")
         .mkString(",")
-    } catch { case _: java.io.IOException => "absent" }
+    } catch {
+      // a failed listing must never equal any other stamp — including a
+      // PRIOR failed listing — or a cache keyed on the stamp could serve
+      // a stale frame across a rewrite it failed to observe. Unique per
+      // call → always a cache miss → recompute (safe, merely slower).
+      case _: java.io.IOException => s"unreadable:${java.util.UUID.randomUUID()}"
+    }
   }
 }

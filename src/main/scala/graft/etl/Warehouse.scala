@@ -58,13 +58,25 @@ case class Warehouse(spark: SparkSession, dir: String) {
     * file untouched for the next rewrite to read (the missing vname entry
     * is covered by the prevLive keep until then).
     */
-  private def appendHistory(name: String, vname: String): Option[Seq[String]] = {
-    val prior =
+  private def appendHistory(name: String, vname: String,
+                            prevLive: Option[String]): Option[Seq[String]] = {
+    val read =
       try {
         val h = history(name)
         if (h.nonEmpty) h
         else listVersions(name).map(_._2.getName).filterNot(_ == vname)
       } catch { case _: java.io.IOException => return None }
+    // SELF-HEAL a lost append: the history write below is best-effort, so
+    // the file may lack the previous rewrite's entry. The pre-rewrite live
+    // target is committed BY DEFINITION (readers resolved through the
+    // pointer), so if it is version-named and absent, restore it — without
+    // this, a single swallowed write would silently narrow the committed
+    // window below RetainVersions two rewrites later. Consecutive lost
+    // writes degrade by at most one generation per loss (documented bound).
+    val prior = prevLive match {
+      case Some(pl) if pl.startsWith(s"$name.__v") && !read.contains(pl) => read :+ pl
+      case _ => read
+    }
     val entries = (prior :+ vname).takeRight(16)
     try {
       val tmp = new Path(dir, s"$name.__history.tmp")
@@ -160,7 +172,7 @@ case class Warehouse(spark: SparkSession, dir: String) {
     if (fs.exists(ptr)) fs.delete(ptr, false)
     if (!fs.rename(tmp, ptr))
       throw new java.io.IOException(s"rewrite of $name failed to commit pointer")
-    val committedOpt = appendHistory(name, vname)
+    val committedOpt = appendHistory(name, vname, Some(prevLive.getName))
 
     // best-effort GC keeps what pre-rewrite readers resolved (prevLive, by
     // identity — NOT by version number, which a stray uncommitted dir from
@@ -202,7 +214,7 @@ case class Warehouse(spark: SparkSession, dir: String) {
     // reset the retention history to the sole surviving generation
     try {
       if (fs.exists(historyPath(name))) fs.delete(historyPath(name), false)
-      if (live.startsWith(s"$name.__v")) appendHistory(name, live)
+      if (live.startsWith(s"$name.__v")) appendHistory(name, live, None)
     } catch { case _: java.io.IOException => () }
   }
 

@@ -131,9 +131,10 @@ object QualityOps {
     * a has_pii flag, and the md5 of the fully-redacted text — the check
     * that redaction actually happened (content-verified, without shipping
     * redacted text through the result). Single scan, all regex ops
-    * codegen'd, no shuffle.
+    * codegen'd, no shuffle — and no sort, so it drops unchanged into a
+    * streaming ingest (same split as t20's signals/flags pair).
     */
-  def piiScanOf(docs: DataFrame): DataFrame = {
+  def piiSignalsOf(docs: DataFrame): DataFrame = {
     val redacted =
       regexp_replace(
         regexp_replace(
@@ -148,8 +149,14 @@ object QualityOps {
         md5(redacted).as("redacted_hash"))
       .withColumn("has_pii",
         col("n_emails") + col("n_ips") + col("n_phones") > 0)
-      .orderBy(col("doc_id"))
   }
+
+  /** Batch wrapper: the signals plus the presentation sort (global sorts
+    * don't exist on unbounded streams, so the sort lives here, not in
+    * [[piiSignalsOf]]).
+    */
+  def piiScanOf(docs: DataFrame): DataFrame =
+    piiSignalsOf(docs).orderBy(col("doc_id"))
 
   def t21PiiScan(s: SparkSession, dir: String): DataFrame =
     piiScanOf(documents(s, dir))
@@ -385,10 +392,8 @@ object QualityOps {
     * uniform hash key (drop the hint, shape unchanged).
     */
   def splitLeakageOf(docs: DataFrame): DataFrame = {
-    val bucket = md5Bucket(col("doc_id"), 100L)
     val sh = docs
-      .withColumn("split",
-        when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"))
+      .withColumn("split", TextOps.splitAssign(col("doc_id")))
       .select(col("doc_id"), col("split"),
         explode(NT.md5ShingleHashes(col("text"), ContamNGram)).as("h"))
     val eval_ = sh.filter(col("split") =!= "train")
@@ -408,9 +413,7 @@ object QualityOps {
     val gram = (0 until ContamNGram).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
     s"""WITH b AS (
        |  SELECT doc_id, text,
-       |    CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'train'
-       |         WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 95 THEN 'val'
-       |         ELSE 'test' END AS split
+       |    ${TextOps.splitAssignSql("doc_id")} AS split
        |  FROM documents),
        |t AS (
        |  SELECT doc_id, split,
@@ -441,10 +444,8 @@ object QualityOps {
     * semi-join of the tiny leaked-id set against the assignment.
     */
   def decontaminatedSplitOf(docs: DataFrame): DataFrame = {
-    val bucket = md5Bucket(col("doc_id"), 100L)
     val assigned = docs.select(col("doc_id"), col("lang"))
-      .withColumn("split",
-        when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"))
+      .withColumn("split", TextOps.splitAssign(col("doc_id")))
     val leaked = splitLeakageOf(docs).select(col("train_doc").as("doc_id")).distinct()
       .withColumn("leaked", lit(true))
     assigned.join(broadcast(leaked), Seq("doc_id"), "left")
@@ -462,9 +463,7 @@ object QualityOps {
     val gram = (0 until ContamNGram).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
     s"""WITH b AS (
        |  SELECT doc_id, lang, text,
-       |    CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'train'
-       |         WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 95 THEN 'val'
-       |         ELSE 'test' END AS split
+       |    ${TextOps.splitAssignSql("doc_id")} AS split
        |  FROM documents),
        |t AS (
        |  SELECT doc_id, split,

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -211,7 +211,13 @@ object TextOps {
     * each operator cold).
     */
   def invalidatePairCache(): Unit = {
-    pairCache.values.foreach { case (_, df) => df.unpersist(false) }
+    // a frame cached under a since-stopped session throws from unpersist
+    // (stopped RpcEnv) — that entry needs no unpersist at all, and one
+    // bad entry must not abort the sweep before clear()
+    pairCache.values.foreach { case (_, df) =>
+      try { if (!df.sparkSession.sparkContext.isStopped) df.unpersist(false) }
+      catch { case _: IllegalStateException => () }
+    }
     pairCache.clear()
   }
 
@@ -783,32 +789,52 @@ object TextOps {
     * Same md5-60bit bigint trick as the dedup family, so DuckDB replays
     * the exact assignment.
     */
-  def trainSplitOf(docs: DataFrame): DataFrame = {
-    val bucket = pmod(
-      conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("bigint"),
-      lit(100L))
+  /** THE split recipe — single-sourced so t17 (assignment), t26 (leakage)
+    * and t28 (decontamination) can never disagree about which documents
+    * are train: md5-offset-1 bucket mod 100, train < [[TrainUpper]] ≤
+    * val < [[ValUpper]] ≤ test. Scala and SQL twins below; change
+    * thresholds HERE only.
+    */
+  val TrainUpper = 90
+  val ValUpper = 95
+
+  def splitBucket(id: Column): Column =
+    pmod(conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("bigint"), lit(100L))
+
+  def splitAssign(id: Column): Column = {
+    val b = splitBucket(id)
+    when(b < TrainUpper, "train").when(b < ValUpper, "val").otherwise("test")
+  }
+
+  def splitBucketSql(idExpr: String): String =
+    s"CAST(('0x' || substring(md5(CAST($idExpr AS VARCHAR)), 1, 15)) AS BIGINT) % 100"
+
+  def splitAssignSql(idExpr: String): String =
+    s"CASE WHEN ${splitBucketSql(idExpr)} < $TrainUpper THEN 'train' " +
+      s"WHEN ${splitBucketSql(idExpr)} < $ValUpper THEN 'val' ELSE 'test' END"
+
+  def trainSplitOf(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+      .select(col("doc_id"), col("lang"), splitBucket(col("doc_id")).as("bucket"))
       .withColumn("split",
-        when(col("bucket") < 90, "train")
-          .when(col("bucket") < 95, "val")
+        when(col("bucket") < TrainUpper, "train")
+          .when(col("bucket") < ValUpper, "val")
           .otherwise("test"))
       .orderBy(col("doc_id"))
-  }
 
   def t17TrainSplit(s: SparkSession, dir: String): DataFrame =
     trainSplitOf(documents(s, dir))
 
   val t17Sql: String =
-    """WITH b AS (
-      |  SELECT doc_id, lang,
-      |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
-      |  FROM documents)
-      |SELECT doc_id, lang, bucket,
-      |  CASE WHEN bucket < 90 THEN 'train'
-      |       WHEN bucket < 95 THEN 'val'
-      |       ELSE 'test' END AS split
-      |FROM b ORDER BY doc_id""".stripMargin
+    s"""WITH b AS (
+       |  SELECT doc_id, lang,
+       |    ${splitBucketSql("doc_id")} AS bucket
+       |  FROM documents)
+       |SELECT doc_id, lang, bucket,
+       |  CASE WHEN bucket < $TrainUpper THEN 'train'
+       |       WHEN bucket < $ValUpper THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM b ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- t15
   /** Embedding-cosine NEAR-DUP PAIRS — the vector-space member of the

@@ -99,14 +99,58 @@ private[sources] class RestScan(options: CaseInsensitiveStringMap) extends Scan 
   override def readSchema(): StructType = RestSource.Schema
   override def toBatch: Batch = this
 
+  /** Driver-side galloping probe for the real page count: without it,
+    * every read plans `ceil(maxPages/pagesPerPartition)` ranges and each
+    * range past the end of the data still burns one request discovering
+    * it is empty — ~125 calls for a one-page tenant with the defaults,
+    * against APIs that are typically rate-limited. Probing pages
+    * 0,1,2,4,8,… until a short/empty page costs ≤ log2(maxPages)+2
+    * requests (a short page bounds the data by the stop rule, so nothing
+    * past it needs planning; readers re-fetch the probed pages — that
+    * duplication is the log-sized price of the bound). A probe failure
+    * falls back to static full planning: flaky endpoints keep the
+    * task-retry failure contract instead of failing at planning.
+    */
+  private def probedPageBound(): Int = {
+    if (maxPages <= pagesPerPartition) return maxPages
+    val fetch = RestTransport.resolve(fetcherName, fetcherClass)
+    var j = 0
+    while (j < maxPages) {
+      fetch(j * pageSize, pageSize) match {
+        case scala.util.Success(rows) if rows.size < pageSize =>
+          return math.min(j + 1, maxPages)
+        case scala.util.Success(_) => j = math.max(1, j * 2)
+        case scala.util.Failure(_) => return maxPages
+      }
+    }
+    maxPages
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
-    val nParts = math.ceil(maxPages.toDouble / pagesPerPartition).toInt
+    val bound = try probedPageBound()
+                catch { case scala.util.control.NonFatal(_) => maxPages }
+    val nParts = math.max(1, math.ceil(bound.toDouble / pagesPerPartition).toInt)
     Array.tabulate(nParts) { i =>
-      RestRange(i * pagesPerPartition, math.min((i + 1) * pagesPerPartition, maxPages),
+      RestRange(i * pagesPerPartition, math.min((i + 1) * pagesPerPartition, bound),
         pageSize, fetcherName, fetcherClass)
     }
   }
   override def createReaderFactory(): PartitionReaderFactory = new RestReaderFactory
+}
+
+/** Shared transport resolution for the planner's probe and the executor
+  * readers: registry name (same JVM) or reflective zero-arg class.
+  */
+private[sources] object RestTransport {
+  def resolve(fetcherName: Option[String],
+              fetcherClass: Option[String]): (Int, Int) => Try[Seq[String]] =
+    fetcherClass match {
+      case Some(cls) =>
+        val f = Class.forName(cls).getDeclaredConstructor()
+          .newInstance().asInstanceOf[PageFetcher]
+        (off, ps) => f.fetch(off, ps)
+      case None => RestFetchers.get(fetcherName.get)
+    }
 }
 
 private[sources] case class RestRange(pageFrom: Int, pageUntil: Int, pageSize: Int,
@@ -119,12 +163,8 @@ private[sources] class RestReaderFactory extends PartitionReaderFactory {
 }
 
 private[sources] class RestReader(range: RestRange) extends PartitionReader[InternalRow] {
-  private val fetch: (Int, Int) => Try[Seq[String]] = range.fetcherClass match {
-    case Some(cls) =>
-      val f = Class.forName(cls).getDeclaredConstructor().newInstance().asInstanceOf[PageFetcher]
-      (off, ps) => f.fetch(off, ps)
-    case None => RestFetchers.get(range.fetcherName.get)
-  }
+  private val fetch: (Int, Int) => Try[Seq[String]] =
+    RestTransport.resolve(range.fetcherName, range.fetcherClass)
 
   private var page = range.pageFrom
   private var exhausted = false

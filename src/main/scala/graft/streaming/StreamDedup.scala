@@ -24,23 +24,35 @@ object StreamDedup {
 
   /** One row per distinct `keyCols` combination among rows arriving
     * within the watermark delay of each other; first arrival wins.
-    * Works on streaming frames (bounded state) and, degenerately, on
-    * batch frames (plain dedup) — StreamDedupSpec pins both and the
-    * state-expiry boundary.
+    * STREAMING-ONLY by Spark's contract (`dropDuplicatesWithinWatermark`
+    * rejects batch frames at analysis) — the batch equivalent is plain
+    * `dropDuplicates`/t01 over the landed corpus. StreamDedupSpec pins
+    * in-batch, cross-batch, and state-expiry behavior.
     */
   def withinWatermark(docs: DataFrame, keyCols: Seq[String],
                       eventCol: String, delay: String): DataFrame =
     docs.withWatermark(eventCol, delay)
       .dropDuplicatesWithinWatermark(keyCols)
 
-  /** Content-identity variant: dedup by exact text digest (t01's key) so
-    * re-crawled bodies with different ids collapse too. The digest is
+  /** Internal digest column; underscore-prefixed so it cannot collide
+    * with a real payload column under normal naming.
+    */
+  private val ContentKey = "__graft_content_key"
+
+  /** Content-identity variant: dedup by exact text digest — md5, the
+    * SAME 128-bit key t01 uses, so the online and batch passes agree on
+    * what "identical content" means (a 64-bit hash would make collision
+    * loss plausible at 10^8-key state sizes; at 128 bits it is not) —
+    * so re-crawled bodies with different ids collapse too. The digest is
     * computed once, pre-state, and dropped after — the survivor stream
     * has the input schema; payload columns ride along untouched.
     */
-  def byContent(docs: DataFrame, eventCol: String, delay: String): DataFrame =
+  def byContent(docs: DataFrame, eventCol: String, delay: String): DataFrame = {
+    require(!docs.columns.contains(ContentKey),
+      s"input already has a $ContentKey column")
     withinWatermark(
-      docs.withColumn("content_key", xxhash64(col("text"))),
-      Seq("content_key"), eventCol, delay)
-      .drop("content_key")
+      docs.withColumn(ContentKey, md5(col("text"))),
+      Seq(ContentKey), eventCol, delay)
+      .drop(ContentKey)
+  }
 }

@@ -49,10 +49,28 @@ class RestSourceSpec extends SparkTestBase {
       val df = readRest("fetcher" -> "short", "pageSize" -> "5",
         "maxPages" -> "8", "pagesPerPartition" -> "2")
       assert(df.count() === 12)
-      // 4 ranges × ≤2 pages: the short/empty page stops each range early —
-      // never the full 8 page fetches per range
-      assert(calls.get() <= 8)
+      // planner probe (pages 0,1,2 → bound 3) + reads of pages 0,1,2:
+      // ≤6 per planning pass, and Spark may plan twice for one action —
+      // far under the 4-range × 2-page naive fetch plus probes
+      assert(calls.get() <= 12)
     } finally RestFetchers.unregister("short")
+  }
+
+  test("planner probe bounds fetch count by data size, not maxPages") {
+    val calls = new AtomicInteger
+    RestFetchers.register("tiny") { (offset, pageSize) =>
+      calls.incrementAndGet()
+      Success(if (offset >= 50) Nil
+      else (offset until math.min(offset + pageSize, 50)).map(i => s"r$i"))
+    }
+    try {
+      val df = readRest("fetcher" -> "tiny", "pageSize" -> "100",
+        "maxPages" -> "1000", "pagesPerPartition" -> "8")
+      assert(df.count() === 50)
+      // without the galloping probe this read plans 125 ranges and issues
+      // ≥125 requests; with it: one probe + one read per planning pass
+      assert(calls.get() <= 6)
+    } finally RestFetchers.unregister("tiny")
   }
 
   test("a failing page fails the task (all-or-nothing), unlike PagedFetch's partial keep") {
