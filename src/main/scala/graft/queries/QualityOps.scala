@@ -734,39 +734,46 @@ object QualityOps {
       |FROM kept GROUP BY source ORDER BY source""".stripMargin
 
   // ------------------------------------------------------------- t33
-  /** Token-IDF rarity score — the "is this document made of rare or
-    * common vocabulary" signal used for quality triage and
-    * domain-shift detection: corpus document frequency per token,
-    * idf = ln(N/df), and per-document mean idf over distinct tokens.
+  /** Token-rarity score — the "is this document made of rare or common
+    * vocabulary" signal used for quality triage and domain-shift
+    * detection: corpus document frequency per token, a per-token rarity
+    * `N/df − 1` (0 for ubiquitous tokens, N−1 for hapaxes — monotone in
+    * the classical idf = ln(N/df)), and the per-document mean over
+    * distinct tokens.
     *
-    * Determinism across engines: idf is snapped to integer MICRO-UNITS
-    * (`floor(idf·10^6 + 0.5)` as bigint) before the per-document sum, so
-    * the aggregation is exact integer arithmetic — no FP accumulation
-    * order to diverge between Spark's partial aggregates and DuckDB. The
-    * mean then divides two exact integers, which both engines round
-    * identically ([[graft.functions.Rounding]]).
+    * Determinism across engines: the per-token score is computed ENTIRELY
+    * in integer arithmetic — `(N·10^6) div df − 10^6` micro-units via
+    * integral division — so Spark and the oracle agree bit-for-bit by
+    * construction. A previous formulation snapped `ln(N/df)` to
+    * micro-units, but Java's `Math.log` and a C libm are not guaranteed
+    * to agree to the last ulp, and a 1-ulp divergence at a half-micro
+    * boundary would flip the floor — a latent flaky oracle mismatch. No
+    * transcendental function, no such boundary. The per-document sum is
+    * exact bigint arithmetic (no FP accumulation order to diverge
+    * between Spark's partial aggregates and DuckDB); the mean divides
+    * two exact integers, which both engines round identically
+    * ([[graft.functions.Rounding]]).
     *
     * Scale shape: distinct-token explode (one corpus scan per side — a
-    * production pipeline materializes the idf vocab table once and
+    * production pipeline materializes the rarity vocab table once and
     * reuses it), map-side-combined df aggregation shuffled on token
-    * (uniform), the idf join shuffled on token, and the per-doc roll-up
-    * shuffled on doc_id. The N scalar rides a broadcast cross join, not
-    * a driver action.
+    * (uniform), the rarity join shuffled on token, and the per-doc
+    * roll-up shuffled on doc_id. The N scalar rides a broadcast cross
+    * join, not a driver action.
     */
   def tokenIdfOf(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),
       explode(array_distinct(TF.tokens(col("text")))).as("token"))
     val total = docs.agg(count(lit(1)).as("n_total"))
-    val idf = toks.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val rarity = toks.groupBy(col("token")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(total))
       .select(col("token"),
-        floor(log(col("n_total").cast("double") / col("df")) * 1000000 + 0.5)
-          .cast("bigint").as("idf_micro"))
-    toks.join(idf, "token")
+        expr("(n_total * 1000000L) div df - 1000000L").as("rarity_micro"))
+    toks.join(rarity, "token")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_distinct"), sum(col("idf_micro")).as("idf_sum_micro"))
-      .select(col("doc_id"), col("n_distinct"), col("idf_sum_micro"),
-        R.halfUp(col("idf_sum_micro") / (col("n_distinct") * lit(1000000.0)), 4)
+      .agg(count(lit(1)).as("n_distinct"), sum(col("rarity_micro")).as("rarity_sum_micro"))
+      .select(col("doc_id"), col("n_distinct"), col("rarity_sum_micro"),
+        R.halfUp(col("rarity_sum_micro") / (col("n_distinct") * lit(1000000.0)), 4)
           .as("rarity"))
       .orderBy(col("doc_id"))
   }
@@ -783,14 +790,14 @@ object QualityOps {
        |n AS (SELECT count(*) AS n_total FROM documents),
        |i AS (
        |  SELECT token,
-       |    CAST(floor(ln(n_total * 1.0 / count(*)) * 1000000 + 0.5) AS BIGINT) AS idf_micro
+       |    (n_total * 1000000) // count(*) - 1000000 AS rarity_micro
        |  FROM t, n GROUP BY token, n_total),
        |d AS (
        |  SELECT t.doc_id, count(*) AS n_distinct,
-       |    CAST(sum(i.idf_micro) AS BIGINT) AS idf_sum_micro
+       |    CAST(sum(i.rarity_micro) AS BIGINT) AS rarity_sum_micro
        |  FROM t JOIN i USING (token) GROUP BY t.doc_id)
-       |SELECT doc_id, n_distinct, idf_sum_micro,
-       |  ${R.halfUpSql("idf_sum_micro * 1.0 / (n_distinct * 1000000)", 4)} AS rarity
+       |SELECT doc_id, n_distinct, rarity_sum_micro,
+       |  ${R.halfUpSql("rarity_sum_micro * 1.0 / (n_distinct * 1000000)", 4)} AS rarity
        |FROM d ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------ registry

@@ -321,20 +321,19 @@ class QualityOpsSpec extends SparkTestBase {
   }
 
   // ------------------------------------------------------------- t33
-  test("t33 token idf: ubiquitous tokens score zero, rare tokens raise the mean") {
+  test("t33 token rarity: ubiquitous tokens score zero, rare tokens raise the mean") {
     val corpus = docs(
       1L -> "common",
       2L -> "common common rare", // duplicate 'common' counts once (distinct)
       3L -> "common",
       4L -> "common")
     val out = QualityOps.tokenIdfOf(corpus)
-      .select("doc_id", "n_distinct", "idf_sum_micro", "rarity")
+      .select("doc_id", "n_distinct", "rarity_sum_micro", "rarity")
       .as[(Long, Long, Long, Double)].collect().map(t => t._1 -> t).toMap
-    // df(common)=4 of N=4 → idf 0; a doc of only 'common' has rarity 0
+    // df(common)=4 of N=4 → N/df−1 = 0; a doc of only 'common' has rarity 0
     assert(out(1L) === (1L, 1L, 0L, 0.0))
-    // df(rare)=1 → idf ln(4); micro-snapped then averaged over 2 tokens
-    val lnFourMicro = math.floor(math.log(4.0) * 1e6 + 0.5).toLong
-    assert(out(2L)._3 === lnFourMicro)
-    assert(out(2L)._4 === math.floor(lnFourMicro / 2e6 * 1e4 + 0.5) / 1e4)
+    // df(rare)=1 → N/df−1 = 3 → 3_000_000 micro; averaged over 2 tokens
+    assert(out(2L)._3 === 3000000L)
+    assert(out(2L)._4 === 1.5)
   }
 }
