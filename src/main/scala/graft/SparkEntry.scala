@@ -27,6 +27,14 @@ object SparkEntry {
     * SimHash/fingerprint) → driver records a weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ TextOps.oracles ++ QualityOps.oracles +
+    oracleSqlFor(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+
+  /** Same map with the corpus dir threaded explicitly — t14's SQL embeds
+    * the per-corpus persisted-centroid path, and the dir it derives from
+    * must be the one the queries actually ran against, not JVM-global
+    * state. Verify calls this with its own sfDir argument.
+    */
+  def oracleSqlFor(dir: String): Map[String, String] =
+    Relational.oracles ++ TextOps.oraclesFor(dir) ++ QualityOps.oracles +
       ("q28_sessionize" -> graft.streaming.Sessionize.oracleSql)
 }

@@ -123,20 +123,6 @@ object IvfModel {
       sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_ivf_${user}_$h").toString
   }
 
-  /** The corpus most recently prepared in this JVM (set by [[ensure]];
-    * defaults to the driver's corpus env so a bare SQL dump still points
-    * somewhere sane). ONLY the generated oracle-SQL text reads
-    * [[centroidPath]] — Verify is single-threaded and dumps the SQL AFTER
-    * running the queries, so by dump time this matches the corpus the
-    * queries ran on. Query execution never goes through this global:
-    * [[centroids]] takes the corpus dir explicitly, so concurrent
-    * sessions on different corpora cannot cross-serve.
-    */
-  @volatile private var lastDir: String =
-    sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-
-  def centroidPath: String = pathFor(lastDir)
-
   private def marker(root: String) = java.nio.file.Paths.get(root, "_corpus")
 
   /** Fit-and-persist once per corpus. The persisted table carries a
@@ -148,7 +134,6 @@ object IvfModel {
     * vector store builds its index before serving.
     */
   def ensure(s: SparkSession, dir: String): Unit = synchronized {
-    lastDir = dir
     val root = pathFor(dir)
     val stamp = s"$dir\n${Tables.contentStamp(s, s"$dir/embeddings.parquet")}"
     val rootNio = java.nio.file.Paths.get(root)

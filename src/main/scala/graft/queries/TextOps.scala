@@ -622,13 +622,14 @@ object TextOps {
       .orderBy(col("query_id"), col("rk"))
   }
 
-  /** A def, not a val: the centroid path derives from the corpus dir
-    * (IvfModel.centroidPath, set by the ensure() the query itself runs),
-    * and Verify dumps oracle SQL after running the queries.
+  /** The centroid path derives from the corpus dir EXPLICITLY — the caller
+    * (Verify, via [[SparkEntry.oracleSqlFor]]) threads the dir it ran the
+    * queries against, rather than routing it through JVM-global state
+    * that a concurrent or re-ordered ensure() could have repointed.
     */
-  def t14Sql: String =
+  def t14Sql(dir: String): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-       |c AS (SELECT cid, cvec FROM read_parquet('${IvfModel.centroidPath}/*.parquet')),
+       |c AS (SELECT cid, cvec FROM read_parquet('${IvfModel.pathFor(dir)}/*.parquet')),
        |ad AS (
        |  SELECT vec_id, emb, cid,
        |    list_sum(list_transform(list_zip(emb, cvec), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
@@ -1005,7 +1006,10 @@ object TextOps {
     * probing (t12: hyperplane literals; t14: the shared persisted centroid
     * table).
     */
-  def oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] =
+    oraclesFor(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+
+  def oraclesFor(dir: String): Map[String, String] = Map(
     "t01_dedup_exact"     -> t01Sql,
     "t02_token_stats"     -> t02Sql,
     "t03_lang_profile"    -> t03Sql,
@@ -1019,7 +1023,7 @@ object TextOps {
     "t11_langid_confusion"-> t11Sql,
     "t12_ann_lsh"         -> t12Sql,
     "t13_dedup_clusters"  -> t13Sql,
-    "t14_ann_ivf"         -> t14Sql,
+    "t14_ann_ivf"         -> t14Sql(dir),
     "t15_cosine_near_dup" -> t15Sql,
     "t16_token_bpe"       -> t16Sql,
     "t17_train_split"     -> t17Sql,
