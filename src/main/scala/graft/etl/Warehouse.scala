@@ -28,8 +28,28 @@ case class Warehouse(spark: SparkSession, dir: String) {
   private def fs: FileSystem = new Path(dir).getFileSystem(hconf)
 
   private def pointerPath(name: String) = new Path(dir, s"$name.__current")
-  private def historyPath(name: String) = new Path(dir, s"$name.__history")
   private def versionName(name: String, v: Long) = f"$name.__v$v%06d"
+
+  /** History generations mirror the data-version scheme: each write lands a
+    * NEW `name.__history.NNNNNN` file (tmp + rename-to-fresh-name — never a
+    * delete in the commit path), readers resolve the newest suffix, and
+    * older generations are swept best-effort AFTER the new one is live. A
+    * crash at any moment leaves at least one intact generation, so the
+    * "absent history ⇒ seed from raw version dirs" upgrade path can no
+    * longer be triggered by a mid-commit crash (which would let stray dirs
+    * from crashed writes into the committed set). The bare `name.__history`
+    * file is the pre-generation layout, read when no suffixed file exists.
+    */
+  private def legacyHistoryPath(name: String) = new Path(dir, s"$name.__history")
+
+  private def historyFiles(name: String): Seq[(Long, Path)] = {
+    val stats = try fs.globStatus(new Path(dir, s"$name.__history.*"))
+                catch { case _: java.io.FileNotFoundException => null }
+    Option(stats).map(_.toSeq).getOrElse(Nil).flatMap { st =>
+      st.getPath.getName.stripPrefix(s"$name.__history.").toLongOption
+        .map(_ -> st.getPath)
+    }.sortBy(_._1)
+  }
 
   /** The last committed pointer targets, oldest→newest — the only
     * directories a reader can ever have resolved through the pointer.
@@ -40,7 +60,9 @@ case class Warehouse(spark: SparkSession, dir: String) {
     * an empty window (which would delete still-referenced versions).
     */
   private def history(name: String): Seq[String] = {
-    val in = try fs.open(historyPath(name))
+    val target = historyFiles(name).lastOption.map(_._2)
+      .getOrElse(legacyHistoryPath(name))
+    val in = try fs.open(target)
              catch { case _: java.io.FileNotFoundException => return Nil }
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
@@ -79,11 +101,19 @@ case class Warehouse(spark: SparkSession, dir: String) {
     }
     val entries = (prior :+ vname).takeRight(16)
     try {
+      val existing = historyFiles(name)
+      val seq = existing.lastOption.map(_._1).getOrElse(0L) + 1
+      // the fixed tmp name parses as suffix "tmp" → non-numeric → invisible
+      // to historyFiles, so a stray from a crash never resolves as a
+      // generation; rename targets a FRESH name, so no delete precedes it
       val tmp = new Path(dir, s"$name.__history.tmp")
       val out = fs.create(tmp, true)
       try out.write((entries.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
-      if (fs.exists(historyPath(name))) fs.delete(historyPath(name), false)
-      fs.rename(tmp, historyPath(name))
+      if (fs.rename(tmp, new Path(dir, f"$name.__history.$seq%06d"))) {
+        // only after the new generation is live: sweep superseded ones
+        existing.foreach { case (_, p) => fs.delete(p, false) }
+        if (fs.exists(legacyHistoryPath(name))) fs.delete(legacyHistoryPath(name), false)
+      }
     } catch { case _: java.io.IOException => () }
     Some(entries)
   }
@@ -213,7 +243,8 @@ case class Warehouse(spark: SparkSession, dir: String) {
     if (live != name && fs.exists(flat)) fs.delete(flat, true)
     // reset the retention history to the sole surviving generation
     try {
-      if (fs.exists(historyPath(name))) fs.delete(historyPath(name), false)
+      historyFiles(name).foreach { case (_, p) => fs.delete(p, false) }
+      if (fs.exists(legacyHistoryPath(name))) fs.delete(legacyHistoryPath(name), false)
       if (live.startsWith(s"$name.__v")) appendHistory(name, live, None)
     } catch { case _: java.io.IOException => () }
   }

@@ -126,13 +126,37 @@ class WarehouseSpec extends SparkTestBase {
     val pre = wh.read("t", schema) // reader holds the pre-history generation
     // simulate a warehouse written by the pre-history scheme
     val fs = new Path(wh.dir).getFileSystem(spark.sessionState.newHadoopConf())
-    fs.delete(new Path(wh.dir, "t.__history"), false)
+    Option(fs.globStatus(new Path(wh.dir, "t.__history*")))
+      .foreach(_.foreach(st => fs.delete(st.getPath, false)))
     wh.rewrite("t", Seq((1L, "new1")).toDF("id", "name"))
     wh.rewrite("t", Seq((1L, "new2")).toDF("id", "name"))
     // the seed treats pre-history versions as committed — the window must
     // not collapse to just the post-upgrade generations
     assert(pre.collect().map(_.getString(1)).toSet === Set("old1"))
     assert(names(wh) === Set("new2"))
+  }
+
+  test("history resolves the newest generation; stale generations and tmp strays are inert") {
+    val wh = fresh()
+    wh.rewrite("t", Seq((1L, "gen1")).toDF("id", "name")) // v1 committed, history gen written
+    val fs = new Path(wh.dir).getFileSystem(spark.sessionState.newHadoopConf())
+    def put(p: String, txt: String): Unit = {
+      val out = fs.create(new Path(wh.dir, p), true)
+      try out.write(txt.getBytes("UTF-8")) finally out.close()
+    }
+    // crash debris: a STALE older generation naming a dir that never was a
+    // pointer target, and an abandoned tmp — neither may affect resolution
+    put("t.__history.000000", "t.__v000099\n")
+    put("t.__history.tmp", "t.__v000098\n")
+    val pre = wh.read("t", schema)
+    wh.rewrite("t", Seq((1L, "gen2")).toDF("id", "name"))
+    assert(pre.collect().map(_.getString(1)).toSet === Set("gen1"))
+    assert(names(wh) === Set("gen2"))
+    // the commit swept superseded generations: exactly one numeric
+    // generation file remains, and it is the newest
+    val gens = fs.globStatus(new Path(wh.dir, "t.__history.*")).map(_.getPath.getName)
+      .filter(_.stripPrefix("t.__history.").forall(_.isDigit))
+    assert(gens.length === 1)
   }
 
   test("a stray never shrinks the reader window (retention counts committed generations)") {
