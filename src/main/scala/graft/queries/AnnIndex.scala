@@ -24,61 +24,85 @@ import graft.functions.{VectorOps => V}
   */
 object Lsh {
 
-  /** Hyperplane count (bucket code width in bits). */
+  /** Default hyperplane count (bucket code width in bits) — the dial for
+    * the synthetic test corpus. At 100 TB the right setting is
+    * `bits ≈ log2(n / bucket_target)`: candidate volume in the pair join
+    * is bounded below by probe_fraction × n²/2^bits, so bits must grow
+    * with the corpus for the join to stay sub-quadratic. Every entry point
+    * takes (bits, radius) as arguments; scaling is a config change.
+    */
   val Bits = 6
 
-  /** Multi-probe Hamming radius: probe every bucket within this Hamming
-    * distance of the query's own bucket. radius 3 over 6 bits = 42 of 64
-    * codes probed ≈ 0.66 of an isotropic corpus → recall ≈ 0.92 @5
-    * (sf0.01/sf0.1 measured; see SCALE.md for the full curve).
+  /** Default multi-probe Hamming radius: probe every bucket within this
+    * Hamming distance of the query's own bucket. radius 3 over 6 bits =
+    * 42 of 64 codes probed ≈ 0.66 of an isotropic corpus → recall ≈ 0.92
+    * @5 (sf0.01/sf0.1 measured; see SCALE.md for the full curve).
     */
   val HammingRadius = 3
 
   val Dim = 64
 
+  /** Widest supported code — bounds the plane family and keeps the mask
+    * enumeration (≤ sum C(bits, r)) and the bucket-code arithmetic safely
+    * inside a BIGINT.
+    */
+  val MaxBits = 20
+
   /** Seeded Rademacher (±1) hyperplanes — fixed literals, identical in the
     * DataFrame plan and the oracle SQL. Seed 6 was selected by sweeping
     * seeds offline for recall@5 ≥ 0.86 on all three test corpora (plane-set
     * luck moves recall by ±0.1 on isotropic data; a fixed audited seed is
-    * how any production LSH deployment pins this down).
+    * how any production LSH deployment pins this down). The family is
+    * PREFIX-CONSISTENT: `planesFor(b)` is the first `b` planes of
+    * `planesFor(MaxBits)`, so widening the code refines existing buckets
+    * instead of reshuffling them.
     */
-  lazy val planes: IndexedSeq[IndexedSeq[Double]] = {
+  lazy val allPlanes: IndexedSeq[IndexedSeq[Double]] = {
     val rnd = new scala.util.Random(6)
-    IndexedSeq.fill(Bits)(IndexedSeq.fill(Dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+    IndexedSeq.fill(MaxBits)(IndexedSeq.fill(Dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
   }
 
+  def planesFor(bits: Int): IndexedSeq[IndexedSeq[Double]] = {
+    require(bits >= 1 && bits <= MaxBits, s"bits must be in [1, $MaxBits], got $bits")
+    allPlanes.take(bits)
+  }
+
+  lazy val planes: IndexedSeq[IndexedSeq[Double]] = planesFor(Bits)
+
   /** XOR masks enumerating all codes within `radius` (incl. 0). */
-  def masksWithin(radius: Int): IndexedSeq[Long] =
+  def masksWithin(radius: Int, bits: Int = Bits): IndexedSeq[Long] =
     0L +: (1 to radius).flatMap(r =>
-      (0 until Bits).combinations(r).map(_.map(1L << _).sum).toIndexedSeq)
+      (0 until bits).combinations(r).map(_.map(1L << _).sum).toIndexedSeq)
 
   /** XOR masks enumerating all codes within HammingRadius (incl. 0). */
   lazy val masks: IndexedSeq[Long] = masksWithin(HammingRadius)
 
   /** Sign-bit bucket code of an embedding column. */
-  def bucketOf(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    (0 until Bits).map { i =>
-      when(V.dot(emb, typedlit(planes(i))) > 0, 1L << i).otherwise(0L)
+  def bucketOf(emb: org.apache.spark.sql.Column, bits: Int = Bits): org.apache.spark.sql.Column = {
+    val ps = planesFor(bits)
+    (0 until bits).map { i =>
+      when(V.dot(emb, typedlit(ps(i))) > 0, 1L << i).otherwise(0L)
     }.reduce(_ + _)
+  }
 
   // ---------------------------------------------------- oracle SQL pieces
 
   private def planeLit(i: Int): String =
-    planes(i).mkString("[", ", ", "]::DOUBLE[]")
+    allPlanes(i).mkString("[", ", ", "]::DOUBLE[]")
 
   /** The bucket code as DuckDB SQL over a DOUBLE[] column named `col`,
     * bit-identical to [[bucketOf]]: same ±1 literals, same left-fold dot.
     */
-  def bucketSql(col: String): String =
-    (0 until Bits).map { i =>
+  def bucketSql(col: String, bits: Int = Bits): String =
+    (0 until bits).map { i =>
       s"(CASE WHEN list_sum(list_transform(list_zip($col, ${planeLit(i)}), p -> p[1] * p[2])) > 0 " +
         s"THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
   def masksSql: String = masks.mkString("[", ", ", "]::BIGINT[]")
 
-  def masksSqlWithin(radius: Int): String =
-    masksWithin(radius).mkString("[", ", ", "]::BIGINT[]")
+  def masksSqlWithin(radius: Int, bits: Int = Bits): String =
+    masksWithin(radius, bits).mkString("[", ", ", "]::BIGINT[]")
 }
 
 /** Train-once IVF coarse quantizer: a seeded KMeans fit over the corpus,

@@ -527,16 +527,21 @@ object TextOps {
     * large to reach recall 0.8 (see Lsh's scaladoc and SCALE.md); the
     * plan shape — corpus-side single scan + broadcast of exploded query
     * probes — is unchanged by the dial settings.
+    *
+    * (bits, radius) are arguments so a deployment dials the code space to
+    * its corpus (`bits ≈ log2(n/bucket_target)`) without a code change;
+    * the defaults are the test-corpus dials and what the oracle replays.
     */
-  def t12AnnLsh(s: SparkSession, dir: String): DataFrame = {
+  def t12AnnLsh(s: SparkSession, dir: String,
+                bits: Int = Lsh.Bits, radius: Int = Lsh.HammingRadius): DataFrame = {
     val e = embeddings(s, dir)
       .select(col("vec_id"), V.toDouble(col("embedding")).as("emb"))
-      .withColumn("bucket", Lsh.bucketOf(col("emb")))
+      .withColumn("bucket", Lsh.bucketOf(col("emb"), bits))
     // multi-probe: every bucket within the Hamming radius — near neighbors
     // that straddle up to `radius` hyperplanes are recovered
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
-        explode(array(Lsh.masks.map(m =>
+        explode(array(Lsh.masksWithin(radius, bits).map(m =>
           col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
@@ -860,7 +865,14 @@ object TextOps {
   val CosTau = 0.4
   val PairRadius = 4
 
-  def t15CosineNearDup(s: SparkSession, dir: String): DataFrame = {
+  /** (bits, radius) are arguments for the same reason as [[t12AnnLsh]]:
+    * candidate volume is probe_fraction × n²/2^bits, so bits must grow
+    * with the corpus (`bits ≈ log2(n/bucket_target)`) for the candidate
+    * join to stay sub-quadratic. Defaults = test-corpus dials = what the
+    * oracle SQL replays.
+    */
+  def t15CosineNearDup(s: SparkSession, dir: String,
+                       bits: Int = Lsh.Bits, radius: Int = PairRadius): DataFrame = {
     // norms materialize per VECTOR before the join (n rows), so the only
     // per-PAIR work is one native dot product and a divide — the HOF
     // cosine here re-evaluated three 64-element folds per candidate pair
@@ -868,10 +880,10 @@ object TextOps {
     val e = embeddings(s, dir)
       .select(col("vec_id"), V.toDouble(col("embedding")).as("emb"))
       .withColumn("nrm", V.norm(col("emb")))
-      .withColumn("bucket", Lsh.bucketOf(col("emb")))
+      .withColumn("bucket", Lsh.bucketOf(col("emb"), bits))
     val probes = e.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"),
       col("nrm").as("nrm_a"),
-      explode(array(Lsh.masksWithin(PairRadius).map(m =>
+      explode(array(Lsh.masksWithin(radius, bits).map(m =>
         col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
     e.join(probes, Seq("bucket"))
       .filter(col("vec_a") < col("vec_id"))
@@ -990,10 +1002,10 @@ object TextOps {
     "t09_fingerprint"     -> (t09Fingerprint _),
     "t10_ann_brute_force" -> (t10AnnBruteForce _),
     "t11_langid_confusion"-> (t11LangidConfusion _),
-    "t12_ann_lsh"         -> (t12AnnLsh _),
+    "t12_ann_lsh"         -> ((s: SparkSession, d: String) => t12AnnLsh(s, d)),
     "t13_dedup_clusters"  -> (t13DedupClusters _),
     "t14_ann_ivf"         -> (t14AnnIvf _),
-    "t15_cosine_near_dup" -> (t15CosineNearDup _),
+    "t15_cosine_near_dup" -> ((s: SparkSession, d: String) => t15CosineNearDup(s, d)),
     "t16_token_bpe"       -> (t16TokenBpe _),
     "t17_train_split"     -> (t17TrainSplit _),
     "t18_chunks"          -> (t18Chunks _),

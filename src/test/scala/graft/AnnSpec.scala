@@ -122,6 +122,63 @@ class AnnSpec extends SparkTestBase {
     assert(recall >= 0.9)
   }
 
+  test("Lsh: parameterized plane family is prefix-consistent and masks are sound") {
+    // widening the code must REFINE buckets, not reshuffle them: the first
+    // b planes of any wider family are the default family
+    assert(Lsh.planesFor(Lsh.Bits) === Lsh.planes)
+    assert(Lsh.planesFor(10).take(Lsh.Bits) === Lsh.planes)
+    for ((bits, radius) <- Seq((6, 3), (10, 2), (8, 4))) {
+      val ms = Lsh.masksWithin(radius, bits)
+      val expected = (0 to radius).map(r =>
+        (0 until bits).combinations(r).size).sum
+      assert(ms.size === expected, s"($bits, $radius) mask count")
+      assert(ms.toSet.size === ms.size, s"($bits, $radius) masks distinct")
+      assert(ms.forall(m => m >= 0 && m < (1L << bits)), s"($bits, $radius) masks in range")
+    }
+  }
+
+  test("t12 explicit default dials reproduce the default result exactly") {
+    val a = TextOps.t12AnnLsh(spark, sf()).collect().map(_.toSeq).toSeq
+    val b = TextOps.t12AnnLsh(spark, sf(), Lsh.Bits, Lsh.HammingRadius)
+      .collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
+
+  test("t12 recall tracks the probe-fraction curve at a second (bits, radius) setting") {
+    val bf = pairs(TextOps.t10AnnBruteForce(spark, sf()))
+    val dflt = pairs(TextOps.t12AnnLsh(spark, sf()))
+    val dfltRecall = (bf intersect dflt).size.toDouble / bf.size
+    // second setting: wider code, tighter probe radius — a far smaller
+    // probe fraction, the direction a 100 TB deployment moves the dial
+    val (bits, radius) = (10, 2)
+    val probeFrac = Lsh.masksWithin(radius, bits).size.toDouble / (1L << bits)
+    val got = pairs(TextOps.t12AnnLsh(spark, sf(), bits, radius))
+    val recall = (bf intersect got).size.toDouble / bf.size
+    info(f"recall@5 at ($bits bits, radius $radius): $recall%.2f " +
+      f"(probe fraction $probeFrac%.3f) vs default $dfltRecall%.2f " +
+      f"(probe fraction ${Lsh.masks.size.toDouble / (1 << Lsh.Bits)}%.3f)")
+    // documented curve (AnnIndex scaladoc, SCALE.md): on this isotropic
+    // corpus recall ~ probe_fraction + ~0.2 — the tiny probe fraction must
+    // cost recall vs the default, and still beat blind probing
+    assert(recall >= probeFrac)
+    assert(recall < dfltRecall)
+  }
+
+  test("t15 recall tracks the dial at a second (bits, radius) setting") {
+    val dflt = TextOps.t15CosineNearDup(spark, sf())
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (bits, radius) = (8, 4)
+    val got = TextOps.t15CosineNearDup(spark, sf(), bits, radius)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === got.toSet.size) // one mask per qualifying pair holds at any dial
+    assert(got.toSet.subsetOf(dflt))      // exact-cosine verify admits no false positives
+    val recall = got.toSet.size.toDouble / dflt.size
+    info(f"t15 pair recall at ($bits bits, radius $radius) vs default dial: $recall%.2f")
+    // per-bit flip prob at tau=0.4 is ~0.37: Binomial(8, .37) <= 4 covers
+    // ~0.86 of boundary pairs, more above tau — recall degrades gracefully
+    assert(recall >= 0.6)
+  }
+
   test("t14 IVF query plan contains no KMeans fit (pure assignment + probe)") {
     IvfModel.ensure(spark, sf())
     // the query is a closed-form DataFrame over embeddings + the persisted
