@@ -39,7 +39,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * EXECUTOR (cluster mode — the class carries its own HTTP config).
   *
   * Options: `fetcher` | `fetcherClass` (one required), `pageSize` (100),
-  * `maxPages` (1000), `pagesPerPartition` (8).
+  * `maxPages` (1000), `pagesPerPartition` (8), `probeCache` (true).
+  *
+  * Planning cost: Spark re-plans an UNCACHED scan on every action, so the
+  * page-bound probe (see [[RestScan]]) is memoized JVM-wide per
+  * (fetcher, pageSize, maxPages) — repeated actions re-use one probe
+  * sequence instead of re-hitting a rate-limited API per action.
+  * Re-registering a fetcher name drops its cached bound; long-lived
+  * drivers reading a GROWING endpoint should set `probeCache=false` (or
+  * re-register) so new pages past the first probed bound are planned.
+  * Independently of the probe, `.cache()` the DataFrame if the same
+  * extraction feeds several actions — that also skips the re-fetch of the
+  * data pages themselves.
   */
 class RestSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = RestSource.Schema
@@ -61,12 +72,22 @@ trait PageFetcher extends Serializable {
   def fetch(offset: Int, pageSize: Int): Try[Seq[String]]
 }
 
-/** Same-JVM fetcher registry for tests and local mode. */
+/** Same-JVM fetcher registry for tests and local mode. (Re)registering or
+  * unregistering a name drops any memoized page bound for it — swapping
+  * the fetcher behind a name is the same-JVM signal that the data behind
+  * it changed.
+  */
 object RestFetchers {
   private val registry =
     scala.collection.concurrent.TrieMap.empty[String, (Int, Int) => Try[Seq[String]]]
-  def register(name: String)(f: (Int, Int) => Try[Seq[String]]): Unit = registry.put(name, f)
-  def unregister(name: String): Unit = registry.remove(name)
+  def register(name: String)(f: (Int, Int) => Try[Seq[String]]): Unit = {
+    registry.put(name, f)
+    RestScan.invalidateBound(s"name:$name")
+  }
+  def unregister(name: String): Unit = {
+    registry.remove(name)
+    RestScan.invalidateBound(s"name:$name")
+  }
   private[sources] def get(name: String): (Int, Int) => Try[Seq[String]] =
     registry.getOrElse(name,
       throw new IllegalArgumentException(s"no registered REST fetcher named '$name'"))
@@ -90,11 +111,15 @@ private[sources] class RestScan(options: CaseInsensitiveStringMap) extends Scan 
   private val pageSize = options.getInt("pageSize", 100)
   private val maxPages = options.getInt("maxPages", 1000)
   private val pagesPerPartition = options.getInt("pagesPerPartition", 8)
+  private val probeCache = options.getBoolean("probeCache", true)
   private val fetcherName = Option(options.get("fetcher"))
   private val fetcherClass = Option(options.get("fetcherClass"))
   require(fetcherName.isDefined || fetcherClass.isDefined,
     "RestSource requires option 'fetcher' (registry name) or 'fetcherClass' (PageFetcher impl)")
   require(pageSize > 0 && maxPages > 0 && pagesPerPartition > 0)
+
+  private def fetcherKey: String =
+    fetcherClass.map("class:" + _).getOrElse("name:" + fetcherName.get)
 
   override def readSchema(): StructType = RestSource.Schema
   override def toBatch: Batch = this
@@ -108,27 +133,37 @@ private[sources] class RestScan(options: CaseInsensitiveStringMap) extends Scan 
     * requests (a short page bounds the data by the stop rule, so nothing
     * past it needs planning; readers re-fetch the probed pages — that
     * duplication is the log-sized price of the bound). A probe failure
-    * falls back to static full planning: flaky endpoints keep the
+    * (None) falls back to static full planning: flaky endpoints keep the
     * task-retry failure contract instead of failing at planning.
     */
-  private def probedPageBound(): Int = {
-    if (maxPages <= pagesPerPartition) return maxPages
+  private def probedPageBound(): Option[Int] = {
+    if (maxPages <= pagesPerPartition) return Some(maxPages)
     val fetch = RestTransport.resolve(fetcherName, fetcherClass)
     var j = 0
     while (j < maxPages) {
       fetch(j * pageSize, pageSize) match {
         case scala.util.Success(rows) if rows.size < pageSize =>
-          return math.min(j + 1, maxPages)
+          return Some(math.min(j + 1, maxPages))
         case scala.util.Success(_) => j = math.max(1, j * 2)
-        case scala.util.Failure(_) => return maxPages
+        case scala.util.Failure(_) => return None
       }
     }
-    maxPages
+    Some(maxPages)
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val bound = try probedPageBound()
-                catch { case scala.util.control.NonFatal(_) => maxPages }
+    // Spark builds a FRESH Scan per action on an uncached plan, so the
+    // probed bound memoizes JVM-wide (keyed by fetcher + pageSize +
+    // maxPages, the inputs the probe depends on), not per instance.
+    // Only successful probes are cached — a flaky planning probe must not
+    // pin full static planning forever.
+    val key = (fetcherKey, pageSize, maxPages)
+    val bound = (if (probeCache) RestScan.cachedBound(key) else None).getOrElse {
+      val probed = try probedPageBound()
+                   catch { case scala.util.control.NonFatal(_) => None }
+      if (probeCache) probed.foreach(RestScan.cacheBound(key, _))
+      probed.getOrElse(maxPages)
+    }
     val nParts = math.max(1, math.ceil(bound.toDouble / pagesPerPartition).toInt)
     Array.tabulate(nParts) { i =>
       RestRange(i * pagesPerPartition, math.min((i + 1) * pagesPerPartition, bound),
@@ -136,6 +171,18 @@ private[sources] class RestScan(options: CaseInsensitiveStringMap) extends Scan 
     }
   }
   override def createReaderFactory(): PartitionReaderFactory = new RestReaderFactory
+}
+
+private[sources] object RestScan {
+  private val boundCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), Int]
+  private[sources] def cachedBound(key: (String, Int, Int)): Option[Int] =
+    boundCache.get(key)
+  private[sources] def cacheBound(key: (String, Int, Int), bound: Int): Unit =
+    boundCache.put(key, bound)
+  /** Drop every memoized bound for one fetcher (any pageSize/maxPages). */
+  private[sources] def invalidateBound(fetcherKey: String): Unit =
+    boundCache.keys.filter(_._1 == fetcherKey).foreach(boundCache.remove)
 }
 
 /** Shared transport resolution for the planner's probe and the executor

@@ -73,6 +73,60 @@ class RestSourceSpec extends SparkTestBase {
     } finally RestFetchers.unregister("tiny")
   }
 
+  test("probed page bound is memoized across actions: one probe sequence per fetcher") {
+    val calls = new AtomicInteger
+    RestFetchers.register("memo") { (offset, pageSize) =>
+      calls.incrementAndGet()
+      Success(if (offset >= 50) Nil
+      else (offset until math.min(offset + pageSize, 50)).map(i => s"r$i"))
+    }
+    try {
+      val df = readRest("fetcher" -> "memo", "pageSize" -> "100",
+        "maxPages" -> "1000", "pagesPerPartition" -> "8")
+      assert(df.count() === 50)
+      val afterFirst = calls.get()
+      assert(df.count() === 50)
+      assert(df.count() === 50)
+      // each later action re-plans the scan (fresh Scan instance) but must
+      // hit the memoized bound: exactly the ONE data-page read remains
+      assert(calls.get() - afterFirst === 2,
+        s"re-planning re-probed the API: ${calls.get() - afterFirst} calls for 2 actions")
+    } finally RestFetchers.unregister("memo")
+  }
+
+  test("re-registering a fetcher name drops its memoized bound") {
+    val calls = new AtomicInteger
+    def reg(total: Int): Unit = RestFetchers.register("grow") { (offset, pageSize) =>
+      calls.incrementAndGet()
+      Success(if (offset >= total) Nil
+      else (offset until math.min(offset + pageSize, total)).map(i => s"r$i"))
+    }
+    reg(50)
+    try {
+      val opts = Seq("fetcher" -> "grow", "pageSize" -> "10",
+        "maxPages" -> "1000", "pagesPerPartition" -> "2")
+      assert(readRest(opts: _*).count() === 50)
+      reg(75) // the endpoint grew; re-registration is the same-JVM signal
+      assert(readRest(opts: _*).count() === 75)
+    } finally RestFetchers.unregister("grow")
+  }
+
+  test("probeCache=false follows live data growth without re-registration") {
+    val total = new AtomicInteger(20)
+    RestFetchers.register("live") { (offset, pageSize) =>
+      val t = total.get()
+      Success(if (offset >= t) Nil
+      else (offset until math.min(offset + pageSize, t)).map(i => s"r$i"))
+    }
+    try {
+      val opts = Seq("fetcher" -> "live", "pageSize" -> "10", "maxPages" -> "100",
+        "pagesPerPartition" -> "2", "probeCache" -> "false")
+      assert(readRest(opts: _*).count() === 20)
+      total.set(35)
+      assert(readRest(opts: _*).count() === 35)
+    } finally RestFetchers.unregister("live")
+  }
+
   test("a failing page fails the task (all-or-nothing), unlike PagedFetch's partial keep") {
     RestFetchers.register("boom") { (offset, _) =>
       if (offset == 0) Success(Seq.fill(5)("row")) else Failure(new RuntimeException("http 500"))
