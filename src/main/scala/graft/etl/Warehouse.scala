@@ -60,13 +60,40 @@ case class Warehouse(spark: SparkSession, dir: String) {
     * an empty window (which would delete still-referenced versions).
     */
   private def history(name: String): Seq[String] = {
-    val target = historyFiles(name).lastOption.map(_._2)
-      .getOrElse(legacyHistoryPath(name))
-    val in = try fs.open(target)
-             catch { case _: java.io.FileNotFoundException => return Nil }
-    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    finally in.close()
-    txt.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+    def readFile(target: Path): Seq[String] = {
+      val in = fs.open(target)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      txt.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+    }
+    historyFiles(name).lastOption.map(_._2) match {
+      case None =>
+        // no generation files: absent legacy file genuinely means "never
+        // written" — the seed-from-version-dirs upgrade path is correct
+        try readFile(legacyHistoryPath(name))
+        catch { case _: java.io.FileNotFoundException => Nil }
+      case Some(gen) =>
+        try readFile(gen)
+        catch {
+          case _: java.io.FileNotFoundException =>
+            // a concurrent commit swept this generation between resolving
+            // and opening it. That is NOT "absent history" (seeding from
+            // raw version dirs here would admit stray dirs — the hazard
+            // generations exist to close): re-resolve once, and if the
+            // newest generation vanishes again treat the read as transient
+            // so appendHistory returns None and this rewrite skips GC.
+            historyFiles(name).lastOption.map(_._2) match {
+              case Some(gen2) =>
+                try readFile(gen2)
+                catch {
+                  case e: java.io.FileNotFoundException => throw new java.io.IOException(
+                    s"history generation for $name vanished twice mid-read (concurrent sweeps)", e)
+                }
+              case None => throw new java.io.IOException(
+                s"history generations for $name vanished mid-read (concurrent sweep)")
+            }
+        }
+    }
   }
 
   /** History plus the new entry, SEEDED for the upgrade path: a table
@@ -109,11 +136,19 @@ case class Warehouse(spark: SparkSession, dir: String) {
       val tmp = new Path(dir, s"$name.__history.tmp")
       val out = fs.create(tmp, true)
       try out.write((entries.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
-      if (fs.rename(tmp, new Path(dir, f"$name.__history.$seq%06d"))) {
-        // only after the new generation is live: sweep superseded ones
-        existing.foreach { case (_, p) => fs.delete(p, false) }
-        if (fs.exists(legacyHistoryPath(name))) fs.delete(legacyHistoryPath(name), false)
+      if (!fs.rename(tmp, new Path(dir, f"$name.__history.$seq%06d"))) {
+        // rename-to-fresh-name returning false means another writer took
+        // this seq (or the target appeared concurrently): OUR committed
+        // set was never durably recorded and a concurrent writer's view
+        // may diverge from it — skip GC this rewrite rather than sweep
+        // against a set no reader can resolve. (Distinct from the
+        // swallowed-IOException path below, where the PREVIOUS generation
+        // is still live and the self-heal bound covers the lost entry.)
+        return None
       }
+      // only after the new generation is live: sweep superseded ones
+      existing.foreach { case (_, p) => fs.delete(p, false) }
+      if (fs.exists(legacyHistoryPath(name))) fs.delete(legacyHistoryPath(name), false)
     } catch { case _: java.io.IOException => () }
     Some(entries)
   }

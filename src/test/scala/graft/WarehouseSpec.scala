@@ -173,6 +173,72 @@ class WarehouseSpec extends SparkTestBase {
     assert(names(wh) === Set("gen3"))
   }
 
+  // --- transient-failure paths, driven through the fault-injecting
+  // flaky:// FileSystem (FlakyFs): concurrent-sweep FNF races and
+  // generation-rename collisions must SKIP GC, never corrupt the window
+  private def flakyWh(): Warehouse = {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.flaky.impl", classOf[FlakyFs].getName)
+    FlakyFs.reset()
+    Warehouse(spark, "flaky://" + Files.createTempDirectory("graft_flaky_").toString)
+  }
+  private def isHistoryGen(n: String): Boolean =
+    n.startsWith("t.__history.") && n.stripPrefix("t.__history.").forall(_.isDigit)
+  private def versionDirs(wh: Warehouse): Int = {
+    val fs = new Path(wh.dir).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.globStatus(new Path(wh.dir, "t.__v*")).length
+  }
+
+  test("history generation swept mid-read (one FNF): retried, GC proceeds") {
+    val wh = flakyWh()
+    try {
+      (1 to 4).foreach(i => wh.rewrite("t", Seq((1L, s"v$i")).toDF("id", "name")))
+      assert(versionDirs(wh) === wh.RetainVersions)
+      FlakyFs.failOpens(1)(isHistoryGen) // the race hits once; retry lands
+      wh.rewrite("t", Seq((1L, "v5")).toDF("id", "name"))
+      assert(!FlakyFs.armed, "injected FNF was not consumed")
+      assert(versionDirs(wh) === wh.RetainVersions) // GC ran normally
+      assert(names(wh) === Set("v5"))
+    } finally FlakyFs.reset()
+  }
+
+  test("history generation vanishing twice is transient, not absent: GC skipped, then self-heals") {
+    val wh = flakyWh()
+    try {
+      (1 to 4).foreach(i => wh.rewrite("t", Seq((1L, s"v$i")).toDF("id", "name")))
+      assert(versionDirs(wh) === wh.RetainVersions)
+      // both the first read AND the retry hit FNF: the committed set is
+      // unknown — were this treated as "absent history", the seed from raw
+      // version dirs would fabricate a committed set and GC against it
+      FlakyFs.failOpens(2)(isHistoryGen)
+      wh.rewrite("t", Seq((1L, "v5")).toDF("id", "name"))
+      assert(!FlakyFs.armed, "injected FNFs were not consumed")
+      assert(versionDirs(wh) === wh.RetainVersions + 1) // GC skipped this rewrite
+      assert(names(wh) === Set("v5"))
+      // next rewrite reads the intact history, self-heals the lost entry
+      // (prevLive is committed by definition) and GC catches back up
+      wh.rewrite("t", Seq((1L, "v6")).toDF("id", "name"))
+      assert(versionDirs(wh) === wh.RetainVersions)
+      assert(names(wh) === Set("v6"))
+    } finally FlakyFs.reset()
+  }
+
+  test("generation rename collision: committed set not durably recorded → GC skipped") {
+    val wh = flakyWh()
+    try {
+      (1 to 4).foreach(i => wh.rewrite("t", Seq((1L, s"v$i")).toDF("id", "name")))
+      assert(versionDirs(wh) === wh.RetainVersions)
+      FlakyFs.failRenames(1)(isHistoryGen) // two writers computed the same seq
+      wh.rewrite("t", Seq((1L, "v5")).toDF("id", "name")) // must not throw
+      assert(!FlakyFs.armed, "injected rename failure was not consumed")
+      assert(versionDirs(wh) === wh.RetainVersions + 1) // GC skipped this rewrite
+      assert(names(wh) === Set("v5"))
+      wh.rewrite("t", Seq((1L, "v6")).toDF("id", "name")) // self-heal + GC resumes
+      assert(versionDirs(wh) === wh.RetainVersions)
+      assert(names(wh) === Set("v6"))
+    } finally FlakyFs.reset()
+  }
+
   test("append → rewrite → append stays one consistent table (backfill shape)") {
     val wh = fresh()
     wh.append("t", Seq((1L, "a")).toDF("id", "name"))
