@@ -1,6 +1,7 @@
 package graft.core
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, LocalRelation, OneRowRelation}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -11,12 +12,32 @@ import org.apache.spark.sql.functions._
   * Scale note: the rank window is unpartitioned, which funnels the ranked
   * set through one task. That is correct here by construction — ranking is
   * only ever applied to aggregated frames whose cardinality is the number
-  * of groups/branches (tens to thousands), never to fact rows. Do not use
-  * on unaggregated data.
+  * of groups/branches (tens to thousands), never to fact rows — and it is
+  * ENFORCED, not just documented: the input plan must carry an aggregation
+  * (Aggregate/Deduplicate) below the window, a statically bounded row
+  * count (`maxRows`, e.g. a LIMIT), or only local-literal leaves. Ranking
+  * a raw fact scan throws instead of silently funneling the table through
+  * one task.
   */
 object Ranking {
 
+  private def dimBounded(df: DataFrame): Boolean = {
+    val plan = df.queryExecution.analyzed
+    plan.exists {
+      case _: Aggregate | _: Deduplicate => true
+      case _ => false
+    } || plan.maxRows.isDefined ||
+      plan.collectLeaves().forall {
+        case _: LocalRelation | _: OneRowRelation => true
+        case _ => false
+      }
+  }
+
   def rankWithNullsUnranked(df: DataFrame, measure: String, out: String = "posicion"): DataFrame = {
+    require(dimBounded(df),
+      "rankWithNullsUnranked input is neither aggregated nor statically bounded — " +
+        "an unpartitioned rank window over fact rows funnels the table through one " +
+        "task; aggregate (or LIMIT) to dim cardinality first")
     val w = Window.orderBy(col(measure).desc)
     val ranked = df
       .filter(col(measure).isNotNull)

@@ -12,6 +12,19 @@ import graft.core.{Classify, Ranking}
 class RelationalSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("ranking a raw fact scan throws — the unpartitioned-window guard is code, not comment") {
+    val facts = graft.core.Tables.lineitem(spark, sf())
+      .withColumnRenamed("l_quantity", "score")
+    val ex = intercept[IllegalArgumentException] {
+      Ranking.rankWithNullsUnranked(facts, "score")
+    }
+    assert(ex.getMessage.contains("aggregated"))
+    // aggregating to dim cardinality (or LIMIT-bounding) makes it legal
+    val agg = facts.groupBy(col("l_returnflag")).agg(avg(col("score")).as("score"))
+    assert(Ranking.rankWithNullsUnranked(agg, "score").count() > 0)
+    assert(Ranking.rankWithNullsUnranked(facts.limit(20), "score").count() === 20)
+  }
+
   test("W1 competition rank with ties: 90,90,80 -> 1,1,3") {
     val df = Seq(("a", Some(90.0)), ("b", Some(90.0)), ("c", Some(80.0)),
                  ("d", None: Option[Double]))
