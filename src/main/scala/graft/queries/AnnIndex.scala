@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.etl.Warehouse
 import graft.functions.{VectorOps => V}
 
 /** Index-side state for the two ANN paths (t12 hyperplane LSH, t14 IVF).
@@ -106,11 +107,14 @@ object Lsh {
 }
 
 /** Train-once IVF coarse quantizer: a seeded KMeans fit over the corpus,
-  * persisted as a (cid, cvec) parquet table. Queries (and the DuckDB
-  * oracle) read the persisted centroids — the fit never runs on the query
-  * path. At 100 TB the fit runs on a sample and the same persisted table
-  * is broadcast; assignment is a map-side argmin against ≤ a few thousand
-  * centroids, exactly as here.
+  * persisted as the `ann_centroids` control table of a [[graft.etl.Warehouse]]
+  * — versioned, atomically rewritten, readable by every executor, exactly
+  * like the ETL's checkpoint tables. Queries (and the DuckDB oracle) read
+  * the persisted centroids — the fit never runs on the query path. At
+  * 100 TB the fit runs on a sample, the warehouse sits next to the corpus
+  * (`SPARK_GRAFT_INDEX_DIR`), and the same persisted table is broadcast;
+  * assignment is a map-side argmin against ≤ a few thousand centroids,
+  * exactly as here.
   */
 object IvfModel {
 
@@ -127,61 +131,57 @@ object IvfModel {
   val Seed = 42L
   val MaxIter = 10
 
+  val TableName = "ann_centroids"
+
+  /** Every row carries the corpus content stamp the fit saw — the
+    * staleness check is a 1-row read of the table itself, no side marker
+    * files to drift out of sync with the data.
+    */
+  val CentroidSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("cid", IntegerType),
+      StructField("cvec", ArrayType(DoubleType)),
+      StructField("corpus_stamp", StringType)))
+  }
+
   private val user =
     sys.props.getOrElse("user.name", "unknown").replaceAll("[^A-Za-z0-9_-]", "_")
 
-  /** Per-(user, corpus) centroid location, derived from the corpus dir:
-    * two drivers preparing DIFFERENT corpora get different paths (no race,
-    * no cross-corpus serving), and the path carries the OS user so the
-    * artifact is ours — `ensure` additionally refuses a directory owned by
-    * anyone else, closing the pre-created-poisoned-path hole a fixed
-    * world-writable literal had. Local scratch is the right home for a
-    * single-node model artifact; at cluster scale the centroid table lives
-    * in the warehouse next to the corpus it indexes.
+  /** Root of the index warehouse for `dir`'s corpus: `SPARK_GRAFT_INDEX_DIR`
+    * when set (production — storage next to the corpus), else per-(user,
+    * corpus) local scratch (single-node dev/test; the corpus dir itself is
+    * read-only here). Derived from the argument, never JVM-global state,
+    * so sessions indexing different corpora never collide; the user suffix
+    * keeps shared-tmp hosts from cross-serving artifacts.
     */
-  def pathFor(dir: String): String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val h = md.digest(s"$user\n$dir".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(16)
-    new java.io.File(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_ivf_${user}_$h").toString
-  }
+  def rootFor(dir: String): String =
+    sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR", {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest(s"$user\n$dir".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(16)
+      new java.io.File(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_index_${user}_$h").toString
+    })
 
-  private def marker(root: String) = java.nio.file.Paths.get(root, "_corpus")
+  def warehouseFor(s: SparkSession, dir: String): Warehouse = Warehouse(s, rootFor(dir))
 
-  /** Fit-and-persist once per corpus. The persisted table carries a
-    * `_corpus` marker stamping the dir AND the embeddings table's content
-    * (per-file name/length/mtime — Tables.contentStamp), so the same dir
-    * regenerated with new content, in this JVM or a previous one, refits
-    * instead of silently probing stale centroids. Index construction, not
-    * query work: Bench warms this outside the timed region, the way any
-    * vector store builds its index before serving.
+  /** Fit-and-persist once per corpus. Every persisted row stamps the dir
+    * AND the embeddings table's content (per-file name/length/mtime —
+    * Tables.contentStamp), so the same dir regenerated with new content,
+    * in this JVM or a previous one, refits instead of silently probing
+    * stale centroids; the stamp check is one 32-row read. Commit goes
+    * through `Warehouse.rewrite` — a crash mid-fit leaves the previous
+    * centroid generation live, never a torn table. Index construction,
+    * not query work: Bench warms this outside the timed region, the way
+    * any vector store builds its index before serving.
     */
   def ensure(s: SparkSession, dir: String): Unit = synchronized {
-    val root = pathFor(dir)
+    val wh = warehouseFor(s, dir)
     val stamp = s"$dir\n${Tables.contentStamp(s, s"$dir/embeddings.parquet")}"
-    val rootNio = java.nio.file.Paths.get(root)
-    if (java.nio.file.Files.exists(rootNio)) {
-      // owner lookup is POSIX-only; where unsupported — or if the dir
-      // vanishes between exists() and here (shared-tmp reapers) — skip
-      // the check: the user-suffixed hashed path remains the (weaker)
-      // isolation, and a vanished dir just refits below. Any OTHER
-      // IOException (e.g. AccessDenied on a foreign un-stat-able dir)
-      // propagates — refusing loudly, never silently trusting
-      val owner = try Some(java.nio.file.Files.getOwner(rootNio).getName)
-                  catch {
-                    case _: UnsupportedOperationException => None
-                    case _: java.nio.file.NoSuchFileException => None
-                  }
-      owner.filter(_ != sys.props.getOrElse("user.name", "unknown")).foreach { o =>
-        throw new IllegalStateException(
-          s"IVF centroid dir $root is owned by '$o', not us — refusing foreign centroids")
-      }
-    }
-    val persisted =
-      try java.nio.file.Files.readString(marker(root)).trim == stamp
-      catch { case _: java.io.IOException => false }
-    if (!persisted) {
+    val current = wh.read(TableName, CentroidSchema)
+      .select(col("corpus_stamp")).limit(1).collect().headOption.map(_.getString(0))
+    if (!current.contains(stamp)) {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
       val e = Tables.embeddings(s, dir)
@@ -189,17 +189,38 @@ object IvfModel {
         .withColumn("features", array_to_vector(col("emb")))
       val model = new KMeans().setK(K).setSeed(Seed).setMaxIter(MaxIter).fit(e)
       val cents = model.clusterCenters.zipWithIndex
-        .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
-      s.createDataFrame(cents).toDF("cid", "cvec")
-        .coalesce(1).write.mode("overwrite").parquet(root)
-      java.nio.file.Files.writeString(marker(root), stamp)
+        .map { case (c, i) => (i, c.toArray.toSeq, stamp) }.toSeq
+      wh.rewrite(TableName,
+        s.createDataFrame(cents).toDF("cid", "cvec", "corpus_stamp").coalesce(1))
     }
   }
 
-  /** The persisted centroid table for `dir`'s corpus — path derived from
-    * the argument, never from JVM-global state, so two sessions querying
-    * different corpora concurrently each read their own index.
+  /** The persisted centroid table for `dir`'s corpus, resolved through the
+    * warehouse pointer — always the last committed generation.
     */
   def centroids(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(pathFor(dir))
+    warehouseFor(s, dir).read(TableName, CentroidSchema).select(col("cid"), col("cvec"))
+
+  /** The live centroid directory for the DuckDB oracle. Oracle SQL is
+    * generated without a Spark session, and DuckDB is a local single-node
+    * tool, so this resolves the warehouse pointer with plain java.io —
+    * mirroring `Warehouse.resolve` (pointer file, else newest complete
+    * version) for the local-FS case.
+    */
+  def oraclePath(dir: String): String = {
+    val root = rootFor(dir)
+    def exists(f: java.io.File) = f.exists()
+    val fromPointer =
+      try {
+        val t = java.nio.file.Files
+          .readString(java.nio.file.Paths.get(root, s"$TableName.__current")).trim
+        Some(new java.io.File(root, t)).filter(exists)
+      } catch { case _: java.io.IOException => None }
+    fromPointer.orElse {
+      Option(new java.io.File(root).listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.getName.startsWith(s"$TableName.__v") &&
+          new java.io.File(f, "_SUCCESS").exists())
+        .sortBy(_.getName).lastOption
+    }.getOrElse(new java.io.File(root, TableName)).toString
+  }
 }

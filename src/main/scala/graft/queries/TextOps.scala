@@ -634,7 +634,7 @@ object TextOps {
     */
   def t14Sql(dir: String): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-       |c AS (SELECT cid, cvec FROM read_parquet('${IvfModel.pathFor(dir)}/*.parquet')),
+       |c AS (SELECT cid, cvec FROM read_parquet('${IvfModel.oraclePath(dir)}/*.parquet')),
        |ad AS (
        |  SELECT vec_id, emb, cid,
        |    list_sum(list_transform(list_zip(emb, cvec), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
@@ -925,9 +925,14 @@ object TextOps {
     * fixpoint (up to MaxIters) and REPORTS if the budget ran out rather
     * than silently returning a split clustering.
     */
-  def dedupClusters(s: SparkSession, dir: String, pairsSrc: DataFrame): DataFrame = {
+  def dedupClusters(s: SparkSession, dir: String, pairsSrc: DataFrame): DataFrame =
+    dedupClustersOf(documents(s, dir).select(col("doc_id")).distinct(), pairsSrc)
+
+  /** Same clustering over an explicit node set — the reusable form
+    * (Curation's transitive near-dup stage feeds its own survivor set).
+    */
+  def dedupClustersOf(nodes: DataFrame, pairsSrc: DataFrame): DataFrame = {
     val pairs = pairsSrc.select(col("doc_a"), col("doc_b"))
-    val nodes = documents(s, dir).select(col("doc_id")).distinct()
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint()

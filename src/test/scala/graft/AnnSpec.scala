@@ -195,7 +195,29 @@ class AnnSpec extends SparkTestBase {
     val scans = df.queryExecution.sparkPlan.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f.relation.location.rootPaths.mkString
     }
-    val centroidDirName = new java.io.File(IvfModel.pathFor(sf())).getName
-    assert(scans.exists(_.contains(centroidDirName)))
+    // the plan reads the warehouse's live centroid generation — the same
+    // directory the oracle-side resolver hands DuckDB
+    val live = IvfModel.oraclePath(sf())
+    assert(new java.io.File(live, "_SUCCESS").exists(), s"no committed centroid table at $live")
+    assert(scans.exists(_.contains(new java.io.File(live).getName)))
+  }
+
+  test("IVF centroids live in a versioned warehouse table and refit on corpus-stamp change") {
+    IvfModel.ensure(spark, sf())
+    val wh = IvfModel.warehouseFor(spark, sf())
+    val t1 = wh.read(IvfModel.TableName, IvfModel.CentroidSchema).collect()
+    assert(t1.length === IvfModel.K)
+    assert(t1.map(_.getString(2)).distinct.length === 1) // one corpus stamp
+    // poison the stamp via a warehouse rewrite: ensure must detect the
+    // mismatch and refit (a fresh generation with the true stamp)
+    import spark.implicits._
+    val poisoned = t1.map(r => (r.getInt(0), r.getSeq[Double](1), "stale-stamp")).toSeq
+      .toDF("cid", "cvec", "corpus_stamp")
+    wh.rewrite(IvfModel.TableName, poisoned)
+    IvfModel.ensure(spark, sf())
+    val t2 = wh.read(IvfModel.TableName, IvfModel.CentroidSchema).collect()
+    assert(t2.map(_.getString(2)).head !== "stale-stamp")
+    assert(t2.map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq ===
+      t1.map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq) // same seeded fit
   }
 }
