@@ -754,32 +754,82 @@ object QualityOps {
     * two exact integers, which both engines round identically
     * ([[graft.functions.Rounding]]).
     *
-    * Scale shape: distinct-token explode (one corpus scan per side — a
-    * production pipeline materializes the rarity vocab table once and
-    * reuses it), map-side-combined df aggregation shuffled on token
-    * (uniform), the rarity join shuffled on token, and the per-doc
-    * roll-up shuffled on doc_id. The N scalar rides a broadcast cross
-    * join, not a driver action.
+    * Scale shape: the rarity vocab (token → df → rarity_micro) is
+    * MATERIALIZED once per corpus into the index warehouse
+    * ([[ensureRarityVocab]], the [[IvfModel.ensure]] pattern) and the
+    * per-document score joins the persisted table — one corpus scan per
+    * call instead of two. The vocab build itself is a distinct-token
+    * explode with map-side-combined df aggregation shuffled on token
+    * (uniform); the scoring pass shuffles on token then doc_id. The N
+    * scalar rides a broadcast cross join, not a driver action.
     */
-  def tokenIdfOf(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"),
+  private def distinctTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
       explode(array_distinct(TF.tokens(col("text")))).as("token"))
+
+  /** The corpus rarity vocabulary: per-token `(N·10^6) div df − 10^6`
+    * micro-units, integer-only (see [[tokenIdfOf]]'s determinism note).
+    */
+  def rarityVocabOf(docs: DataFrame): DataFrame = {
     val total = docs.agg(count(lit(1)).as("n_total"))
-    val rarity = toks.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    distinctTokens(docs).groupBy(col("token")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(total))
       .select(col("token"),
         expr("(n_total * 1000000L) div df - 1000000L").as("rarity_micro"))
-    toks.join(rarity, "token")
+  }
+
+  /** Score documents against a (token, rarity_micro) vocabulary. */
+  def tokenIdfWith(docs: DataFrame, rarity: DataFrame): DataFrame =
+    distinctTokens(docs).join(rarity, "token")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_distinct"), sum(col("rarity_micro")).as("rarity_sum_micro"))
       .select(col("doc_id"), col("n_distinct"), col("rarity_sum_micro"),
         R.halfUp(col("rarity_sum_micro") / (col("n_distinct") * lit(1000000.0)), 4)
           .as("rarity"))
       .orderBy(col("doc_id"))
+
+  /** Self-contained two-scan form for ad-hoc frames (specs, sub-corpora);
+    * the registry path goes through the persisted vocab instead.
+    */
+  def tokenIdfOf(docs: DataFrame): DataFrame =
+    tokenIdfWith(docs, rarityVocabOf(docs))
+
+  val RarityVocabTable = "rarity_vocab"
+
+  /** Stamp on every row — parquet dictionary-encodes the single repeated
+    * value to near-zero bytes, and a one-table commit stays atomic under
+    * `Warehouse.rewrite` (a side meta-table could commit without its data).
+    */
+  val RarityVocabSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("token", StringType),
+      StructField("rarity_micro", LongType),
+      StructField("corpus_stamp", StringType)))
   }
 
-  def t33TokenIdf(s: SparkSession, dir: String): DataFrame =
-    tokenIdfOf(documents(s, dir))
+  /** Fit-and-persist the rarity vocab once per corpus, content-stamped
+    * exactly like [[IvfModel.ensure]]: a regenerated corpus (stamp
+    * mismatch) refits; a crash mid-refit leaves the previous generation
+    * live. Returns the warehouse so callers read through the same root.
+    */
+  def ensureRarityVocab(s: SparkSession, dir: String): graft.etl.Warehouse = synchronized {
+    val wh = IvfModel.warehouseFor(s, dir)
+    val stamp = s"$dir\n${contentStamp(s, s"$dir/documents.parquet")}"
+    val current = wh.read(RarityVocabTable, RarityVocabSchema)
+      .select(col("corpus_stamp")).limit(1).collect().headOption.map(_.getString(0))
+    if (!current.contains(stamp)) {
+      wh.rewrite(RarityVocabTable,
+        rarityVocabOf(documents(s, dir)).withColumn("corpus_stamp", lit(stamp)))
+    }
+    wh
+  }
+
+  def t33TokenIdf(s: SparkSession, dir: String): DataFrame = {
+    val wh = ensureRarityVocab(s, dir)
+    tokenIdfWith(documents(s, dir),
+      wh.read(RarityVocabTable, RarityVocabSchema).select(col("token"), col("rarity_micro")))
+  }
 
   val t33Sql: String =
     s"""WITH t AS (

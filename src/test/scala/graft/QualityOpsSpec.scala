@@ -336,4 +336,30 @@ class QualityOpsSpec extends SparkTestBase {
     assert(out(2L)._3 === 3000000L)
     assert(out(2L)._4 === 1.5)
   }
+
+  test("t33 rarity vocab persists once, refits on corpus-stamp change, matches fresh compute") {
+    val wh = QualityOps.ensureRarityVocab(spark, sf())
+    val v1 = wh.read(QualityOps.RarityVocabTable, QualityOps.RarityVocabSchema).collect()
+    assert(v1.nonEmpty)
+    assert(v1.map(_.getString(2)).distinct.length === 1) // one corpus stamp
+    // poison the stamp via a warehouse rewrite: ensure must detect the
+    // mismatch and refit a fresh generation with the true stamp
+    val poisoned = v1.map(r => (r.getString(0), r.getLong(1), "stale-stamp")).toSeq
+      .toDF("token", "rarity_micro", "corpus_stamp")
+    wh.rewrite(QualityOps.RarityVocabTable, poisoned)
+    QualityOps.ensureRarityVocab(spark, sf())
+    val v2 = wh.read(QualityOps.RarityVocabTable, QualityOps.RarityVocabSchema).collect()
+    assert(v2.map(_.getString(2)).head !== "stale-stamp")
+    val fresh = QualityOps.rarityVocabOf(graft.core.Tables.documents(spark, sf()))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(v2.map(r => (r.getString(0), r.getLong(1))).toSet === fresh)
+  }
+
+  test("t33 through the persisted vocab equals the self-contained two-scan form") {
+    val viaVocab = QualityOps.t33TokenIdf(spark, sf())
+      .collect().map(_.toSeq).toSeq
+    val twoScan = QualityOps.tokenIdfOf(graft.core.Tables.documents(spark, sf()))
+      .collect().map(_.toSeq).toSeq
+    assert(viaVocab === twoScan)
+  }
 }
