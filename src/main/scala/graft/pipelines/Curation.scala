@@ -50,8 +50,17 @@ object Curation {
     * the round-1 version ran 4 eager count() actions, i.e. ~4 corpus
     * scans per audit row at 100 TB.
     */
+  /** `useClusters = true` routes the near-dup stage through
+    * [[graft.queries.TextOps.dedupClustersOf]]: candidate pairs become
+    * connected components and every non-canonical member drops, so a chain
+    * A~C, B~C collapses to {A} even when A and B never paired directly —
+    * the pairwise default would keep B. The clustering is iterative
+    * (label propagation runs jobs inside this call), so the ≤ 2-job
+    * guarantee documented above holds only for the pairwise default.
+    */
   def curate(spark: SparkSession, docs: DataFrame,
-             t: Thresholds = Thresholds()): (DataFrame, DataFrame) = {
+             t: Thresholds = Thresholds(),
+             useClusters: Boolean = false): (DataFrame, DataFrame) = {
     release(spark) // previous batch's pin, if any
     // single scan: every per-doc signal at once
     val signals = docs
@@ -85,9 +94,10 @@ object Curation {
       .withColumn("exact_ok", col("q_ok") && col("doc_id") === keepId)
 
     // stage 3: near-dup — MinHash-LSH candidates above the jaccard
-    // threshold among exact survivors; the larger doc_id of each pair is
-    // dropped (transitive chains: t13's clustering is the full treatment;
-    // pairwise greater-id drop is the streaming-friendly approximation)
+    // threshold among exact survivors. Default: the larger doc_id of each
+    // pair drops (streaming-friendly, single-pass); useClusters routes the
+    // same pairs through t13's connected components for the full
+    // transitive treatment
     val sigs = staged
       .filter(col("exact_ok") && size(col("sh")) > 0)
       .select(col("doc_id"), NH.minhashSignature(col("sh"), 16).as("sig"))
@@ -96,13 +106,19 @@ object Curation {
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_key"))
     val a = banded.select(col("band"), col("band_key"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("band_key"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    val toDrop = a.join(b, Seq("band", "band_key"))
+    val candPairs = a.join(b, Seq("band", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         TF.estJaccard(col("sig_a"), col("sig_b")).as("j"))
       .filter(col("j") >= t.nearDupJaccard)
-      .select(col("doc_b").as("doc_id")).distinct()
-      .withColumn("near_dup", lit(true))
+    val toDrop = (if (useClusters) {
+      graft.queries.TextOps
+        .dedupClustersOf(sigs.select(col("doc_id")), candPairs.select(col("doc_a"), col("doc_b")))
+        .filter(!col("is_canonical"))
+        .select(col("doc_id"))
+    } else {
+      candPairs.select(col("doc_b").as("doc_id")).distinct()
+    }).withColumn("near_dup", lit(true))
 
     val tagged = staged
       .join(toDrop, Seq("doc_id"), "left")

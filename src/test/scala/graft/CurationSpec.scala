@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
+import graft.functions.{NativeHashes => NH, NativeText => NT, TextFunctions => TF}
 import graft.pipelines.Curation
 
 class CurationSpec extends SparkTestBase {
@@ -43,6 +44,71 @@ class CurationSpec extends SparkTestBase {
       "curate() must not run eager actions")
     assert(curated.collect().nonEmpty)
     assert(audit.collect().length === 1)
+  }
+
+  /** The LSH candidate structure for three docs, replaying curate()'s
+    * stage-3 constants (16-hash sigs, 4×4 bands) — used to SELECT a
+    * deterministic fixture below, not to re-test the stage itself.
+    */
+  private def candStruct(tA: String, tB: String, tC: String, tau: Double): Set[(Long, Long)] = {
+    val sigs = Seq((1L, tA), (2L, tB), (3L, tC)).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        NH.minhashSignature(NT.md5ShingleHashes(col("text"), 3), 16).as("sig"))
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      posexplode(TF.bandKeys(col("sig"), 4, 4)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_key"))
+    val a = banded.select(col("band"), col("band_key"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("band_key"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), TF.estJaccard(col("sig_a"), col("sig_b")).as("j"))
+      .filter(col("j") >= tau)
+      .select("doc_a", "doc_b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("useClusters: a 3-chain through the max-id hub drops transitively, pairwise keeps the middle") {
+    // construct A, B sharing a token run, C = A ++ B: near-dup pairs are
+    // (A,C) and (B,C) but never (A,B). With the hub C carrying the LARGEST
+    // id, the pairwise greater-id rule drops only C — it has no pair
+    // ranking A against B — while connected components collapse the chain
+    // to canonical A. Banding is md5-deterministic, so probe word salts
+    // until one yields exactly that candidate structure, then pin it.
+    val tau = Curation.Thresholds().nearDupJaccard
+    def mk(salt: Int): (String, String, String) = {
+      val shared = (1 to 12).map(i => s"s${salt}x$i")
+      val ua = (1 to 8).map(i => s"a${salt}x$i")
+      val ub = (1 to 8).map(i => s"b${salt}x$i")
+      ((shared ++ ua).mkString(" "), (shared ++ ub).mkString(" "),
+        (shared ++ ua ++ shared ++ ub).mkString(" "))
+    }
+    val found = (0 until 40).view
+      .map(salt => mk(salt))
+      .find { case (ta, tb, tc) => candStruct(ta, tb, tc, tau) === Set((1L, 3L), (2L, 3L)) }
+    assert(found.isDefined, "no salt in 0..39 produced the (A,C),(B,C)-only candidate structure")
+    val (ta, tb, tc) = found.get
+    val docs = Seq((1L, ta), (2L, tb), (3L, tc)).toDF("doc_id", "text")
+
+    val (curPair, auditPair) = Curation.curate(spark, docs)
+    assert(curPair.select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    assert(auditPair.collect().head.getAs[Long]("dropped_near_dup") === 1)
+
+    val (curClust, auditClust) = Curation.curate(spark, docs, useClusters = true)
+    assert(curClust.select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L))
+    assert(auditClust.collect().head.getAs[Long]("dropped_near_dup") === 2)
+  }
+
+  test("useClusters agrees with pairwise on the simple-pair fixture") {
+    val base = "the quick brown fox jumps over the lazy dog and keeps running far away"
+    val docs = Seq(
+      (1L, base), (2L, base), (3L, base + " tonight"),
+      (5L, "completely different content about spark engines and columnar execution at scale"))
+      .toDF("doc_id", "text")
+    val (curated, audit) = Curation.curate(spark, docs, useClusters = true)
+    assert(curated.select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L, 5L))
+    val a = audit.collect().head
+    assert(a.getAs[Long]("dropped_exact_dup") === 1)
+    assert(a.getAs[Long]("dropped_near_dup") === 1)
   }
 
   test("curation over the corpus conserves counts in the audit") {
