@@ -993,6 +993,44 @@ object Relational {
        |  RANGE BETWEEN 600000000000 PRECEDING AND CURRENT ROW)
        |ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q39
+  /** Skewed-key equi-join via deterministic salting
+    * ([[graft.functions.Skew.saltedJoin]]): a quarter of all events are
+    * collapsed onto bucket 1 — a deliberate hot key — and the salted join
+    * spreads that key over 8 (bucket, salt) reducers while replicating
+    * each dim row 8×. The dim is hinted off the broadcast path ("merge")
+    * to model the regime the pattern exists for: a dim too large to
+    * broadcast, where AQE's skew split does not cover every join shape
+    * and one reducer would otherwise receive the whole hot key. The
+    * result is identical to the plain join — the oracle runs the UNSALTED
+    * SQL — and SkewSpec asserts the physical join keys carry __salt with
+    * the hot key actually spanning the salt space.
+    */
+  def q39SkewedJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .withColumn("bucket_id",
+        when(col("user_id") % 4 === 0, 1L).otherwise(col("user_id")))
+    val dim = customer(s, dir)
+      .select(col("c_custkey").as("bucket_id"), col("c_mktsegment"))
+      .hint("merge")
+    graft.functions.Skew.saltedJoin(ev, dim, "bucket_id", salts = 8,
+        saltSource = col("event_id"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"), sumMoney(col("value")).as("sum_value"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q39Sql: String =
+    s"""WITH ev AS (
+       |  SELECT CASE WHEN user_id % 4 = 0 THEN 1 ELSE user_id END AS bucket_id, value
+       |  FROM events),
+       |d AS (SELECT c_custkey AS bucket_id, c_mktsegment FROM customer)
+       |SELECT c_mktsegment, count(*) AS n_events,
+       |  ${sumMoneySql("value")} AS sum_value
+       |FROM ev JOIN d USING (bucket_id)
+       |GROUP BY c_mktsegment
+       |ORDER BY c_mktsegment""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"    -> (q01PricingSummary _),
@@ -1032,6 +1070,7 @@ object Relational {
     "q36_running_total"      -> (q36RunningTotal _),
     "q37_argmax"             -> (q37ArgMax _),
     "q38_range_window"       -> (q38RangeWindow _),
+    "q39_skewed_join"        -> (q39SkewedJoin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1072,5 +1111,6 @@ object Relational {
     "q36_running_total"      -> q36Sql,
     "q37_argmax"             -> q37Sql,
     "q38_range_window"       -> q38Sql,
+    "q39_skewed_join"        -> q39Sql,
   )
 }

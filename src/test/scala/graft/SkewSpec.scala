@@ -36,4 +36,28 @@ class SkewSpec extends SparkTestBase {
       .select("__salt").distinct().count()
     assert(spread === 8)
   }
+
+  test("q39 joins on (bucket_id, __salt) with the hot key spanning the salt space") {
+    val df = graft.queries.Relational.q39SkewedJoin(spark, sf())
+    // the physical join must key on the salt (shuffle path, not broadcast):
+    // that is what splits the hot bucket across reducers
+    val joinKeys = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+        j.leftKeys.map(_.toString).mkString(",")
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+        j.leftKeys.map(_.toString).mkString(",")
+    }
+    assert(joinKeys.exists(k => k.contains("bucket_id") && k.contains("__salt")),
+      s"no shuffled join keyed on (bucket_id, __salt); joins: $joinKeys")
+    assert(df.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }.isEmpty, "dim was broadcast — the salted shuffle path was not exercised")
+    // the deliberate hot key (bucket 1) really spans all 8 salts
+    val spread = graft.core.Tables.events(spark, sf())
+      .withColumn("bucket_id", when(col("user_id") % 4 === 0, 1L).otherwise(col("user_id")))
+      .filter(col("bucket_id") === 1L)
+      .withColumn("__salt", pmod(xxhash64(col("event_id")), lit(8)))
+      .select("__salt").distinct().count()
+    assert(spread === 8)
+  }
 }
