@@ -918,27 +918,37 @@ object TextOps {
     * driver run shares one LSH pass across t06/t08/t13.
     *
     * Scale shape: each iteration is one join + one aggregate, both
-    * shuffling on doc_id; lineage is cut with localCheckpoint every
-    * iteration (iterative algorithms otherwise stack plans; at 100 TB use
-    * reliable checkpoint). Near-dup components are tiny (diameter ≤ a few
-    * hops), so propagation converges quickly; the loop runs until a full
-    * fixpoint (up to MaxIters) and REPORTS if the budget ran out rather
-    * than silently returning a split clustering.
+    * shuffling on doc_id; lineage is cut every iteration (iterative
+    * algorithms otherwise stack plans) — via RELIABLE checkpoint when the
+    * session has a checkpoint dir configured
+    * (`spark.sparkContext.setCheckpointDir`, object storage at 100 TB:
+    * survives executor loss), else localCheckpoint (executor memory,
+    * single-node dev/test). Near-dup components are tiny (diameter ≤ a
+    * few hops), so propagation converges quickly; the loop runs until a
+    * full fixpoint (up to MaxIters) and REPORTS if the budget ran out
+    * rather than silently returning a split clustering.
     */
   def dedupClusters(s: SparkSession, dir: String, pairsSrc: DataFrame): DataFrame =
     dedupClustersOf(documents(s, dir).select(col("doc_id")).distinct(), pairsSrc)
+
+  /** Reliable checkpoint when configured, localCheckpoint otherwise —
+    * same lazy/eager contract either way.
+    */
+  private def cutLineage(df: DataFrame, eager: Boolean): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager)
+    else df.localCheckpoint(eager)
 
   /** Same clustering over an explicit node set — the reusable form
     * (Curation's transitive near-dup stage feeds its own survivor set).
     */
   def dedupClustersOf(nodes: DataFrame, pairsSrc: DataFrame): DataFrame = {
     val pairs = pairsSrc.select(col("doc_a"), col("doc_b"))
-    val edges = pairs
-      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .localCheckpoint()
+    val edges = cutLineage(pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))),
+      eager = true)
 
     val MaxIters = 32
-    var labels = nodes.withColumn("cluster", col("doc_id")).localCheckpoint()
+    var labels = cutLineage(nodes.withColumn("cluster", col("doc_id")), eager = true)
     var iter = 0
     var converged = false
     while (iter < MaxIters && !converged) {
@@ -946,13 +956,13 @@ object TextOps {
         .join(labels.select(col("doc_id").as("doc_b"), col("cluster").as("nb_cluster")), Seq("doc_b"))
         .groupBy(col("doc_a")).agg(min(col("nb_cluster")).as("min_nb"))
         .select(col("doc_a").as("doc_id"), col("min_nb"))
-      // one Spark job per iteration: the lazy localCheckpoint materializes
+      // one Spark job per iteration: the lazy checkpoint materializes
       // under the change-count action (old and new label side by side), so
       // the convergence check costs no second pass over the lineage
-      val joined = labels.join(neighborMin, Seq("doc_id"), "left")
+      val joined = cutLineage(labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"), col("cluster").as("prev"),
-          least(col("cluster"), coalesce(col("min_nb"), col("cluster"))).as("cluster"))
-        .localCheckpoint(false)
+          least(col("cluster"), coalesce(col("min_nb"), col("cluster"))).as("cluster")),
+        eager = false)
       converged = joined.filter(col("cluster") =!= col("prev")).isEmpty
       labels = joined.select(col("doc_id"), col("cluster"))
       iter += 1

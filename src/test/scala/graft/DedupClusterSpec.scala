@@ -37,6 +37,24 @@ class DedupClusterSpec extends SparkTestBase {
     assert(got(5L) === 5L) // untouched singleton
   }
 
+  test("with a checkpoint dir configured, clustering uses reliable checkpoints and agrees") {
+    import graft.queries.TextOps
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val nodes = (1L to 8L).toDF("doc_id")
+    def result() = TextOps.dedupClustersOf(nodes, pairs)
+      .select("doc_id", "cluster").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaLocal = result() // no checkpoint dir: localCheckpoint path
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_ck_").toString
+    spark.sparkContext.setCheckpointDir(ckDir)
+    val viaReliable = result()
+    assert(viaReliable === viaLocal)
+    // the reliable path actually wrote checkpoint state (executor-loss
+    // durable at scale, unlike localCheckpoint's executor memory)
+    def count(dir: java.io.File): Int =
+      Option(dir.listFiles()).map(_.map(f => if (f.isDirectory) count(f) else 1).sum).getOrElse(0)
+    assert(count(new java.io.File(ckDir)) > 0, "no reliable checkpoint files written")
+  }
+
   test("t13 over the corpus: canonical docs unique per cluster, sizes consistent") {
     val df = graft.queries.TextOps.t13DedupClusters(spark, sf()).collect()
     val byCluster = df.groupBy(_.getAs[Long]("cluster"))
