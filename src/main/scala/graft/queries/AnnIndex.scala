@@ -166,6 +166,22 @@ object IvfModel {
 
   def warehouseFor(s: SparkSession, dir: String): Warehouse = Warehouse(s, rootFor(dir))
 
+  /** (root, stamp) pairs this JVM has already verified or fitted — spares
+    * the per-call stamp-check read. The CONTENT stamp is still recomputed
+    * from the corpus listing on every call (pure FS metadata, no Spark
+    * job), so a regenerated corpus changes the key and misses the memo;
+    * only an external process deleting the warehouse out from under a
+    * live JVM would be missed, the same trust boundary every warehouse
+    * table already has.
+    */
+  private[queries] val verifiedStamps =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Unit]
+
+  /** Drop the memo — a test hook simulating a fresh JVM's first look at a
+    * warehouse another process may have rewritten.
+    */
+  private[graft] def resetEnsureMemo(): Unit = verifiedStamps.clear()
+
   /** Fit-and-persist once per corpus. Every persisted row stamps the dir
     * AND the embeddings table's content (per-file name/length/mtime —
     * Tables.contentStamp), so the same dir regenerated with new content,
@@ -179,6 +195,7 @@ object IvfModel {
   def ensure(s: SparkSession, dir: String): Unit = synchronized {
     val wh = warehouseFor(s, dir)
     val stamp = s"$dir\n${Tables.contentStamp(s, s"$dir/embeddings.parquet")}"
+    if (verifiedStamps.contains((wh.dir, stamp))) return
     val current = wh.read(TableName, CentroidSchema)
       .select(col("corpus_stamp")).limit(1).collect().headOption.map(_.getString(0))
     if (!current.contains(stamp)) {
@@ -193,6 +210,7 @@ object IvfModel {
       wh.rewrite(TableName,
         s.createDataFrame(cents).toDF("cid", "cvec", "corpus_stamp").coalesce(1))
     }
+    verifiedStamps.put((wh.dir, stamp), ())
   }
 
   /** The persisted centroid table for `dir`'s corpus, resolved through the

@@ -179,6 +179,17 @@ class AnnSpec extends SparkTestBase {
     assert(recall >= 0.6)
   }
 
+  test("repeat ensure with an unchanged corpus runs zero Spark jobs (memoized stamp)") {
+    IvfModel.ensure(spark, sf())
+    graft.queries.QualityOps.ensureRarityVocab(spark, sf())
+    val tracker = spark.sparkContext.statusTracker
+    val before = tracker.getJobIdsForGroup(null).length
+    IvfModel.ensure(spark, sf())
+    graft.queries.QualityOps.ensureRarityVocab(spark, sf())
+    assert(tracker.getJobIdsForGroup(null).length === before,
+      "repeat ensure re-read the stamp table — per-call query cost regressed")
+  }
+
   test("t14 IVF query plan contains no KMeans fit (pure assignment + probe)") {
     IvfModel.ensure(spark, sf())
     // the query is a closed-form DataFrame over embeddings + the persisted
@@ -214,6 +225,9 @@ class AnnSpec extends SparkTestBase {
     val poisoned = t1.map(r => (r.getInt(0), r.getSeq[Double](1), "stale-stamp")).toSeq
       .toDF("cid", "cvec", "corpus_stamp")
     wh.rewrite(IvfModel.TableName, poisoned)
+    // the rewrite above stands in for ANOTHER process changing the table;
+    // drop this JVM's verified-stamp memo so ensure takes a fresh look
+    IvfModel.resetEnsureMemo()
     IvfModel.ensure(spark, sf())
     val t2 = wh.read(IvfModel.TableName, IvfModel.CentroidSchema).collect()
     assert(t2.map(_.getString(2)).head !== "stale-stamp")

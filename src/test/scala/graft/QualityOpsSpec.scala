@@ -347,6 +347,9 @@ class QualityOpsSpec extends SparkTestBase {
     val poisoned = v1.map(r => (r.getString(0), r.getLong(1), "stale-stamp")).toSeq
       .toDF("token", "rarity_micro", "corpus_stamp")
     wh.rewrite(QualityOps.RarityVocabTable, poisoned)
+    // stands in for another process's rewrite: reset this JVM's memo so
+    // ensure re-reads the (poisoned) stamp
+    graft.queries.IvfModel.resetEnsureMemo()
     QualityOps.ensureRarityVocab(spark, sf())
     val v2 = wh.read(QualityOps.RarityVocabTable, QualityOps.RarityVocabSchema).collect()
     assert(v2.map(_.getString(2)).head !== "stale-stamp")
