@@ -81,6 +81,35 @@ class PropertySpec extends SparkTestBase {
     assert(full.values.toSet === Set("train", "val", "test"))
   }
 
+  test("salted join equals plain join on random skewed frames") {
+    import graft.functions.Skew
+    val gen: Gen[List[(String, Int)]] = Gen.listOfN(60,
+      for {
+        // 2/3 of rows land on the hot key — the regime salting exists for
+        k <- Gen.frequency(2 -> Gen.const("hot"), 1 -> Gen.oneOf("a", "b", "c", "d"))
+        v <- Gen.chooseNum(0, 1000)
+      } yield (k, v))
+    samples(gen, 8).foreach { xs =>
+      val big = xs.toDF("key", "v")
+      val small = Seq(("hot", 1), ("a", 2), ("b", 3), ("z", 9)).toDF("key", "label")
+      val plain = big.join(small, "key")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).sorted.toSeq
+      val salted = Skew.saltedJoin(big, small, "key", salts = 5, saltSource = col("v"))
+        .select("key", "v", "label")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).sorted.toSeq
+      assert(salted === plain) // multiset equality — duplicates included
+    }
+  }
+
+  test("masksWithin(r, b) is exactly the codes of popcount <= r, for any dial") {
+    import graft.queries.Lsh
+    for (bits <- Seq(4, 6, 8, 11); radius <- 0 to math.min(bits, 4)) {
+      val expected = (0L until (1L << bits))
+        .filter(c => java.lang.Long.bitCount(c) <= radius).toSet
+      assert(Lsh.masksWithin(radius, bits).toSet === expected, s"($bits, $radius)")
+    }
+  }
+
   test("identical token streams always produce identical minhash signatures") {
     import graft.functions.{TextFunctions => TF}
     val gen: Gen[List[String]] = Gen.listOfN(12, Gen.oneOf(
