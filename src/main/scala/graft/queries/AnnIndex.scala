@@ -106,6 +106,54 @@ object Lsh {
     masksWithin(radius, bits).mkString("[", ", ", "]::BIGINT[]")
 }
 
+/** Fit-once, content-stamped warehouse tables — the shared scaffolding of
+  * the IVF centroid table and the t33 rarity vocab: check the persisted
+  * stamp, refit on mismatch, memoize verified (table, stamp) pairs per
+  * JVM so repeat queries run zero setup jobs. One implementation so the
+  * staleness protocol cannot drift between artifacts.
+  */
+private[queries] object StampedTable {
+
+  /** (table-path, stamp) pairs this JVM has verified or fitted — spares
+    * the per-call stamp-check read. The CONTENT stamp is still recomputed
+    * from the corpus listing on every call (pure FS metadata, no Spark
+    * job), so a regenerated corpus changes the key and misses the memo;
+    * only an external process deleting the warehouse out from under a
+    * live JVM would be missed, the same trust boundary every warehouse
+    * table already has.
+    */
+  private val verified =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Unit]
+
+  private[graft] def reset(): Unit = verified.clear()
+
+  /** Ensure `table` holds an artifact fitted at `stamp`. An UNREADABLE
+    * stamp (a failed corpus listing — `Tables.contentStamp` returns a
+    * unique `unreadable:` value) never triggers a refit: committing a
+    * never-matchable stamp would force a full refit + rewrite on every
+    * subsequent call. Instead the existing generation keeps serving (the
+    * next healthy listing re-checks), or, with nothing persisted, the
+    * ensure fails loudly — a fit could not read the corpus either.
+    */
+  def ensure(wh: Warehouse, table: String,
+             schema: org.apache.spark.sql.types.StructType,
+             stamp: String)(fit: => DataFrame): Unit = synchronized {
+    val key = (s"${wh.dir}/$table", stamp)
+    if (verified.contains(key)) return
+    val current = wh.read(table, schema)
+      .select(col("corpus_stamp")).limit(1).collect().headOption.map(_.getString(0))
+    if (stamp.contains("unreadable:")) {
+      if (current.isEmpty)
+        throw new IllegalStateException(
+          s"cannot fit $table: corpus listing failed and no persisted generation exists")
+      return // serve the existing generation; do not memoize, do not poison
+    }
+    if (!current.contains(stamp))
+      wh.rewrite(table, fit.withColumn("corpus_stamp", lit(stamp)))
+    verified.put(key, ())
+  }
+}
+
 /** Train-once IVF coarse quantizer: a seeded KMeans fit over the corpus,
   * persisted as the `ann_centroids` control table of a [[graft.etl.Warehouse]]
   * — versioned, atomically rewritten, readable by every executor, exactly
@@ -148,39 +196,67 @@ object IvfModel {
   private val user =
     sys.props.getOrElse("user.name", "unknown").replaceAll("[^A-Za-z0-9_-]", "_")
 
-  /** Root of the index warehouse for `dir`'s corpus: `SPARK_GRAFT_INDEX_DIR`
-    * when set (production — storage next to the corpus), else per-(user,
-    * corpus) local scratch (single-node dev/test; the corpus dir itself is
-    * read-only here). Derived from the argument, never JVM-global state,
-    * so sessions indexing different corpora never collide; the user suffix
-    * keeps shared-tmp hosts from cross-serving artifacts.
+  private def corpusHash(seedPrefix: String, dir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s"$seedPrefix\n$dir".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+  }
+
+  /** Root of the index warehouse for `dir`'s corpus. With
+    * `SPARK_GRAFT_INDEX_DIR` (or the `graft.index.dir` system property)
+    * set — production, storage next to the corpora — each corpus gets its
+    * own `corpus_<hash>` sub-warehouse under that root, so two corpora
+    * NEVER share one stamped table (sharing would make their ensure calls
+    * refit-ping-pong and, worse, let a memoized stamp serve corpus B's
+    * index to corpus A). Unset, a per-(user, corpus) local scratch dir is
+    * used (single-node dev/test; the corpus dir itself is read-only
+    * here). Derived from the argument, never JVM-global state.
     */
   def rootFor(dir: String): String =
-    sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR", {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val h = md.digest(s"$user\n$dir".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(16)
-      new java.io.File(
-        sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_index_${user}_$h").toString
-    })
+    sys.props.get("graft.index.dir").orElse(sys.env.get("SPARK_GRAFT_INDEX_DIR")) match {
+      case Some(root) =>
+        new java.io.File(root, s"corpus_${corpusHash("corpus", dir)}").toString
+      case None =>
+        new java.io.File(
+          sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+          s"graft_index_${user}_${corpusHash(user, dir)}").toString
+    }
 
-  def warehouseFor(s: SparkSession, dir: String): Warehouse = Warehouse(s, rootFor(dir))
-
-  /** (root, stamp) pairs this JVM has already verified or fitted — spares
-    * the per-call stamp-check read. The CONTENT stamp is still recomputed
-    * from the corpus listing on every call (pure FS metadata, no Spark
-    * job), so a regenerated corpus changes the key and misses the memo;
-    * only an external process deleting the warehouse out from under a
-    * live JVM would be missed, the same trust boundary every warehouse
-    * table already has.
+  /** The default scratch root lives under a world-writable tmpdir and its
+    * name is predictable, so before trusting anything there, refuse a
+    * directory owned by another OS user — the pre-created-poisoned-path
+    * hole: an attacker who can read the corpus can plant a stamped table
+    * whose content stamp matches. An explicitly configured index dir is
+    * the operator's own storage and skips the check. POSIX-only lookup;
+    * where unsupported (or the dir vanished mid-check) the hashed
+    * user-suffixed path remains the weaker isolation.
     */
-  private[queries] val verifiedStamps =
-    scala.collection.concurrent.TrieMap.empty[(String, String), Unit]
+  private def refuseForeignScratch(root: String): Unit = {
+    val p = java.nio.file.Paths.get(root)
+    if (java.nio.file.Files.exists(p)) {
+      val owner = try Some(java.nio.file.Files.getOwner(p).getName)
+                  catch {
+                    case _: UnsupportedOperationException => None
+                    case _: java.nio.file.NoSuchFileException => None
+                  }
+      owner.filter(_ != sys.props.getOrElse("user.name", "unknown")).foreach { o =>
+        throw new IllegalStateException(
+          s"index scratch dir $root is owned by '$o', not us — refusing foreign artifacts")
+      }
+    }
+  }
 
-  /** Drop the memo — a test hook simulating a fresh JVM's first look at a
-    * warehouse another process may have rewritten.
+  def warehouseFor(s: SparkSession, dir: String): Warehouse = {
+    val root = rootFor(dir)
+    if (sys.props.get("graft.index.dir").orElse(sys.env.get("SPARK_GRAFT_INDEX_DIR")).isEmpty)
+      refuseForeignScratch(root)
+    Warehouse(s, root)
+  }
+
+  /** Drop the verified-stamp memo — a test hook simulating a fresh JVM's
+    * first look at a warehouse another process may have rewritten.
     */
-  private[graft] def resetEnsureMemo(): Unit = verifiedStamps.clear()
+  private[graft] def resetEnsureMemo(): Unit = StampedTable.reset()
 
   /** Fit-and-persist once per corpus. Every persisted row stamps the dir
     * AND the embeddings table's content (per-file name/length/mtime —
@@ -192,13 +268,10 @@ object IvfModel {
     * not query work: Bench warms this outside the timed region, the way
     * any vector store builds its index before serving.
     */
-  def ensure(s: SparkSession, dir: String): Unit = synchronized {
+  def ensure(s: SparkSession, dir: String): Unit = {
     val wh = warehouseFor(s, dir)
     val stamp = s"$dir\n${Tables.contentStamp(s, s"$dir/embeddings.parquet")}"
-    if (verifiedStamps.contains((wh.dir, stamp))) return
-    val current = wh.read(TableName, CentroidSchema)
-      .select(col("corpus_stamp")).limit(1).collect().headOption.map(_.getString(0))
-    if (!current.contains(stamp)) {
+    StampedTable.ensure(wh, TableName, CentroidSchema, stamp) {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
       val e = Tables.embeddings(s, dir)
@@ -206,11 +279,9 @@ object IvfModel {
         .withColumn("features", array_to_vector(col("emb")))
       val model = new KMeans().setK(K).setSeed(Seed).setMaxIter(MaxIter).fit(e)
       val cents = model.clusterCenters.zipWithIndex
-        .map { case (c, i) => (i, c.toArray.toSeq, stamp) }.toSeq
-      wh.rewrite(TableName,
-        s.createDataFrame(cents).toDF("cid", "cvec", "corpus_stamp").coalesce(1))
+        .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+      s.createDataFrame(cents).toDF("cid", "cvec").coalesce(1)
     }
-    verifiedStamps.put((wh.dir, stamp), ())
   }
 
   /** The persisted centroid table for `dir`'s corpus, resolved through the

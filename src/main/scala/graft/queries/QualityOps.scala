@@ -813,19 +813,11 @@ object QualityOps {
     * mismatch) refits; a crash mid-refit leaves the previous generation
     * live. Returns the warehouse so callers read through the same root.
     */
-  def ensureRarityVocab(s: SparkSession, dir: String): graft.etl.Warehouse = synchronized {
+  def ensureRarityVocab(s: SparkSession, dir: String): graft.etl.Warehouse = {
     val wh = IvfModel.warehouseFor(s, dir)
     val stamp = s"vocab:$dir\n${contentStamp(s, s"$dir/documents.parquet")}"
-    // same per-JVM memo as the centroids (IvfModel.verifiedStamps): the
-    // content stamp is recomputed per call, only the table read is spared
-    if (!IvfModel.verifiedStamps.contains((wh.dir, stamp))) {
-      val current = wh.read(RarityVocabTable, RarityVocabSchema)
-        .select(col("corpus_stamp")).limit(1).collect().headOption.map(_.getString(0))
-      if (!current.contains(stamp)) {
-        wh.rewrite(RarityVocabTable,
-          rarityVocabOf(documents(s, dir)).withColumn("corpus_stamp", lit(stamp)))
-      }
-      IvfModel.verifiedStamps.put((wh.dir, stamp), ())
+    StampedTable.ensure(wh, RarityVocabTable, RarityVocabSchema, stamp) {
+      rarityVocabOf(documents(s, dir))
     }
     wh
   }

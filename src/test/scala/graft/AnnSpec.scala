@@ -179,6 +179,47 @@ class AnnSpec extends SparkTestBase {
     assert(recall >= 0.6)
   }
 
+  test("a configured index root gives every corpus its own sub-warehouse") {
+    sys.props("graft.index.dir") = "/data/indexes"
+    try {
+      val a = IvfModel.rootFor("/corpora/a")
+      val b = IvfModel.rootFor("/corpora/b")
+      assert(a !== b, "two corpora resolved the same index warehouse — stamped tables would collide")
+      assert(a.startsWith("/data/indexes/corpus_") && b.startsWith("/data/indexes/corpus_"))
+      assert(IvfModel.rootFor("/corpora/a") === a) // stable per corpus
+    } finally sys.props.remove("graft.index.dir")
+  }
+
+  test("unreadable corpus listing serves the existing generation; never refits or poisons") {
+    val root = java.nio.file.Files.createTempDirectory("graft_idx_test_").toString
+    val corpus = java.nio.file.Files.createTempDirectory("graft_corpus_").toString
+    sys.props("graft.index.dir") = root
+    try {
+      // a private copy of the embeddings table we can delete out from under it
+      import scala.sys.process._
+      assert(Seq("cp", "-r", s"${sf()}/embeddings.parquet", s"$corpus/embeddings.parquet").! === 0)
+      IvfModel.ensure(spark, corpus)
+      val wh = IvfModel.warehouseFor(spark, corpus)
+      def versions = new java.io.File(wh.dir).listFiles()
+        .count(_.getName.startsWith(s"${IvfModel.TableName}.__v"))
+      val v1 = versions
+      assert(v1 >= 1)
+      // corpus listing now fails → contentStamp returns a unique
+      // unreadable: value; ensure must keep serving, not refit per call
+      assert(Seq("rm", "-r", s"$corpus/embeddings.parquet").! === 0)
+      IvfModel.resetEnsureMemo()
+      IvfModel.ensure(spark, corpus)
+      IvfModel.ensure(spark, corpus)
+      assert(versions === v1, "unreadable stamp triggered a refit/rewrite")
+      assert(IvfModel.centroids(spark, corpus).count() === IvfModel.K)
+      // with nothing persisted at all, an unreadable corpus fails loudly
+      val empty = java.nio.file.Files.createTempDirectory("graft_corpus2_").toString
+      intercept[IllegalStateException] {
+        IvfModel.ensure(spark, s"$empty/nope")
+      }
+    } finally sys.props.remove("graft.index.dir")
+  }
+
   test("repeat ensure with an unchanged corpus runs zero Spark jobs (memoized stamp)") {
     IvfModel.ensure(spark, sf())
     graft.queries.QualityOps.ensureRarityVocab(spark, sf())
