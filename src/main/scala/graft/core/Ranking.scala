@@ -1,7 +1,8 @@
 package graft.core
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, LocalRelation, OneRowRelation}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, Generate, Join, LocalRelation, LogicalPlan, OneRowRelation, Union}
+import org.apache.spark.sql.catalyst.plans.logical.UnaryNode
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -21,20 +22,28 @@ import org.apache.spark.sql.functions._
   */
 object Ranking {
 
-  private def dimBounded(df: DataFrame): Boolean = {
-    val plan = df.queryExecution.analyzed
-    plan.exists {
-      case _: Aggregate | _: Deduplicate => true
-      case _ => false
-    } || plan.maxRows.isDefined ||
-      plan.collectLeaves().forall {
-        case _: LocalRelation | _: OneRowRelation => true
-        case _ => false
-      }
+  /** Is the plan's OUTPUT cardinality dim-bounded? A recursive check on
+    * the root, not an `exists` over the whole tree — a fact scan joined
+    * to an aggregated dim contains an Aggregate somewhere below but still
+    * outputs fact cardinality, and must be rejected. Bounded roots:
+    * aggregation/dedup, a statically known maxRows (LIMIT, literal data),
+    * joins/unions of bounded inputs, and cardinality-preserving unary
+    * nodes (Project/Filter/Sort/hints/…) over a bounded child; Generate
+    * (explode) expands rows and is excluded.
+    */
+  private def dimBounded(plan: LogicalPlan): Boolean = plan match {
+    case _: Aggregate | _: Deduplicate => true
+    case _ if plan.maxRows.isDefined => true
+    case _: LocalRelation | _: OneRowRelation => true
+    case j: Join => dimBounded(j.left) && dimBounded(j.right)
+    case u: Union => u.children.forall(dimBounded)
+    case _: Generate => false
+    case u: UnaryNode => dimBounded(u.child)
+    case _ => false
   }
 
   def rankWithNullsUnranked(df: DataFrame, measure: String, out: String = "posicion"): DataFrame = {
-    require(dimBounded(df),
+    require(dimBounded(df.queryExecution.analyzed),
       "rankWithNullsUnranked input is neither aggregated nor statically bounded — " +
         "an unpartitioned rank window over fact rows funnels the table through one " +
         "task; aggregate (or LIMIT) to dim cardinality first")

@@ -23,6 +23,19 @@ class RelationalSpec extends SparkTestBase {
     val agg = facts.groupBy(col("l_returnflag")).agg(avg(col("score")).as("score"))
     assert(Ranking.rankWithNullsUnranked(agg, "score").count() > 0)
     assert(Ranking.rankWithNullsUnranked(facts.limit(20), "score").count() === 20)
+    // a fact scan JOINED to an aggregated dim contains an Aggregate below
+    // but still outputs fact cardinality — must be rejected (the guard
+    // checks the root's cardinality, not mere Aggregate existence)
+    val factJoin = facts.join(
+      agg.select(col("l_returnflag"), col("score").as("dim_avg")), "l_returnflag")
+    intercept[IllegalArgumentException] {
+      Ranking.rankWithNullsUnranked(factJoin, "score")
+    }
+    // while a join of two AGGREGATED frames stays dim-bounded and passes
+    // (the rankingGrupos rollup shape)
+    val aggJoin = agg.join(
+      agg.select(col("l_returnflag"), col("score").as("other")), "l_returnflag")
+    assert(Ranking.rankWithNullsUnranked(aggJoin, "score").count() > 0)
   }
 
   test("W1 competition rank with ties: 90,90,80 -> 1,1,3") {
