@@ -73,10 +73,11 @@ object Bench {
     def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    // total = sum of the per-query values AS PRINTED (ms-rounded), so the
-    // driver's cross-check of total vs per-query sum is exact, not
-    // tolerance-dependent
-    val total = results.collect { case (_, t) if t >= 0 => math.rint(t * 1000) / 1000 }.sum
+    // total = sum of the per-query values AS PRINTED — through f3 itself,
+    // so the rounding mode is identical by construction (%.3f is HALF_UP;
+    // math.rint is half-even and disagrees on exact .5 ties) and the
+    // driver's cross-check of total vs per-query sum is exact
+    val total = results.collect { case (_, t) if t >= 0 => f3(t).toDouble }.sum
     // Trend line vs the committed baseline (r04's driver numbers): any
     // query >2x its baseline AND >0.3s absolute over it is flagged
     // mechanically, so a regression shows up in the round artifact itself

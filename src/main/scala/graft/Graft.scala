@@ -44,6 +44,11 @@ object Graft {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // reliable checkpoints (dedup clustering with a checkpoint dir set)
+      // are only reclaimed when the cleaner tracks them; without this a
+      // long-lived driver looping curate(useClusters=true) leaks ~2
+      // table-sized checkpoint copies per propagation iteration per batch
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()
 
   def warehouse(spark: SparkSession, dir: String): Warehouse = Warehouse(spark, dir)

@@ -932,7 +932,11 @@ object TextOps {
     dedupClustersOf(documents(s, dir).select(col("doc_id")).distinct(), pairsSrc)
 
   /** Reliable checkpoint when configured, localCheckpoint otherwise —
-    * same lazy/eager contract either way.
+    * same lazy/eager contract either way. Reliable checkpoint files are
+    * reclaimed by Spark's context cleaner ONLY with
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (set by
+    * `Graft.session`; Spark's default is false) — without it a driver
+    * looping the clustering leaks checkpoint copies per iteration.
     */
   private def cutLineage(df: DataFrame, eager: Boolean): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager)
