@@ -870,9 +870,20 @@ object TextOps {
     * with the corpus (`bits ≈ log2(n/bucket_target)`) for the candidate
     * join to stay sub-quadratic. Defaults = test-corpus dials = what the
     * oracle SQL replays.
+    *
+    * `narrowProbe` controls what the probe explosion carries. The wide
+    * default rides the 64-double embedding through every exploded probe
+    * row — one join, no extra shuffle, fastest while masks are few. The
+    * narrow form explodes (vec_a, bucket) only and re-joins the
+    * embeddings by vec_a AFTER candidate generation — an extra
+    * candidate-sized shuffle, but the exploded volume drops from
+    * masks × row-width to masks × 16 bytes: the right shape once wide
+    * codes push mask counts into the hundreds (see SCALE.md's measured
+    * dial crossover). Identical results by construction (spec-pinned).
     */
   def t15CosineNearDup(s: SparkSession, dir: String,
-                       bits: Int = Lsh.Bits, radius: Int = PairRadius): DataFrame = {
+                       bits: Int = Lsh.Bits, radius: Int = PairRadius,
+                       narrowProbe: Boolean = false): DataFrame = {
     // norms materialize per VECTOR before the join (n rows), so the only
     // per-PAIR work is one native dot product and a divide — the HOF
     // cosine here re-evaluated three 64-element folds per candidate pair
@@ -881,16 +892,33 @@ object TextOps {
       .select(col("vec_id"), V.toDouble(col("embedding")).as("emb"))
       .withColumn("nrm", V.norm(col("emb")))
       .withColumn("bucket", Lsh.bucketOf(col("emb"), bits))
-    val probes = e.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"),
-      col("nrm").as("nrm_a"),
-      explode(array(Lsh.masksWithin(radius, bits).map(m =>
-        col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
-    e.join(probes, Seq("bucket"))
-      .filter(col("vec_a") < col("vec_id"))
-      .select(col("vec_a"), col("vec_id").as("vec_b"),
-        R.halfUp(when(col("nrm_a") === 0.0 || col("nrm") === 0.0, 0.0)
-          .otherwise(V.dot(col("emb_a"), col("emb")) / (col("nrm_a") * col("nrm"))), 6)
-          .as("cosine"))
+    val masks = Lsh.masksWithin(radius, bits)
+    val scored =
+      if (narrowProbe) {
+        val probes = e.select(col("vec_id").as("vec_a"),
+          explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+        e.join(probes, Seq("bucket"))
+          .filter(col("vec_a") < col("vec_id"))
+          .select(col("vec_a"), col("vec_id").as("vec_b"),
+            col("emb").as("emb_b"), col("nrm").as("nrm_b"))
+          .join(e.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"),
+            col("nrm").as("nrm_a")), Seq("vec_a"))
+          .select(col("vec_a"), col("vec_b"),
+            R.halfUp(when(col("nrm_a") === 0.0 || col("nrm_b") === 0.0, 0.0)
+              .otherwise(V.dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b"))), 6)
+              .as("cosine"))
+      } else {
+        val probes = e.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"),
+          col("nrm").as("nrm_a"),
+          explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+        e.join(probes, Seq("bucket"))
+          .filter(col("vec_a") < col("vec_id"))
+          .select(col("vec_a"), col("vec_id").as("vec_b"),
+            R.halfUp(when(col("nrm_a") === 0.0 || col("nrm") === 0.0, 0.0)
+              .otherwise(V.dot(col("emb_a"), col("emb")) / (col("nrm_a") * col("nrm"))), 6)
+              .as("cosine"))
+      }
+    scored
       .filter(col("cosine") >= CosTau)
       .orderBy(col("vec_a"), col("vec_b"))
   }

@@ -231,6 +231,16 @@ class AnnSpec extends SparkTestBase {
       "repeat ensure re-read the stamp table — per-call query cost regressed")
   }
 
+  test("t15 narrow-probe form is result-identical to the wide form at any dial") {
+    for ((b, r) <- Seq((Lsh.Bits, TextOps.PairRadius), (10, 6))) {
+      val wide = TextOps.t15CosineNearDup(spark, sf(), b, r)
+        .collect().map(_.toSeq).toSeq
+      val narrow = TextOps.t15CosineNearDup(spark, sf(), b, r, narrowProbe = true)
+        .collect().map(_.toSeq).toSeq
+      assert(narrow === wide, s"narrow != wide at ($b, $r)")
+    }
+  }
+
   test("t14 IVF query plan contains no KMeans fit (pure assignment + probe)") {
     IvfModel.ensure(spark, sf())
     // the query is a closed-form DataFrame over embeddings + the persisted
