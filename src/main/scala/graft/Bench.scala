@@ -56,9 +56,17 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, ok)
     }
     val names = selected.keys.toSeq
-    def fullPass(): Map[String, (Double, Boolean)] =
-      names.map(n => n -> once(selected(n))).toMap
-    val (pass1, pass2) = (fullPass(), fullPass())
+    def fullPass(order: Seq[String]): Map[String, (Double, Boolean)] =
+      order.map(n => n -> once(selected(n))).toMap
+    // Pass 2 runs in REVERSED order. With both passes in the same order,
+    // each query's two samples sit exactly one suite-length apart, so a
+    // sustained multi-minute load spike contaminates the same contiguous
+    // segment of both passes and min-of-two filters nothing (round 5's
+    // driver run inflated the t03..t14 segment in both samples). Reversal
+    // makes a query's two samples anti-correlated in wall-clock position:
+    // a spike that covers query X in pass 1 covers suite-end queries in
+    // pass 2, so at least one sample of X stays clean.
+    val (pass1, pass2) = (fullPass(names), fullPass(names.reverse))
     // A failed run's elapsed time is meaningless — only successful samples
     // count toward the min; a query with zero successes reports -1 and is
     // listed in "errors" so the driver can't mistake a crash for a speedup.
