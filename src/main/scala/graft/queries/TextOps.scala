@@ -588,33 +588,45 @@ object TextOps {
     *
     * The coarse quantizer is trained ONCE per corpus ([[IvfModel.ensure]] —
     * seeded KMeans, persisted parquet centroids); the query path is pure
-    * assignment + probe joins, no ML fit. Each vector joins the broadcast
-    * centroid table and lands in its nearest centroid's inverted list; a
-    * query probes the [[IvfModel.NProbe]] nearest lists. The k-row
-    * crossJoin here keeps the plan an exact mirror of the oracle SQL; at
-    * 100 TB assignment folds into the scan as a map-side argmin over the
-    * broadcast centroids (no row expansion) — same result, same single
-    * shuffle on cluster id.
+    * assignment + probe joins, no ML fit. Assignment is a MAP-SIDE argmin:
+    * the k centroids are folded into ONE array row (`collect_list` over the
+    * k-row control table) and attached to every vector by a 1-row broadcast
+    * nested-loop join — a column attach, zero row expansion — then
+    * `transform` scores all k centroids per row and `array_min` picks the
+    * nearest by (dist, cid) struct order. No shuffle, no window, no n×k
+    * intermediate anywhere on the corpus side; the only exchange left in
+    * the query is the top-k window over the probed candidates, which is
+    * bounded by the query set. (Rounds 1-5 computed the same argmin as
+    * crossJoin×k + row_number window — an n×k row expansion through an
+    * exchange that amplifies the corpus shuffle k-fold at 100 TB; that
+    * formulation now lives only in AnnSpec's oracle-mirror test, which
+    * pins this plan's results to it.)
     */
   def t14AnnIvf(s: SparkSession, dir: String): DataFrame = {
     IvfModel.ensure(s, dir)
     val e = embeddings(s, dir)
       .select(col("vec_id"), V.toDouble(col("embedding")).as("emb"))
-    val c = broadcast(IvfModel.centroids(s, dir))
-    val ad = e.crossJoin(c)
-      .withColumn("dist",
-        aggregate(zip_with(col("emb"), col("cvec"), (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, x) => acc + x))
-    val wNearest = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
-    val assigned = ad
-      .withColumn("rn", row_number().over(wNearest))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("emb"), col("cid").as("cluster"))
-    val probes = ad.filter(col("vec_id") < 10)
-      .withColumn("pr", row_number().over(wNearest))
-      .filter(col("pr") <= IvfModel.NProbe)
+    // k rows -> 1 row holding array<struct<cid,cvec>>, sorted by cid so the
+    // per-row scan order is deterministic
+    val centArr = IvfModel.centroids(s, dir)
+      .agg(sort_array(collect_list(struct(col("cid"), col("cvec")))).as("cents"))
+    val withC = e.crossJoin(broadcast(centArr))
+    // struct(dist, cid): struct comparison orders by dist first, then cid —
+    // identical tie-break to the oracle's ORDER BY dist, cid. The dist fold
+    // is the exact expression the oracle replays (left-fold of squared
+    // diffs), so argmin decisions match bit-for-bit.
+    def scored = transform(col("cents"), c =>
+      struct(
+        aggregate(zip_with(col("emb"), c.getField("cvec"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x).as("dist"),
+        c.getField("cid").as("cid")))
+    val assigned = withC
+      .select(col("vec_id"), col("emb"),
+        array_min(scored).getField("cid").as("cluster"))
+    val probes = withC.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
-        col("cid").as("cluster"))
+        explode(slice(array_sort(scored), 1, IvfModel.NProbe)
+          .getField("cid")).as("cluster"))
 
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))

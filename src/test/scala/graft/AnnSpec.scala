@@ -71,6 +71,49 @@ class AnnSpec extends SparkTestBase {
     assert(recall >= 0.8)
   }
 
+  test("t14 map-side argmin matches the crossJoin+window oracle-mirror formulation") {
+    // The DuckDB oracle replays assignment as CROSS JOIN centroids +
+    // row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid); the
+    // production plan computes the same argmin as a per-row projection
+    // (transform + array_min, zero expansion). This test keeps the
+    // expanded formulation alive as the mirror and pins the two to
+    // identical output, so the projection can never drift from what the
+    // oracle checks (tie-break included: struct(dist, cid) comparison ==
+    // ORDER BY dist, cid).
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.{Rounding => R, VectorOps => V}
+    IvfModel.ensure(spark, sf())
+    val e = graft.core.Tables.embeddings(spark, sf())
+      .select(col("vec_id"), V.toDouble(col("embedding")).as("emb"))
+    val ad = e.crossJoin(broadcast(IvfModel.centroids(spark, sf())))
+      .withColumn("dist",
+        aggregate(zip_with(col("emb"), col("cvec"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x))
+    val wNearest = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+    val assigned = ad
+      .withColumn("rn", row_number().over(wNearest))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("emb"), col("cid").as("cluster"))
+    val probes = ad.filter(col("vec_id") < 10)
+      .withColumn("pr", row_number().over(wNearest))
+      .filter(col("pr") <= IvfModel.NProbe)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        col("cid").as("cluster"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val mirror = assigned.join(broadcast(probes), Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("cluster"),
+        R.halfUp(V.cosine(col("q_emb"), col("emb")), 6).as("cosine"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= 5)
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id", "cluster", "cosine", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3), r.getInt(4))).toSet
+    assert(rows(TextOps.t14AnnIvf(spark, sf())) === rows(mirror))
+  }
+
   test("native dot product matches the HOF formulation bit-for-bit") {
     import graft.functions.{VectorOps => V}
     val e = graft.core.Tables.embeddings(spark, sf())

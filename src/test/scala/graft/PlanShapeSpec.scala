@@ -59,4 +59,35 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]))
     assert(!nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]))
   }
+
+  test("t14 IVF assignment is a map-side argmin: no window over an expanded frame") {
+    // Round 5's formulation crossJoined every corpus vector with the k
+    // centroids and picked the argmin with row_number() over a window
+    // partitioned by vec_id — an n×k row expansion pushed through an
+    // exchange (k-fold shuffle amplification of the corpus table at
+    // 100 TB). The fixed plan scores all k centroids per row inside a
+    // single projection (transform + array_min over a 1-row broadcast
+    // centroid array), so the ONLY window left is the top-k over the
+    // probed candidates, and the only nested-loop join is the 1-row
+    // centroid-array attach.
+    val plan = TextOps.t14AnnIvf(spark, sf()).queryExecution.sparkPlan
+    val nodes = collectPlan(plan)
+    val windows = nodes.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.size === 1,
+      s"expected exactly the top-k window, found ${windows.size}")
+    assert(windows.head.partitionSpec.map(_.sql).exists(_.contains("query_id")),
+      "the surviving window must be the per-query top-k, not per-vector assignment")
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),
+      "t14 plan contains a cartesian product")
+    // the centroid-array attach is the one permitted nested-loop join and
+    // its broadcast side is a global (groupless) aggregate — at most 1 row
+    nodes.collect { case j: BroadcastNestedLoopJoinExec => j }.foreach { j =>
+      val oneRowSide = Seq(j.left, j.right).exists(_.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+          if a.groupingExpressions.isEmpty => a
+      }.nonEmpty)
+      assert(oneRowSide,
+        "nested-loop join whose broadcast side is not the 1-row centroid array")
+    }
+  }
 }
