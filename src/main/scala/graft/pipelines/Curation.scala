@@ -20,7 +20,8 @@ import graft.functions.{NativeHashes => NH, NativeText => NT, TextFunctions => T
 object Curation {
 
   case class Thresholds(minTokens: Int = 10, maxStopwordRatio: Double = 0.6,
-                        maxRepRatio: Double = 0.9, nearDupJaccard: Double = 0.5)
+                        maxRepRatio: Double = 0.9, nearDupJaccard: Double = 0.5,
+                        maxBandBucket: Int = 1000)
 
   // the signals frame each session currently has pinned: a per-batch
   // driver calling curate() in a loop holds at most ONE cached frame
@@ -104,8 +105,14 @@ object Curation {
     val banded = sigs.select(col("doc_id"), col("sig"),
       posexplode(TF.bandKeys(col("sig"), 4, 4)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_key"))
-    val a = banded.select(col("band"), col("band_key"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("band_key"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    // the same bucket cap as t06/t07 (TextOps.capBuckets): the upstream
+    // repetition filter catches most boilerplate, but one template band
+    // key that survives quality filtering would otherwise make this
+    // self-join quadratic — oversized buckets are boilerplate collisions,
+    // not near-duplicates, so their members stay (conservatively) kept
+    val capped = graft.queries.TextOps.capBuckets(banded, t.maxBandBucket)
+    val a = capped.select(col("band"), col("band_key"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = capped.select(col("band"), col("band_key"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
     val candPairs = a.join(b, Seq("band", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),

@@ -136,6 +136,22 @@ object TextOps {
   private val Bands = 4
   private val RowsPerBand = NumHashes / Bands
   private val MaxBucket = 1000
+
+  /** The skew guard every banded self-join must pass through (t06 minhash,
+    * t07 simhash, the Curation pipeline's near-dup stage): drop band
+    * buckets holding more than `maxBucket` docs BEFORE the a⋈b self-join.
+    * A boilerplate-heavy corpus can put thousands of documents in one
+    * bucket and make that bucket's join quadratic at 100 TB; oversized
+    * buckets are boilerplate collisions, not near-duplicates worth
+    * pairing. One implementation so no caller can forget the cap.
+    */
+  private[graft] def capBuckets(banded: DataFrame, maxBucket: Int = MaxBucket,
+                                keys: Seq[String] = Seq("band", "band_key")): DataFrame =
+    banded
+      .withColumn("bucket_n",
+        count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
   private val MinJaccard = 0.5
   private val P = 2147483647L // MinHash family modulus (2^31 - 1)
   private val FpP = 1000000007L // rolling-fingerprint modulus
@@ -182,14 +198,7 @@ object TextOps {
       .select(col("doc_id"), col("sig"),
         posexplode(TF.bandKeys(col("sig"), Bands, RowsPerBand)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_key"))
-    // skew guard: a boilerplate-heavy corpus can put thousands of docs in
-    // one band bucket and make the self-join quadratic. Cap bucket size —
-    // oversized buckets are boilerplate, not near-duplicates worth pairing.
-    val bounded = banded
-      .withColumn("bucket_n",
-        count(lit(1)).over(Window.partitionBy(col("band"), col("band_key"))))
-      .filter(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
+    val bounded = capBuckets(banded, maxBucket)
     val a = bounded.select(col("band"), col("band_key"),
       col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val b = bounded.select(col("band"), col("band_key"),
@@ -328,13 +337,10 @@ object TextOps {
         struct(lit(i).as("band"),
           (shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))).as("band_key"))): _*)).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.band_key"))
-      .withColumn("bucket_n",
-        count(lit(1)).over(Window.partitionBy(col("band"), col("band_key"))))
-      .filter(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
-    val a = banded.select(col("band"), col("band_key"),
+    val capped = capBuckets(banded, maxBucket)
+    val a = capped.select(col("band"), col("band_key"),
       col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
-    val b = banded.select(col("band"), col("band_key"),
+    val b = capped.select(col("band"), col("band_key"),
       col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
     a.join(b, Seq("band", "band_key"))
       .filter(col("doc_a") < col("doc_b"))

@@ -111,6 +111,70 @@ class CurationSpec extends SparkTestBase {
     assert(a.getAs[Long]("dropped_near_dup") === 1)
   }
 
+  /** A boilerplate family: n docs sharing a 30-token template plus one
+    * unique suffix token each — pairwise near-dups (trigram jaccard ≈ 0.87)
+    * that all land in the same LSH band buckets, the pathological shape
+    * that makes an uncapped band self-join quadratic.
+    */
+  private def familyDocs(salt: Int, n: Int): Seq[(Long, String)] = {
+    val template = (1 to 30).map(i => s"tpl${salt}w$i")
+    (0 until n).map(i => (100L + i, (template :+ s"uniq${salt}u$i").mkString(" ")))
+  }
+
+  /** True iff every band bucket of the family is either a singleton (can't
+    * pair) or strictly larger than `cap` (dropped by the cap) — i.e. the
+    * capped pair source provably generates ZERO candidates for the family.
+    * md5 banding is deterministic, so a salt satisfying this is pinned
+    * behavior, not luck.
+    */
+  private def familyFullyCapped(docs: Seq[(Long, String)], cap: Int): Boolean = {
+    val sigs = docs.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        NH.minhashSignature(NT.md5ShingleHashes(col("text"), 3), 16).as("sig"))
+    val counts = sigs.select(posexplode(TF.bandKeys(col("sig"), 4, 4)))
+      .groupBy("pos", "col").count()
+      .select("count").collect().map(_.getLong(0))
+    counts.forall(c => c == 1 || c > cap)
+  }
+
+  test("band-bucket cap bounds the near-dup join on a boilerplate family, normal docs unchanged") {
+    // Uncapped (the pre-round-6 behavior, cap high enough to be inert):
+    // the 40-doc family floods its band buckets and near-dedups down to
+    // its canonical member — candidate volume grew quadratically with
+    // family size. With the t06-shared bucket cap at 20, every family
+    // bucket is oversized (verified by familyFullyCapped — bucket sizes
+    // are all >20 or 1), so the family contributes ZERO candidate pairs
+    // and stays fully kept, while the normal-sized buckets of the regular
+    // fixture still dedup exactly as before.
+    val n = 40
+    val salt = (0 until 40).find(s => familyFullyCapped(familyDocs(s, n), 20))
+    assert(salt.isDefined, "no salt in 0..39 put every family band bucket above the cap")
+    val family = familyDocs(salt.get, n)
+
+    val base = "the quick brown fox jumps over the lazy dog and keeps running far away"
+    val normal = Seq(
+      (1L, base),                          // kept (canonical)
+      (2L, base),                          // exact dup -> dropped
+      (3L, base + " tonight"),             // near dup -> dropped
+      (4L, "too short"),                   // quality -> dropped
+      (5L, "completely different content about spark engines and columnar execution at scale"))
+    val docs = (normal ++ family).toDF("doc_id", "text")
+
+    val uncapped = Curation.curate(spark, docs,
+      Curation.Thresholds(maxBandBucket = 1000))._2.collect().head
+    assert(uncapped.getAs[Long]("dropped_near_dup") >= n - 5,
+      "uncapped: the boilerplate family should near-dedup almost entirely")
+
+    val (curated, audit) = Curation.curate(spark, docs,
+      Curation.Thresholds(maxBandBucket = 20))
+    val kept = curated.select("doc_id").collect().map(_.getLong(0)).toSet
+    val a = audit.collect().head
+    assert(kept === Set(1L, 5L) ++ family.map(_._1),
+      "capped: family fully kept (buckets oversized), normal fixture dedups unchanged")
+    assert(a.getAs[Long]("dropped_near_dup") === 1)   // only doc 3
+    assert(a.getAs[Long]("dropped_exact_dup") === 1)  // only doc 2
+  }
+
   test("curation over the corpus conserves counts in the audit") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val (curated, audit) = Curation.curate(spark, docs)
