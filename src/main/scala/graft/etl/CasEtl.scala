@@ -27,6 +27,61 @@ object CasEtl {
 
   private def surrogateId(natural: org.apache.spark.sql.Column) = xxhash64(natural)
 
+  /** In-batch dedup — keep the earliest submission per id (the reference's
+    * row-at-a-time loop dedups within a batch implicitly: the second
+    * occurrence's SELECT sees the first's INSERT). Tiebreaker: duplicate
+    * ids from overlapping pages usually carry identical content, but an
+    * edited resubmission landing in the same fetch with a TIED timestamp
+    * must still pick the same winner across runs and partitionings —
+    * break ties by full-row content hash. Shared verbatim by the batch
+    * sync and the streaming ingest so the two paths cannot drift.
+    */
+  private[graft] def dedupEarliest(parsed: DataFrame): DataFrame = {
+    val contentTiebreak = xxhash64(struct(parsed.columns.map(col): _*))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("zenput_submission_id")
+      .orderBy(col("date_submitted").asc_nulls_last, contentTiebreak.asc)
+    parsed.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  /** Location resolution for fresh parsed rows: the seguridad-only J9
+    * fallback (same-day operativas by the same supervisor,
+    * etl_sync.py:280-293), then the reference's no-resolvable-location
+    * drop (etl_sync.py:211-213, 293-295).
+    */
+  private[graft] def locateFresh(wh: Warehouse, fresh: DataFrame, tipo: String): DataFrame = {
+    val located = if (tipo == "seguridad")
+      PeriodAssign.inferLocation(fresh, wh.supervisiones("operativas"), wh.sucursales)
+    else fresh
+    located.filter(col("zenput_location_id").isNotNull)
+  }
+
+  /** The master-row construction (T6 score extraction → J7 period interval
+    * join → J6 sucursal lookup → master schema) shared by the batch sync
+    * and the streaming ingest's foreachBatch — one implementation, so a
+    * streamed row is column-for-column what the batch path would have
+    * loaded, period assignment included.
+    */
+  private[graft] def masterFrom(wh: Warehouse, withLoc: DataFrame, tipo: String): DataFrame = {
+    val scored = withLoc.withColumn("calificacion_general",
+      SubmissionParse.generalScore(col("answers")))
+    val assigned = PeriodAssign.assignPeriod(scored, wh.periodos)
+    val suc = broadcast(wh.sucursales
+      .select(col("id").as("lookup_sucursal_id"), col("zenput_location_id")))
+    assigned
+      .join(suc, Seq("zenput_location_id"), "left")
+      .select(
+        surrogateId(col("zenput_submission_id")).as("id"),
+        col("zenput_submission_id"),
+        col("lookup_sucursal_id").cast("int").as("sucursal_id"),
+        col("periodo_id").cast("int"),
+        col("supervisor"),
+        try_to_timestamp(col("date_submitted")).as("fecha_supervision"),
+        col("calificacion_general"),
+        (if (tipo == "operativas") col("lat") else lit(null).cast("double")).as("lat_entrega"),
+        (if (tipo == "operativas") col("lon") else lit(null).cast("double")).as("lon_entrega"))
+  }
+
   /** One incremental sync for one supervision type. `rawJson` plays the
     * Zenput REST page stream (S2 — pagination is driver-side either way).
     *
@@ -63,35 +118,18 @@ object CasEtl {
 
     val existing = wh.supervisiones(tipo)
 
-    // J8 — dedup against target (etl_sync.py:215-217): only new submissions.
-    // The reference's row-at-a-time loop also dedups WITHIN a batch (the
-    // second occurrence's SELECT sees the first's INSERT); set-at-a-time
-    // needs that explicitly — keep the earliest submission per id.
-    // Tiebreaker: duplicate ids from overlapping pages usually carry
-    // identical content, but an edited resubmission landing in the same
-    // fetch with a TIED timestamp must still pick the same winner across
-    // runs and partitionings — break ties by full-row content hash.
-    val contentTiebreak = xxhash64(struct(parsedInc.columns.map(col): _*))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("zenput_submission_id")
-      .orderBy(col("date_submitted").asc_nulls_last, contentTiebreak.asc)
-    val fresh = parsedInc
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    // J8 — dedup against target (etl_sync.py:215-217): only new
+    // submissions, after the shared in-batch earliest-wins dedup.
+    val fresh = dedupEarliest(parsedInc)
       .join(existing.select(col("zenput_submission_id")),
         Seq("zenput_submission_id"), "left_anti")
 
-    // J9 — seguridad-only location inference from same-day operativas
-    val located = if (tipo == "seguridad")
-      PeriodAssign.inferLocation(fresh, wh.supervisiones("operativas"), wh.sucursales)
-    else fresh
-
-    // reference drops submissions without a resolvable location
-    // (etl_sync.py:211-213, 293-295). Staged: everything below re-reads
-    // this lineage after the master append, and the J8 anti-join against
-    // the target must not see its own output. This write is also the one
-    // action that traverses the parse lineage — it materializes the
-    // fetched-count observation above.
-    val withLoc = wh.stage(located.filter(col("zenput_location_id").isNotNull))
+    // J9 + no-location drop (locateFresh). Staged: everything below
+    // re-reads this lineage after the master append, and the J8 anti-join
+    // against the target must not see its own output. This write is also
+    // the one action that traverses the parse lineage — it materializes
+    // the fetched-count observation above.
+    val withLoc = wh.stage(locateFresh(wh, fresh, tipo))
     // AQE's runtime empty-relation propagation can eliminate the
     // CollectMetrics node when the increment turns out empty (e.g. an
     // idempotent re-run) — the observation then completes WITHOUT the
@@ -102,24 +140,8 @@ object CasEtl {
       case None    => parsedIncRaw.count()
     }
 
-    // T6 + J7 + J6
-    val scored = withLoc.withColumn("calificacion_general",
-      SubmissionParse.generalScore(col("answers")))
-    val assigned = PeriodAssign.assignPeriod(scored, wh.periodos)
-    val suc = broadcast(wh.sucursales
-      .select(col("id").as("lookup_sucursal_id"), col("zenput_location_id")))
-    val master = wh.stage(assigned
-      .join(suc, Seq("zenput_location_id"), "left")
-      .select(
-        surrogateId(col("zenput_submission_id")).as("id"),
-        col("zenput_submission_id"),
-        col("lookup_sucursal_id").cast("int").as("sucursal_id"),
-        col("periodo_id").cast("int"),
-        col("supervisor"),
-        try_to_timestamp(col("date_submitted")).as("fecha_supervision"),
-        col("calificacion_general"),
-        (if (tipo == "operativas") col("lat") else lit(null).cast("double")).as("lat_entrega"),
-        (if (tipo == "operativas") col("lon") else lit(null).cast("double")).as("lon_entrega")))
+    // T6 + J7 + J6 (masterFrom — shared with the streaming ingest)
+    val master = wh.stage(masterFrom(wh, withLoc, tipo))
 
     val nuevos = master.count()
     wh.append(s"supervisiones_$tipo", master)

@@ -5,16 +5,24 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
-import graft.etl.{CasSchema, SubmissionParse, Warehouse}
+import graft.etl.{CasEtl, SubmissionParse, Warehouse}
 
 /** Structured Streaming upgrade of the batch incremental sync (SURVEY.md
   * §2.9): the reference's daily checkpoint pull becomes a file stream with
   * Trigger.AvailableNow — same at-least-once source, exactly-once masters.
   *
-  * Dedup is layered: watermark + dropDuplicates("zenput_submission_id")
-  * removes stream-internal repeats (bounded state), and the foreachBatch
-  * anti-join against the target removes cross-run repeats — the streaming
-  * J8. Checkpointing makes restarts resume, not re-ingest.
+  * Dedup is layered: the shared earliest-wins in-batch dedup
+  * ([[CasEtl.dedupEarliest]]) removes stream-internal repeats, and the
+  * foreachBatch anti-join against the target removes cross-run repeats —
+  * the streaming J8. Checkpointing makes restarts resume, not re-ingest.
+  *
+  * Each micro-batch then runs the SAME master-row construction as the
+  * batch sync — [[CasEtl.locateFresh]] (J9 seguridad fallback +
+  * no-location drop) and [[CasEtl.masterFrom]] (T6 score, J7 period
+  * interval join, J6 sucursal lookup) — so a streamed row is
+  * column-for-column what `CasEtl.sync` would have loaded, periodo and
+  * sucursal resolution included (reference etl_sync.py:228-241).
+  * StreamingIngestSpec pins streamed == batch on identical input.
   */
 object StreamingIngest {
 
@@ -39,22 +47,13 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batches += 1
-        val parsed = SubmissionParse.parse(batch)
-          .dropDuplicates("zenput_submission_id") // in-batch repeats
+        val parsed = CasEtl.dedupEarliest(SubmissionParse.parse(batch))
         val existing = wh.supervisiones(tipo).select(col("zenput_submission_id"))
-        val fresh = parsed
-          .join(existing, Seq("zenput_submission_id"), "left_anti")
-          .filter(col("zenput_location_id").isNotNull)
-        val master = wh.stage(fresh.select(
-          xxhash64(col("zenput_submission_id")).as("id"),
-          col("zenput_submission_id"),
-          lit(null).cast("int").as("sucursal_id"),
-          lit(null).cast("int").as("periodo_id"),
-          col("supervisor"),
-          try_to_timestamp(col("date_submitted")).as("fecha_supervision"),
-          SubmissionParse.generalScore(col("answers")).as("calificacion_general"),
-          col("lat").as("lat_entrega"),
-          col("lon").as("lon_entrega")))
+        val fresh = parsed.join(existing, Seq("zenput_submission_id"), "left_anti")
+        // staged for the same reason as the batch path: the anti-join
+        // against the target must not observe its own append
+        val master = wh.stage(
+          CasEtl.masterFrom(wh, CasEtl.locateFresh(wh, fresh, tipo), tipo))
         wh.append(s"supervisiones_$tipo", master)
         ()
       }
