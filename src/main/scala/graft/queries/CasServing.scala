@@ -112,12 +112,37 @@ object CasServing {
       .orderBy(col("posicion").asc_nulls_last, col("nombre"))
   }
 
+  /** Pivot-column budget for [[historico]]: at most this many period
+    * columns; a wider domain folds its OLDEST periods into one
+    * [[OtrosCol]] bucket. The reference UI renders dozens of period
+    * columns at most (app.js heatmap), so the cap is far above real use —
+    * it exists so the pivot-header collect is BOUNDED at any domain size
+    * (a TakeOrdered of ≤ cap+1 rows, never the whole dim).
+    */
+  val MaxPivotPeriods = 120
+
+  /** The roll-up column absorbing periods beyond [[MaxPivotPeriods]] —
+    * avg of the folded periods' promedios (A10 average-of-averages, the
+    * same semantics as the EPL row). A real period whose codigo collides
+    * with this sentinel would merge into it; "__" keeps that out of the
+    * reference's `P<n>`-shaped code space.
+    */
+  val OtrosCol = "__otros"
+
   /** /api/historico/<tipo> (app.py:1128-1207): dense grupo × periodo
     * matrix (CROSS JOIN J5) → pivot (A9) → unweighted average-of-averages
     * per grupo plus the cross-group "EPL CAS" row per periodo (A10).
     * Returns (matrix, grupoAvgs, eplRow).
+    *
+    * The pivot header is a driver-side value list by construction
+    * (Spark's pivot needs its columns at plan time); what's bounded is
+    * HOW MUCH reaches the driver: the newest `maxPivotPeriods` codes via
+    * orderBy-desc + limit (a TakeOrdered, constant memory at any period
+    * count), never the full domain. Overflow periods pivot into the
+    * single [[OtrosCol]] bucket instead of growing the header.
     */
-  def historico(wh: Warehouse, tipo: String): (DataFrame, DataFrame, DataFrame) = {
+  def historico(wh: Warehouse, tipo: String,
+                maxPivotPeriods: Int = MaxPivotPeriods): (DataFrame, DataFrame, DataFrame) = {
     val g = wh.grupos.filter(col("activo"))
       .select(col("id").as("grupo_id"), col("nombre").as("grupo"))
     val p = wh.periodos.select(col("id").as("p_periodo_id"), col("codigo"))
@@ -133,11 +158,25 @@ object CasServing {
       .agg(avg(col("calificacion_general")).as("promedio"),
            count(col("id")).as("evaluaciones"))
 
-    val periodCodes = p.select("codigo").orderBy("codigo")
-      .collect().map(_.getString(0)).toSeq
-    val matrix = long.groupBy(col("grupo_id"), col("grupo"))
-      .pivot("codigo", periodCodes)
-      .agg(round(first(col("promedio")), 2))
+    // bounded header collect: cap+1 newest codes (the +1 only detects
+    // overflow), newest by fecha_inicio — codigo strings ("P9" vs "P10")
+    // don't sort chronologically — then sorted ascending for stable
+    // column order
+    val newest = wh.periodos.select(col("codigo"), col("fecha_inicio"))
+      .orderBy(col("fecha_inicio").desc_nulls_last, col("codigo").desc)
+      .limit(maxPivotPeriods + 1).collect().map(_.getString(0))
+    val overflow = newest.length > maxPivotPeriods
+    val kept = newest.take(maxPivotPeriods).sorted.toSeq
+    val headers = if (overflow) kept :+ OtrosCol else kept
+    val pivotCol = if (overflow)
+      when(col("codigo").isInCollection(kept), col("codigo")).otherwise(OtrosCol)
+    else col("codigo")
+    // avg == first for the 1-period-per-cell columns; the overflow bucket
+    // genuinely averages its folded periods (average-of-averages, A10)
+    val matrix = long.withColumn("pivot_code", pivotCol)
+      .groupBy(col("grupo_id"), col("grupo"))
+      .pivot("pivot_code", headers)
+      .agg(round(avg(col("promedio")), 2))
       .orderBy(col("grupo"))
 
     val grupoAvgs = long.filter(col("promedio").isNotNull)

@@ -99,6 +99,58 @@ class CasServingSpec extends SparkTestBase {
     assert(e("P2") === 80.0)
   }
 
+  test("historico pivot caps an unbounded period domain: top-N columns + __otros") {
+    // 130 periods >> the cap of 24: only the 24 NEWEST (by fecha_inicio)
+    // become pivot columns — the header collect is a TakeOrdered of
+    // cap+1 rows, bounded at any domain size — and every older period
+    // folds into the single __otros column as an A10 average-of-averages.
+    val w = Warehouse(spark, Files.createTempDirectory("graft_serve_wide_").toString)
+    w.rewrite("grupos_operativos", spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1, "Uno", true), Row(2, "Vacio", true))),
+      CasSchema.grupos))
+    w.rewrite("sucursales", spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1, "Suc A", "NL", "local", 25.0, -100.0, 1, 101L, true))),
+      CasSchema.sucursales))
+    val base = java.time.LocalDate.of(2020, 1, 1)
+    w.rewrite("periodos_cas", spark.createDataFrame(
+      spark.sparkContext.parallelize((1 to 130).map { i =>
+        Row(i, f"P$i%03d", s"M$i",
+          java.sql.Date.valueOf(base.plusDays(i.toLong * 7)),
+          java.sql.Date.valueOf(base.plusDays(i.toLong * 7 + 6)), i == 130)
+      }),
+      CasSchema.periodos))
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    w.rewrite("supervisiones_operativas", spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "z1", 1, 130, "Ana", ts("2026-01-10 10:00:00"), 90.0, null, null), // newest: kept column
+        Row(2L, "z2", 1, 1, "Ana", ts("2020-01-10 10:00:00"), 70.0, null, null),   // folded
+        Row(3L, "z3", 1, 2, "Ana", ts("2020-01-20 10:00:00"), 50.0, null, null))), // folded
+      CasSchema.supervisiones))
+
+    val (matrix, _, _) = CasServing.historico(w, "operativas", maxPivotPeriods = 24)
+    val cols = matrix.columns.toSeq
+    // 2 key columns + 24 newest period columns + the overflow bucket
+    assert(cols.size === 2 + 24 + 1)
+    assert(cols.last === CasServing.OtrosCol)
+    assert(cols.contains("P130") && cols.contains("P107"))
+    assert(!cols.contains("P106") && !cols.contains("P001"))
+
+    val byGrupo = matrix.collect().map(r => r.getAs[String]("grupo") -> r).toMap
+    val uno = byGrupo("Uno")
+    assert(uno.getAs[java.lang.Double]("P130") === 90.0)
+    // avg of the two folded periods' per-period promedios: (70 + 50) / 2
+    assert(uno.getAs[java.lang.Double](CasServing.OtrosCol) === 60.0)
+    val vacio = byGrupo("Vacio")
+    assert(vacio.isNullAt(vacio.fieldIndex("P130")))
+    assert(vacio.isNullAt(vacio.fieldIndex(CasServing.OtrosCol)))
+
+    // under the cap nothing changes: the default path has no __otros
+    val (small, _, _) = CasServing.historico(wh, "operativas")
+    assert(!small.columns.contains(CasServing.OtrosCol))
+    assert(small.columns.toSeq.endsWith(Seq("P1", "P2")))
+  }
+
   test("historicoHeatmap: top-N slice in promedio_general order (O4)") {
     // grupo averages: PLOG Sur 90.0, PLOG Norte 85.0, Centro 67.5, Vacio
     // no data -> top-2 slice keeps Sur then Norte, app.js:1024 style
