@@ -39,15 +39,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * EXECUTOR (cluster mode — the class carries its own HTTP config).
   *
   * Options: `fetcher` | `fetcherClass` (one required), `pageSize` (100),
-  * `maxPages` (1000), `pagesPerPartition` (8), `probeCache` (true).
+  * `maxPages` (1000), `pagesPerPartition` (8), `probeCache` (true),
+  * `probeTtlMs` (300000).
   *
   * Planning cost: Spark re-plans an UNCACHED scan on every action, so the
   * page-bound probe (see [[RestScan]]) is memoized JVM-wide per
   * (fetcher, pageSize, maxPages) — repeated actions re-use one probe
-  * sequence instead of re-hitting a rate-limited API per action.
-  * Re-registering a fetcher name drops its cached bound; long-lived
-  * drivers reading a GROWING endpoint should set `probeCache=false` (or
-  * re-register) so new pages past the first probed bound are planned.
+  * sequence instead of re-hitting a rate-limited API per action. The memo
+  * is NOT trusted forever: a cache hit older than `probeTtlMs` pays ONE
+  * revalidation request — "is the probed last page still short?" — and
+  * re-probes only if the endpoint actually grew, so a long-lived driver
+  * reading a growing dataset sees new pages within one TTL, for any
+  * transport (`fetcher` and `fetcherClass` alike). Within the TTL a hit
+  * costs zero requests. Immediate-consistency escape hatches:
+  * `probeCache=false` plans a fresh probe per action; re-registering a
+  * `fetcher` name drops its bound; for `fetcherClass` transports (which
+  * have no registry event) call [[RestSource.invalidateClassBound]].
   * Independently of the probe, `.cache()` the DataFrame if the same
   * extraction feeds several actions — that also skips the re-fetch of the
   * data pages themselves.
@@ -63,6 +70,15 @@ object RestSource {
   val Schema: StructType = StructType(Seq(
     StructField("json", StringType, nullable = false),
     StructField("offset", IntegerType, nullable = false)))
+
+  /** Drop any memoized page bound probed through `fetcherClass`. Class
+    * transports have no registry (un)register event to invalidate on, so
+    * a caller that KNOWS the endpoint changed (e.g. after triggering an
+    * upstream load) can force the next planning to re-probe instead of
+    * waiting out the TTL revalidation.
+    */
+  def invalidateClassBound(fetcherClass: String): Unit =
+    RestScan.invalidateBound("class:" + fetcherClass)
 }
 
 /** Cluster-safe transport: implementations are zero-arg-constructible and
@@ -112,6 +128,7 @@ private[sources] class RestScan(options: CaseInsensitiveStringMap) extends Scan 
   private val maxPages = options.getInt("maxPages", 1000)
   private val pagesPerPartition = options.getInt("pagesPerPartition", 8)
   private val probeCache = options.getBoolean("probeCache", true)
+  private val probeTtlMs = options.getLong("probeTtlMs", 300000L)
   private val fetcherName = Option(options.get("fetcher"))
   private val fetcherClass = Option(options.get("fetcherClass"))
   require(fetcherName.isDefined || fetcherClass.isDefined,
@@ -151,18 +168,48 @@ private[sources] class RestScan(options: CaseInsensitiveStringMap) extends Scan 
     Some(maxPages)
   }
 
+  /** Cheap staleness check for a memoized bound: the probe ended because
+    * page `bound - 1` came back short, so if that page is STILL short the
+    * data cannot have grown past the bound — one request instead of a
+    * re-probe. A full page means the endpoint grew: re-probe. A failed
+    * request keeps the cached bound WITHOUT refreshing its stamp, so the
+    * next planning retries instead of trusting a bound it couldn't check.
+    * A bound at `maxPages` is the cap, not data-derived — nothing past it
+    * would be planned anyway, so it revalidates trivially.
+    */
+  private def revalidatedBound(cached: Int): Option[Int] = {
+    if (cached >= maxPages) return Some(cached)
+    val fetch = RestTransport.resolve(fetcherName, fetcherClass)
+    fetch((cached - 1) * pageSize, pageSize) match {
+      case scala.util.Success(rows) if rows.size < pageSize => Some(cached)
+      case scala.util.Success(_) =>
+        try probedPageBound() catch { case scala.util.control.NonFatal(_) => None }
+      case scala.util.Failure(_) => None
+    }
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     // Spark builds a FRESH Scan per action on an uncached plan, so the
     // probed bound memoizes JVM-wide (keyed by fetcher + pageSize +
     // maxPages, the inputs the probe depends on), not per instance.
     // Only successful probes are cached — a flaky planning probe must not
-    // pin full static planning forever.
+    // pin full static planning forever. A hit past its TTL pays the
+    // one-request revalidation above before being trusted.
     val key = (fetcherKey, pageSize, maxPages)
-    val bound = (if (probeCache) RestScan.cachedBound(key) else None).getOrElse {
+    def freshProbe(): Int = {
       val probed = try probedPageBound()
                    catch { case scala.util.control.NonFatal(_) => None }
       if (probeCache) probed.foreach(RestScan.cacheBound(key, _))
       probed.getOrElse(maxPages)
+    }
+    val bound = (if (probeCache) RestScan.cachedBound(key) else None) match {
+      case Some((b, ageMs)) if ageMs <= probeTtlMs => b
+      case Some((b, _)) =>
+        revalidatedBound(b) match {
+          case Some(nb) => RestScan.cacheBound(key, nb); nb
+          case None     => b // unverifiable this pass; stale stamp retries next planning
+        }
+      case None => freshProbe()
     }
     val nParts = math.max(1, math.ceil(bound.toDouble / pagesPerPartition).toInt)
     Array.tabulate(nParts) { i =>
@@ -175,11 +222,14 @@ private[sources] class RestScan(options: CaseInsensitiveStringMap) extends Scan 
 
 private[sources] object RestScan {
   private val boundCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), Int]
-  private[sources] def cachedBound(key: (String, Int, Int)): Option[Int] =
-    boundCache.get(key)
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), (Int, Long)]
+  /** The memoized bound plus its age in ms (monotonic clock). */
+  private[sources] def cachedBound(key: (String, Int, Int)): Option[(Int, Long)] =
+    boundCache.get(key).map { case (b, at) =>
+      (b, (System.nanoTime() - at) / 1000000L)
+    }
   private[sources] def cacheBound(key: (String, Int, Int), bound: Int): Unit =
-    boundCache.put(key, bound)
+    boundCache.put(key, (bound, System.nanoTime()))
   /** Drop every memoized bound for one fetcher (any pageSize/maxPages). */
   private[sources] def invalidateBound(fetcherKey: String): Unit =
     boundCache.keys.filter(_._1 == fetcherKey).foreach(boundCache.remove)

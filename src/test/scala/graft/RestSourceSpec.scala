@@ -15,6 +15,23 @@ class FixedPagesFetcher extends PageFetcher {
       .map(i => s"""{"id":$i}"""))
 }
 
+/** Class transport over mutable companion-object state: every reflective
+  * zero-arg instance sees the same growable dataset — the shape of a
+  * fetcherClass hitting a live endpoint that gains rows between actions.
+  */
+class GrowableFetcher extends PageFetcher {
+  override def fetch(offset: Int, pageSize: Int): Try[Seq[String]] = {
+    GrowableFetcher.calls.incrementAndGet()
+    val t = GrowableFetcher.total.get()
+    Success(if (offset >= t) Nil
+    else (offset until math.min(offset + pageSize, t)).map(i => s"""{"id":$i}"""))
+  }
+}
+object GrowableFetcher {
+  val total = new AtomicInteger(20)
+  val calls = new AtomicInteger(0)
+}
+
 class RestSourceSpec extends SparkTestBase {
   import spark.implicits._
 
@@ -109,6 +126,51 @@ class RestSourceSpec extends SparkTestBase {
       reg(75) // the endpoint grew; re-registration is the same-JVM signal
       assert(readRest(opts: _*).count() === 75)
     } finally RestFetchers.unregister("grow")
+  }
+
+  test("a cache hit past its TTL revalidates: growth is seen within one cheap request") {
+    val total = new AtomicInteger(20)
+    val calls = new AtomicInteger
+    RestFetchers.register("ttl") { (offset, pageSize) =>
+      calls.incrementAndGet()
+      val t = total.get()
+      Success(if (offset >= t) Nil
+      else (offset until math.min(offset + pageSize, t)).map(i => s"r$i"))
+    }
+    try {
+      // probeTtlMs=0: every later planning treats the memo as stale and
+      // runs the one-request last-page-still-short check
+      val opts = Seq("fetcher" -> "ttl", "pageSize" -> "10", "maxPages" -> "100",
+        "pagesPerPartition" -> "2", "probeTtlMs" -> "0")
+      assert(readRest(opts: _*).count() === 20)
+      total.set(45)
+      // the probed last page is now full -> revalidation re-probes and the
+      // new pages are planned, no re-registration, no probeCache=false
+      assert(readRest(opts: _*).count() === 45)
+      // a STILL-short endpoint revalidates without a re-probe: one check
+      // request plus the 5 data pages (x2 if Spark re-plans), never the
+      // full gallop sequence again
+      val before = calls.get()
+      assert(readRest(opts: _*).count() === 45)
+      assert(calls.get() - before <= 8,
+        s"still-short revalidation cost ${calls.get() - before} calls — looks like a re-probe")
+    } finally RestFetchers.unregister("ttl")
+  }
+
+  test("invalidateClassBound forces a class-transport re-probe before the TTL") {
+    // fetcherClass has no registry event to invalidate on: within the TTL
+    // the memoized bound serves stale (documented), and the explicit hook
+    // is the caller's signal that the endpoint changed NOW
+    GrowableFetcher.total.set(20)
+    val opts = Seq("fetcherClass" -> classOf[GrowableFetcher].getName,
+      "pageSize" -> "10", "maxPages" -> "100", "pagesPerPartition" -> "2")
+    graft.sources.RestSource.invalidateClassBound(classOf[GrowableFetcher].getName)
+    assert(readRest(opts: _*).count() === 20) // bound 3 cached (page 2 empty)
+    GrowableFetcher.total.set(35)
+    // stale-within-TTL: the cached 3-page bound reads 10 of the 15 new rows
+    assert(readRest(opts: _*).count() === 30)
+    graft.sources.RestSource.invalidateClassBound(classOf[GrowableFetcher].getName)
+    assert(readRest(opts: _*).count() === 35)
   }
 
   test("probeCache=false follows live data growth without re-registration") {
