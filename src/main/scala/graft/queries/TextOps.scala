@@ -567,12 +567,28 @@ object TextOps {
        |          / (sqrt(list_sum(list_transform($a, x -> x * x)))
        |             * sqrt(list_sum(list_transform($b, x -> x * x)))) END""".stripMargin
 
+  /** The (bits, radius) the REGISTERED t12/t15 queries and their oracle
+    * SQL run at: `SPARK_GRAFT_LSH_BITS` / `SPARK_GRAFT_LSH_RADIUS` when
+    * set (one dial read per JVM — env is immutable per process, and both
+    * the DataFrame plan and the generated SQL must see the same value),
+    * else the test-corpus defaults. This makes the parameterization
+    * ORACLE-provable at any dial: run Verify + tools/check_oracle.py with
+    * the env set and both engines replay the dialed code space (recorded
+    * run at bits=10: SCALE.md "ANN recall"). The driver leaves the env
+    * unset. Radius applies its entry point's own default (t12 Hamming 3,
+    * t15 pair radius 4) unless overridden.
+    */
+  private[graft] lazy val DialBits: Int =
+    sys.env.get("SPARK_GRAFT_LSH_BITS").map(_.trim.toInt).getOrElse(Lsh.Bits)
+  private[graft] lazy val DialRadius: Option[Int] =
+    sys.env.get("SPARK_GRAFT_LSH_RADIUS").map(_.trim.toInt)
+
   lazy val t12Sql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-       |eb AS (SELECT vec_id, emb, ${Lsh.bucketSql("emb")} AS bucket FROM e),
+       |eb AS (SELECT vec_id, emb, ${Lsh.bucketSql("emb", DialBits)} AS bucket FROM e),
        |q AS (
        |  SELECT vec_id AS query_id, emb AS q_emb, xor(bucket, m) AS bucket
-       |  FROM eb CROSS JOIN (SELECT unnest(${Lsh.masksSql}) AS m)
+       |  FROM eb CROSS JOIN (SELECT unnest(${Lsh.masksSqlWithin(DialRadius.getOrElse(Lsh.HammingRadius), DialBits)}) AS m)
        |  WHERE vec_id < 10),
        |scored AS (
        |  SELECT q.query_id, e.vec_id, e.bucket,
@@ -943,10 +959,10 @@ object TextOps {
 
   lazy val t15Sql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-       |eb AS (SELECT vec_id, emb, ${Lsh.bucketSql("emb")} AS bucket FROM e),
+       |eb AS (SELECT vec_id, emb, ${Lsh.bucketSql("emb", DialBits)} AS bucket FROM e),
        |pr AS (
        |  SELECT vec_id AS vec_a, emb AS emb_a, xor(bucket, m) AS bucket
-       |  FROM eb CROSS JOIN (SELECT unnest(${Lsh.masksSqlWithin(PairRadius)}) AS m)),
+       |  FROM eb CROSS JOIN (SELECT unnest(${Lsh.masksSqlWithin(DialRadius.getOrElse(PairRadius), DialBits)}) AS m)),
        |cand AS (
        |  SELECT p.vec_a, e.vec_id AS vec_b,
        |    ${R.halfUpSql(cosineSql("p.emb_a", "e.emb"), 6)} AS cosine
@@ -1067,10 +1083,12 @@ object TextOps {
     "t09_fingerprint"     -> (t09Fingerprint _),
     "t10_ann_brute_force" -> (t10AnnBruteForce _),
     "t11_langid_confusion"-> (t11LangidConfusion _),
-    "t12_ann_lsh"         -> ((s: SparkSession, d: String) => t12AnnLsh(s, d)),
+    "t12_ann_lsh"         -> ((s: SparkSession, d: String) =>
+      t12AnnLsh(s, d, DialBits, DialRadius.getOrElse(Lsh.HammingRadius))),
     "t13_dedup_clusters"  -> (t13DedupClusters _),
     "t14_ann_ivf"         -> (t14AnnIvf _),
-    "t15_cosine_near_dup" -> ((s: SparkSession, d: String) => t15CosineNearDup(s, d)),
+    "t15_cosine_near_dup" -> ((s: SparkSession, d: String) =>
+      t15CosineNearDup(s, d, DialBits, DialRadius.getOrElse(PairRadius))),
     "t16_token_bpe"       -> (t16TokenBpe _),
     "t17_train_split"     -> (t17TrainSplit _),
     "t18_chunks"          -> (t18Chunks _),
