@@ -1,7 +1,7 @@
 package graft.core
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, Generate, Join, LocalRelation, LogicalPlan, OneRowRelation, Union}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, Expand, Generate, Join, LocalRelation, LogicalPlan, OneRowRelation, Union}
 import org.apache.spark.sql.catalyst.plans.logical.UnaryNode
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -29,7 +29,10 @@ object Ranking {
     * aggregation/dedup, a statically known maxRows (LIMIT, literal data),
     * joins/unions of bounded inputs, and cardinality-preserving unary
     * nodes (Project/Filter/Sort/hints/…) over a bounded child; Generate
-    * (explode) expands rows and is excluded.
+    * (explode) and Expand (cube/rollup/grouping sets) multiply rows and
+    * are excluded — Expand is unreachable as a bounded root in today's
+    * analyzed plans (it sits under Aggregate), but the guard must stay
+    * conservative if plan shapes change.
     */
   private def dimBounded(plan: LogicalPlan): Boolean = plan match {
     case _: Aggregate | _: Deduplicate => true
@@ -37,7 +40,7 @@ object Ranking {
     case _: LocalRelation | _: OneRowRelation => true
     case j: Join => dimBounded(j.left) && dimBounded(j.right)
     case u: Union => u.children.forall(dimBounded)
-    case _: Generate => false
+    case _: Generate | _: Expand => false
     case u: UnaryNode => dimBounded(u.child)
     case _ => false
   }

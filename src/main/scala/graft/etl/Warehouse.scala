@@ -136,15 +136,28 @@ case class Warehouse(spark: SparkSession, dir: String) {
       val tmp = new Path(dir, s"$name.__history.tmp")
       val out = fs.create(tmp, true)
       try out.write((entries.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
-      if (!fs.rename(tmp, new Path(dir, f"$name.__history.$seq%06d"))) {
-        // rename-to-fresh-name returning false means another writer took
-        // this seq (or the target appeared concurrently): OUR committed
-        // set was never durably recorded and a concurrent writer's view
-        // may diverge from it — skip GC this rewrite rather than sweep
-        // against a set no reader can resolve. (Distinct from the
-        // swallowed-IOException path below, where the PREVIOUS generation
-        // is still live and the self-heal bound covers the lost entry.)
-        return None
+      val target = new Path(dir, f"$name.__history.$seq%06d")
+      // Claim the seq with an atomic create-exclusive BEFORE the rename:
+      // rename-returns-false-on-existing-destination is only an HDFS
+      // guarantee — Hadoop's local filesystem renames with POSIX
+      // semantics, silently OVERWRITING the destination, so two
+      // concurrent writers computing the same seq would clobber a
+      // generation there. createNewFile is atomic on both (O_CREAT|O_EXCL
+      // locally, namespace op on HDFS); a failed claim means another
+      // writer owns this seq: OUR committed set was never durably
+      // recorded and a concurrent writer's view may diverge from it —
+      // skip GC this rewrite rather than sweep against a set no reader
+      // can resolve. (Distinct from the swallowed-IOException path below,
+      // where the PREVIOUS generation is still live and the self-heal
+      // bound covers the lost entry.)
+      if (!fs.createNewFile(target)) return None
+      if (!fs.rename(tmp, target)) {
+        // POSIX rename overwrote the zero-length claim and returned true;
+        // an HDFS-semantics store instead refuses to rename onto our own
+        // claim — clear it and land the content. A second false means the
+        // target reappeared concurrently: same collision exit as above.
+        fs.delete(target, false)
+        if (!fs.rename(tmp, target)) return None
       }
       // only after the new generation is live: sweep superseded ones
       existing.foreach { case (_, p) => fs.delete(p, false) }

@@ -114,16 +114,19 @@ object Lsh {
   */
 private[queries] object StampedTable {
 
-  /** (table-path, stamp) pairs this JVM has verified or fitted — spares
-    * the per-call stamp-check read. The CONTENT stamp is still recomputed
-    * from the corpus listing on every call (pure FS metadata, no Spark
-    * job), so a regenerated corpus changes the key and misses the memo;
+  /** table-path → the stamp this JVM last verified or fitted there —
+    * spares the per-call stamp-check read. Keyed by PATH with the stamp
+    * as the value (put replaces on refit), so a refit naturally drops the
+    * superseded stamp and the map stays bounded by the number of live
+    * tables instead of growing per regeneration. The CONTENT stamp is
+    * still recomputed from the corpus listing on every call (pure FS
+    * metadata, no Spark job), so a regenerated corpus misses the memo;
     * only an external process deleting the warehouse out from under a
     * live JVM would be missed, the same trust boundary every warehouse
     * table already has.
     */
   private val verified =
-    scala.collection.concurrent.TrieMap.empty[(String, String), Unit]
+    scala.collection.concurrent.TrieMap.empty[String, String]
 
   private[graft] def reset(): Unit = verified.clear()
 
@@ -138,8 +141,8 @@ private[queries] object StampedTable {
   def ensure(wh: Warehouse, table: String,
              schema: org.apache.spark.sql.types.StructType,
              stamp: String)(fit: => DataFrame): Unit = synchronized {
-    val key = (s"${wh.dir}/$table", stamp)
-    if (verified.contains(key)) return
+    val key = s"${wh.dir}/$table"
+    if (verified.get(key).contains(stamp)) return
     val current = wh.read(table, schema)
       .select(col("corpus_stamp")).limit(1).collect().headOption.map(_.getString(0))
     if (stamp.contains("unreadable:")) {
@@ -150,7 +153,7 @@ private[queries] object StampedTable {
     }
     if (!current.contains(stamp))
       wh.rewrite(table, fit.withColumn("corpus_stamp", lit(stamp)))
-    verified.put(key, ())
+    verified.put(key, stamp)
   }
 }
 
@@ -306,10 +309,14 @@ object IvfModel {
         Some(new java.io.File(root, t)).filter(exists)
       } catch { case _: java.io.IOException => None }
     fromPointer.orElse {
+      // sort by the PARSED numeric suffix, mirroring Warehouse.listVersions
+      // exactly — lexicographic name order diverges from it once the
+      // version counter outgrows the %06d zero-padding
       Option(new java.io.File(root).listFiles()).getOrElse(Array.empty[java.io.File])
         .filter(f => f.getName.startsWith(s"$TableName.__v") &&
           new java.io.File(f, "_SUCCESS").exists())
-        .sortBy(_.getName).lastOption
+        .flatMap(f => f.getName.stripPrefix(s"$TableName.__v").toLongOption.map(_ -> f))
+        .sortBy(_._1).lastOption.map(_._2)
     }.getOrElse(new java.io.File(root, TableName)).toString
   }
 }

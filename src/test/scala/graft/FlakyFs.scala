@@ -23,19 +23,28 @@ class FlakyFs extends RawLocalFileSystem {
   override def rename(src: HPath, dst: HPath): Boolean =
     if (FlakyFs.consumeRename(dst.getName)) false
     else super.rename(src, dst)
+
+  // a false models the create-exclusive losing the race: another writer's
+  // claim appeared between our seq listing and our createNewFile
+  override def createNewFile(f: HPath): Boolean =
+    if (FlakyFs.consumeCreate(f.getName)) false
+    else super.createNewFile(f)
 }
 
 object FlakyFs {
   @volatile private var openFails: (String => Boolean, Int) = ((_: String) => false, 0)
   @volatile private var renameFails: (String => Boolean, Int) = ((_: String) => false, 0)
+  @volatile private var createFails: (String => Boolean, Int) = ((_: String) => false, 0)
 
   def failOpens(n: Int)(p: String => Boolean): Unit = synchronized { openFails = (p, n) }
   def failRenames(n: Int)(p: String => Boolean): Unit = synchronized { renameFails = (p, n) }
+  def failCreates(n: Int)(p: String => Boolean): Unit = synchronized { createFails = (p, n) }
   def reset(): Unit = synchronized {
     openFails = ((_: String) => false, 0)
     renameFails = ((_: String) => false, 0)
+    createFails = ((_: String) => false, 0)
   }
-  def armed: Boolean = openFails._2 > 0 || renameFails._2 > 0
+  def armed: Boolean = openFails._2 > 0 || renameFails._2 > 0 || createFails._2 > 0
 
   private[graft] def consumeOpen(name: String): Boolean = synchronized {
     val (p, n) = openFails
@@ -44,5 +53,9 @@ object FlakyFs {
   private[graft] def consumeRename(name: String): Boolean = synchronized {
     val (p, n) = renameFails
     if (n > 0 && p(name)) { renameFails = (p, n - 1); true } else false
+  }
+  private[graft] def consumeCreate(name: String): Boolean = synchronized {
+    val (p, n) = createFails
+    if (n > 0 && p(name)) { createFails = (p, n - 1); true } else false
   }
 }

@@ -223,14 +223,53 @@ class WarehouseSpec extends SparkTestBase {
     } finally FlakyFs.reset()
   }
 
-  test("generation rename collision: committed set not durably recorded → GC skipped") {
+  test("history seq collision (claim lost to a concurrent writer): GC skipped, then self-heals") {
+    // The collision guard is the create-exclusive CLAIM, not rename-
+    // returns-false (POSIX local rename silently overwrites, so rename
+    // could never guard here). A writer whose claim appears BEFORE our
+    // seq listing never collides — we list past it and take the next seq
+    // — so the race is between the listing and the createNewFile, and
+    // the injected create-false models exactly that: the other writer
+    // claimed our computed seq first.
     val wh = flakyWh()
     try {
       (1 to 4).foreach(i => wh.rewrite("t", Seq((1L, s"v$i")).toDF("id", "name")))
       assert(versionDirs(wh) === wh.RetainVersions)
-      FlakyFs.failRenames(1)(isHistoryGen) // two writers computed the same seq
+      FlakyFs.failCreates(1)(isHistoryGen)
       wh.rewrite("t", Seq((1L, "v5")).toDF("id", "name")) // must not throw
+      assert(!FlakyFs.armed, "injected create failure was not consumed")
+      assert(versionDirs(wh) === wh.RetainVersions + 1) // GC skipped this rewrite
+      assert(names(wh) === Set("v5"))
+      wh.rewrite("t", Seq((1L, "v6")).toDF("id", "name")) // self-heal + GC resumes
+      assert(versionDirs(wh) === wh.RetainVersions)
+      assert(names(wh) === Set("v6"))
+    } finally FlakyFs.reset()
+  }
+
+  test("HDFS-semantics rename refusal onto our own claim: retried once, GC proceeds") {
+    // After a successful claim, an HDFS-like store refuses rename onto the
+    // existing (our own) target — the writer clears the claim and retries;
+    // the history lands and GC runs normally.
+    val wh = flakyWh()
+    try {
+      (1 to 4).foreach(i => wh.rewrite("t", Seq((1L, s"v$i")).toDF("id", "name")))
+      assert(versionDirs(wh) === wh.RetainVersions)
+      FlakyFs.failRenames(1)(isHistoryGen)
+      wh.rewrite("t", Seq((1L, "v5")).toDF("id", "name"))
       assert(!FlakyFs.armed, "injected rename failure was not consumed")
+      assert(versionDirs(wh) === wh.RetainVersions) // GC ran normally
+      assert(names(wh) === Set("v5"))
+    } finally FlakyFs.reset()
+  }
+
+  test("rename failing twice (claim cleared, target reappeared): GC skipped") {
+    val wh = flakyWh()
+    try {
+      (1 to 4).foreach(i => wh.rewrite("t", Seq((1L, s"v$i")).toDF("id", "name")))
+      assert(versionDirs(wh) === wh.RetainVersions)
+      FlakyFs.failRenames(2)(isHistoryGen)
+      wh.rewrite("t", Seq((1L, "v5")).toDF("id", "name")) // must not throw
+      assert(!FlakyFs.armed, "injected rename failures were not consumed")
       assert(versionDirs(wh) === wh.RetainVersions + 1) // GC skipped this rewrite
       assert(names(wh) === Set("v5"))
       wh.rewrite("t", Seq((1L, "v6")).toDF("id", "name")) // self-heal + GC resumes
