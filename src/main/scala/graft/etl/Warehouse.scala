@@ -133,31 +133,50 @@ case class Warehouse(spark: SparkSession, dir: String) {
       // the fixed tmp name parses as suffix "tmp" → non-numeric → invisible
       // to historyFiles, so a stray from a crash never resolves as a
       // generation; rename targets a FRESH name, so no delete precedes it
-      val tmp = new Path(dir, s"$name.__history.tmp")
+      // tmp is WRITER-UNIQUE: a fixed shared tmp name would let a
+      // concurrent writer overwrite our entry list between our write and
+      // our rename, landing ITS entries under OUR claimed generation.
+      // The random suffix parses as non-numeric → invisible to
+      // historyFiles, so a stray from a crash never resolves as a
+      // generation; rename targets a fresh name, so no delete precedes it.
+      val tmp = new Path(dir,
+        s"$name.__history.tmp${java.util.UUID.randomUUID().toString.take(8)}")
       val out = fs.create(tmp, true)
       try out.write((entries.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
       val target = new Path(dir, f"$name.__history.$seq%06d")
-      // Claim the seq with an atomic create-exclusive BEFORE the rename:
+      // Claim the seq with a create-exclusive BEFORE the rename:
       // rename-returns-false-on-existing-destination is only an HDFS
       // guarantee — Hadoop's local filesystem renames with POSIX
       // semantics, silently OVERWRITING the destination, so two
       // concurrent writers computing the same seq would clobber a
-      // generation there. createNewFile is atomic on both (O_CREAT|O_EXCL
-      // locally, namespace op on HDFS); a failed claim means another
-      // writer owns this seq: OUR committed set was never durably
+      // generation there. The claim races in two shapes, BOTH of which
+      // must read as claim-lost: createNewFile returning false (it saw
+      // the other writer's file), and createNewFile THROWING
+      // FileAlreadyExistsException (Hadoop's createNewFile is
+      // exists-then-create, so the race loser's create(overwrite=false)
+      // throws instead of returning false — letting that IOException
+      // reach the blanket catch below would return Some and run GC, the
+      // exact outcome the claim exists to prevent). A lost claim means
+      // another writer owns this seq: OUR committed set was never durably
       // recorded and a concurrent writer's view may diverge from it —
       // skip GC this rewrite rather than sweep against a set no reader
-      // can resolve. (Distinct from the swallowed-IOException path below,
-      // where the PREVIOUS generation is still live and the self-heal
-      // bound covers the lost entry.)
-      if (!fs.createNewFile(target)) return None
+      // can resolve. Residual window: on HDFS-like stores
+      // create(overwrite=false) is an atomic namespace op, closing the
+      // race completely; Hadoop's LOCAL create is itself check-then-act,
+      // so two local writers landing inside that narrower window can
+      // still both claim — a dev/test-only scenario (multi-writer
+      // warehouses run on HDFS-like stores), bounded by the one-
+      // generation self-heal either way.
+      val claimed = try fs.createNewFile(target)
+                    catch { case _: java.io.IOException => false }
+      if (!claimed) { fs.delete(tmp, false); return None }
       if (!fs.rename(tmp, target)) {
         // POSIX rename overwrote the zero-length claim and returned true;
         // an HDFS-semantics store instead refuses to rename onto our own
         // claim — clear it and land the content. A second false means the
         // target reappeared concurrently: same collision exit as above.
         fs.delete(target, false)
-        if (!fs.rename(tmp, target)) return None
+        if (!fs.rename(tmp, target)) { fs.delete(tmp, false); return None }
       }
       // only after the new generation is live: sweep superseded ones
       existing.foreach { case (_, p) => fs.delete(p, false) }

@@ -161,8 +161,12 @@ object CasServing {
     // bounded header collect: cap+1 newest codes (the +1 only detects
     // overflow), newest by fecha_inicio — codigo strings ("P9" vs "P10")
     // don't sort chronologically — then sorted ascending for stable
-    // column order
+    // column order. A null codigo (the schema field is nullable) can
+    // never become a pivot column: it is filtered before the collect so
+    // the driver-side sort cannot NPE on it; under overflow its rows fold
+    // into the __otros bucket like any non-kept code.
     val newest = wh.periodos.select(col("codigo"), col("fecha_inicio"))
+      .filter(col("codigo").isNotNull)
       .orderBy(col("fecha_inicio").desc_nulls_last, col("codigo").desc)
       .limit(maxPivotPeriods + 1).collect().map(_.getString(0))
     val overflow = newest.length > maxPivotPeriods

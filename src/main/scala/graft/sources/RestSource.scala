@@ -171,20 +171,31 @@ private[sources] class RestScan(options: CaseInsensitiveStringMap) extends Scan 
   /** Cheap staleness check for a memoized bound: the probe ended because
     * page `bound - 1` came back short, so if that page is STILL short the
     * data cannot have grown past the bound — one request instead of a
-    * re-probe. A full page means the endpoint grew: re-probe. A failed
+    * re-probe. A full page means the endpoint grew: re-probe; if THAT
+    * probe then fails transiently, the stale bound is now PROVEN
+    * truncating, so the fallback is full static planning (the cold
+    * probe-failure contract), never the stale bound — and the fallback is
+    * not cached, so the next planning re-probes. A failed revalidation
     * request keeps the cached bound WITHOUT refreshing its stamp, so the
     * next planning retries instead of trusting a bound it couldn't check.
     * A bound at `maxPages` is the cap, not data-derived — nothing past it
     * would be planned anyway, so it revalidates trivially.
     */
-  private def revalidatedBound(cached: Int): Option[Int] = {
-    if (cached >= maxPages) return Some(cached)
+  private sealed trait Revalidation
+  private case class StillValid(bound: Int) extends Revalidation
+  private case class GrownTo(bound: Int) extends Revalidation     // re-probed, cacheable
+  private case object GrownProbeFailed extends Revalidation       // plan maxPages, do NOT cache
+  private case object Unverifiable extends Revalidation           // keep stale, retry next pass
+
+  private def revalidatedBound(cached: Int): Revalidation = {
+    if (cached >= maxPages) return StillValid(cached)
     val fetch = RestTransport.resolve(fetcherName, fetcherClass)
     fetch((cached - 1) * pageSize, pageSize) match {
-      case scala.util.Success(rows) if rows.size < pageSize => Some(cached)
+      case scala.util.Success(rows) if rows.size < pageSize => StillValid(cached)
       case scala.util.Success(_) =>
-        try probedPageBound() catch { case scala.util.control.NonFatal(_) => None }
-      case scala.util.Failure(_) => None
+        (try probedPageBound() catch { case scala.util.control.NonFatal(_) => None })
+          .map(GrownTo(_)).getOrElse(GrownProbeFailed)
+      case scala.util.Failure(_) => Unverifiable
     }
   }
 
@@ -206,8 +217,10 @@ private[sources] class RestScan(options: CaseInsensitiveStringMap) extends Scan 
       case Some((b, ageMs)) if ageMs <= probeTtlMs => b
       case Some((b, _)) =>
         revalidatedBound(b) match {
-          case Some(nb) => RestScan.cacheBound(key, nb); nb
-          case None     => b // unverifiable this pass; stale stamp retries next planning
+          case StillValid(nb)   => RestScan.cacheBound(key, nb); nb
+          case GrownTo(nb)      => RestScan.cacheBound(key, nb); nb
+          case GrownProbeFailed => maxPages // proven stale: full static planning, uncached
+          case Unverifiable     => b // stale stamp retries next planning
         }
       case None => freshProbe()
     }

@@ -151,6 +151,30 @@ class CasServingSpec extends SparkTestBase {
     assert(small.columns.toSeq.endsWith(Seq("P1", "P2")))
   }
 
+  test("historico tolerates a null periodo codigo: never a column, no driver NPE") {
+    val w = Warehouse(spark, Files.createTempDirectory("graft_serve_nullp_").toString)
+    w.rewrite("grupos_operativos", spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1, "Uno", true))), CasSchema.grupos))
+    w.rewrite("sucursales", spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1, "Suc A", "NL", "local", 25.0, -100.0, 1, 101L, true))),
+      CasSchema.sucursales))
+    w.rewrite("periodos_cas", spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1, "P1", "Enero", java.sql.Date.valueOf("2026-01-01"), java.sql.Date.valueOf("2026-01-31"), true),
+        Row(2, null, "Roto", java.sql.Date.valueOf("2026-02-01"), java.sql.Date.valueOf("2026-02-28"), false))),
+      CasSchema.periodos))
+    w.rewrite("supervisiones_operativas", spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "z1", 1, 1, "Ana", java.sql.Timestamp.valueOf("2026-01-10 10:00:00"), 90.0, null, null))),
+      CasSchema.supervisiones))
+    // the nullable codigo field previously NPE'd the driver-side header
+    // sort; now a null codigo is filtered before the collect
+    val (matrix, _, _) = CasServing.historico(w, "operativas")
+    assert(matrix.columns.toSeq === Seq("grupo_id", "grupo", "P1"))
+    assert(matrix.collect().head.getAs[java.lang.Double]("P1") === 90.0)
+  }
+
   test("historicoHeatmap: top-N slice in promedio_general order (O4)") {
     // grupo averages: PLOG Sur 90.0, PLOG Norte 85.0, Centro 67.5, Vacio
     // no data -> top-2 slice keeps Sur then Norte, app.js:1024 style

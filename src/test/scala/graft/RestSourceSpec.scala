@@ -157,6 +157,37 @@ class RestSourceSpec extends SparkTestBase {
     } finally RestFetchers.unregister("ttl")
   }
 
+  test("growth proven but re-probe fails: full static planning, never the stale bound") {
+    // Past the TTL the revalidation sees the old last page full (growth
+    // PROVEN), then the re-probe hits a transient failure. Serving the
+    // cached bound would silently truncate the result; the contract is
+    // the cold probe-failure fallback — plan maxPages — and the fallback
+    // is not cached, so the next planning re-probes.
+    val total = new AtomicInteger(20)
+    val failAt40Once = new AtomicInteger(0) // arm: fail the FIRST request at offset 40
+    RestFetchers.register("growfail") { (offset, pageSize) =>
+      if (offset == 40 && failAt40Once.getAndDecrement() > 0)
+        Failure(new RuntimeException("http 429 (injected)"))
+      else {
+        val t = total.get()
+        Success(if (offset >= t) Nil
+        else (offset until math.min(offset + pageSize, t)).map(i => s"r$i"))
+      }
+    }
+    try {
+      val opts = Seq("fetcher" -> "growfail", "pageSize" -> "10", "maxPages" -> "8",
+        "pagesPerPartition" -> "2", "probeTtlMs" -> "0")
+      assert(readRest(opts: _*).count() === 20) // bound 3 cached
+      total.set(45)
+      failAt40Once.set(1)
+      // revalidation: page 2 now full -> re-probe gallops 0,1,2,4 and the
+      // offset-40 request fails -> fallback plans all 8 pages; the reader
+      // that later hits offset 40 succeeds (the injection was one-shot)
+      assert(readRest(opts: _*).count() === 45,
+        "a proven-stale bound must fall back to static planning, not truncate")
+    } finally RestFetchers.unregister("growfail")
+  }
+
   test("invalidateClassBound forces a class-transport re-probe before the TTL") {
     // fetcherClass has no registry event to invalidate on: within the TTL
     // the memoized bound serves stale (documented), and the explicit hook

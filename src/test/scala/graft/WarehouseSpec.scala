@@ -246,6 +246,27 @@ class WarehouseSpec extends SparkTestBase {
     } finally FlakyFs.reset()
   }
 
+  test("claim lost via FileAlreadyExistsException (Hadoop's other loser shape): GC skipped") {
+    // createNewFile is exists-then-create, so the race loser can surface
+    // as a thrown FileAlreadyExistsException rather than false. Both
+    // shapes must read as claim-lost; the exception reaching the blanket
+    // IOException catch would return Some and run GC — the exact outcome
+    // the claim exists to prevent.
+    val wh = flakyWh()
+    try {
+      (1 to 4).foreach(i => wh.rewrite("t", Seq((1L, s"v$i")).toDF("id", "name")))
+      assert(versionDirs(wh) === wh.RetainVersions)
+      FlakyFs.failCreateThrows(1)(isHistoryGen)
+      wh.rewrite("t", Seq((1L, "v5")).toDF("id", "name")) // must not throw
+      assert(!FlakyFs.armed, "injected create exception was not consumed")
+      assert(versionDirs(wh) === wh.RetainVersions + 1) // GC skipped this rewrite
+      assert(names(wh) === Set("v5"))
+      wh.rewrite("t", Seq((1L, "v6")).toDF("id", "name")) // self-heal + GC resumes
+      assert(versionDirs(wh) === wh.RetainVersions)
+      assert(names(wh) === Set("v6"))
+    } finally FlakyFs.reset()
+  }
+
   test("HDFS-semantics rename refusal onto our own claim: retried once, GC proceeds") {
     // After a successful claim, an HDFS-like store refuses rename onto the
     // existing (our own) target — the writer clears the claim and retries;
