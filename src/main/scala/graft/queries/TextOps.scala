@@ -971,6 +971,58 @@ object TextOps {
        |SELECT vec_a, vec_b, cosine FROM cand
        |WHERE cosine >= $CosTau ORDER BY vec_a, vec_b""".stripMargin
 
+  // ---------------------------------------------------------------- t34
+  /** Transitive near-duplicate clusters in EMBEDDING space — the semantic
+    * counterpart of t13's text clusters: connected components over the t15
+    * cosine pair graph, one canonical survivor (min vec_id) per cluster.
+    * A chain A≈B≈C collapses to {A} even when cos(A, C) < τ — exactly the
+    * treatment semantic dedup needs when paraphrase chains drift. Pure
+    * composition of the library's pieces (t15's capped LSH candidate join
+    * feeding [[dedupClustersOf]]'s label propagation), so the scale shape
+    * is inherited: banded candidate generation, one join+agg job per
+    * propagation iteration, lineage cut each round. The oracle replays
+    * bucket codes, cosines AND the transitive closure (recursive CTE) in
+    * DuckDB — both engines honor the same (bits, radius) dial.
+    */
+  def t34EmbedDedupClusters(s: SparkSession, dir: String,
+                            bits: Int = Lsh.Bits, radius: Int = PairRadius): DataFrame = {
+    val pairs = t15CosineNearDup(s, dir, bits, radius)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val nodes = embeddings(s, dir).select(col("vec_id").as("doc_id")).distinct()
+    dedupClustersOf(nodes, pairs)
+      .select(col("doc_id").as("vec_id"), col("cluster"),
+        col("is_canonical"), col("cluster_size"))
+      .orderBy(col("cluster"), col("vec_id"))
+  }
+
+  lazy val t34Sql: String =
+    s"""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |eb AS (SELECT vec_id, emb, ${Lsh.bucketSql("emb", DialBits)} AS bucket FROM e),
+       |pr AS (
+       |  SELECT vec_id AS vec_a, emb AS emb_a, xor(bucket, m) AS bucket
+       |  FROM eb CROSS JOIN (SELECT unnest(${Lsh.masksSqlWithin(DialRadius.getOrElse(PairRadius), DialBits)}) AS m)),
+       |cand AS (
+       |  SELECT p.vec_a, e.vec_id AS vec_b,
+       |    ${R.halfUpSql(cosineSql("p.emb_a", "e.emb"), 6)} AS cosine
+       |  FROM eb e JOIN pr p USING (bucket)
+       |  WHERE p.vec_a < e.vec_id),
+       |pairs AS (SELECT DISTINCT vec_a, vec_b FROM cand WHERE cosine >= $CosTau),
+       |edge AS (
+       |  SELECT vec_a AS a, vec_b AS b FROM pairs
+       |  UNION ALL
+       |  SELECT vec_b AS a, vec_a AS b FROM pairs),
+       |reach AS (
+       |  SELECT a AS src, b AS dst FROM edge
+       |  UNION
+       |  SELECT r.src, e2.b FROM reach r JOIN edge e2 ON r.dst = e2.a),
+       |comp AS (SELECT src AS vec_id, least(src, min(dst)) AS cluster FROM reach GROUP BY src),
+       |sized AS (
+       |  SELECT vec_id, cluster, (vec_id = cluster) AS is_canonical,
+       |    count(*) OVER (PARTITION BY cluster) AS cluster_size
+       |  FROM comp)
+       |SELECT vec_id, cluster, is_canonical, cluster_size FROM sized
+       |WHERE cluster_size > 1 ORDER BY cluster, vec_id""".stripMargin
+
   // ---------------------------------------------------------------- t13
   /** Near-duplicate CLUSTERS: connected components over the MinHash
     * candidate graph via iterative min-label propagation, then one
@@ -1090,6 +1142,8 @@ object TextOps {
     "t15_cosine_near_dup" -> ((s: SparkSession, d: String) =>
       t15CosineNearDup(s, d, DialBits, DialRadius.getOrElse(PairRadius))),
     "t16_token_bpe"       -> (t16TokenBpe _),
+    "t34_embed_dedup_clusters" -> ((s: SparkSession, d: String) =>
+      t34EmbedDedupClusters(s, d, DialBits, DialRadius.getOrElse(PairRadius))),
     "t17_train_split"     -> (t17TrainSplit _),
     "t18_chunks"          -> (t18Chunks _),
     "t19_boilerplate"     -> (t19Boilerplate _),
@@ -1121,6 +1175,7 @@ object TextOps {
     "t14_ann_ivf"         -> t14Sql(dir),
     "t15_cosine_near_dup" -> t15Sql,
     "t16_token_bpe"       -> t16Sql,
+    "t34_embed_dedup_clusters" -> t34Sql,
     "t17_train_split"     -> t17Sql,
     "t18_chunks"          -> t18Sql,
     "t19_boilerplate"     -> t19Sql,

@@ -65,4 +65,33 @@ class DedupClusterSpec extends SparkTestBase {
       assert(rows.filter(_.getAs[Boolean]("is_canonical")).head.getAs[Long]("doc_id") === c)
     }
   }
+
+  test("t34 embedding clusters: consistent with t15 pairs, transitive, canonical = min id") {
+    import graft.queries.TextOps
+    val pairs = TextOps.t15CosineNearDup(spark, sf())
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val rows = TextOps.t34EmbedDedupClusters(spark, sf()).collect()
+    val label = rows.map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster")).toMap
+    // every near-dup pair lands in one cluster (the pair graph is covered)
+    pairs.foreach { case (a, b) =>
+      assert(label.contains(a) && label(a) === label(b), s"pair ($a,$b) split across clusters")
+    }
+    // and the clustering adds nothing beyond the pair graph's components:
+    // every cluster member reaches its label through pair edges
+    val adj = (pairs ++ pairs.map(_.swap)).groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    rows.groupBy(_.getAs[Long]("cluster")).foreach { case (c, members) =>
+      val ids = members.map(_.getAs[Long]("vec_id")).toSet
+      var frontier = Set(c); var seen = Set(c)
+      while (frontier.nonEmpty) {
+        val next = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- seen
+        seen ++= next; frontier = next
+      }
+      assert(ids.subsetOf(seen), s"cluster $c contains members unreachable via pair edges")
+      assert(members.count(_.getAs[Boolean]("is_canonical")) === 1)
+      assert(ids.min === c, s"cluster label $c is not the min member id")
+      assert(members.forall(_.getAs[Long]("cluster_size") === members.length))
+    }
+    assert(rows.nonEmpty)
+  }
 }
