@@ -1065,8 +1065,19 @@ object TextOps {
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))),
       eager = true)
 
+    // Propagate over the EDGE-PARTICIPATING subset of `nodes` only: a node
+    // with no candidate pair can never join a >1 cluster, and the final
+    // cluster_size > 1 filter drops it regardless — so iterating it adds
+    // nothing. At 100 TB this is the difference between shuffling the
+    // whole corpus per iteration and shuffling only the dup-involved
+    // sliver (near-dup fractions are typically a few percent). The
+    // semi-join also keeps the node-set contract: pair endpoints outside
+    // `nodes` stay excluded, exactly as when every node carried a label.
+    val participating = nodes.join(
+      edges.select(col("doc_a").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+
     val MaxIters = 32
-    var labels = cutLineage(nodes.withColumn("cluster", col("doc_id")), eager = true)
+    var labels = cutLineage(participating.withColumn("cluster", col("doc_id")), eager = true)
     var iter = 0
     var converged = false
     while (iter < MaxIters && !converged) {
