@@ -1060,10 +1060,14 @@ object TextOps {
     * (Curation's transitive near-dup stage feeds its own survivor set).
     */
   def dedupClustersOf(nodes: DataFrame, pairsSrc: DataFrame): DataFrame = {
-    val pairs = pairsSrc.select(col("doc_a"), col("doc_b"))
-    val edges = cutLineage(pairs
-      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))),
-      eager = true)
+    // The pair source is cut FIRST, then mirrored: both union branches
+    // reference one materialized frame, so an expensive uncached source
+    // (t34 feeds the whole t15 LSH join in here) runs once, not once per
+    // branch. The union itself is a cheap projection over the checkpoint
+    // and needs no second cut.
+    val pairs = cutLineage(pairsSrc.select(col("doc_a"), col("doc_b")), eager = true)
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
 
     // Propagate over the EDGE-PARTICIPATING subset of `nodes` only: a node
     // with no candidate pair can never join a >1 cluster, and the final
@@ -1085,13 +1089,26 @@ object TextOps {
         .join(labels.select(col("doc_id").as("doc_b"), col("cluster").as("nb_cluster")), Seq("doc_b"))
         .groupBy(col("doc_a")).agg(min(col("nb_cluster")).as("min_nb"))
         .select(col("doc_a").as("doc_id"), col("min_nb"))
-      // one Spark job per iteration: the lazy checkpoint materializes
-      // under the change-count action (old and new label side by side), so
-      // the convergence check costs no second pass over the lineage
-      val joined = cutLineage(labels.join(neighborMin, Seq("doc_id"), "left")
+      val stepped = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"), col("cluster").as("prev"),
-          least(col("cluster"), coalesce(col("min_nb"), col("cluster"))).as("cluster")),
+          least(col("cluster"), coalesce(col("min_nb"), col("cluster"))).as("cluster"))
+      // PATH HALVING (pointer jumping): also adopt the label's own label,
+      // L''(x) = min(L'(x), L'(L'(x))). Neighbor-min alone converges in
+      // O(diameter) rounds, and at one Spark job per round that is the
+      // scale hazard — measured 17 rounds on the t34 embedding graph at
+      // sf0.1 (cosine chains run deep), uncomfortably close to the budget
+      // a bigger corpus would blow. Halving makes label distances shrink
+      // geometrically → O(log diameter) rounds; labels are always node
+      // ids of `participating`, so the self-lookup is total (left join +
+      // coalesce only guards the converged fixpoint where L(x) = x).
+      val byNode = stepped.select(col("doc_id").as("cluster"), col("cluster").as("hop"))
+      val joined = cutLineage(stepped.join(byNode, Seq("cluster"), "left")
+        .select(col("doc_id"), col("prev"),
+          least(col("cluster"), coalesce(col("hop"), col("cluster"))).as("cluster")),
         eager = false)
+      // one job per round: the lazy checkpoint materializes under the
+      // change-count action (old and new label side by side), so the
+      // convergence check costs no second pass over the lineage
       converged = joined.filter(col("cluster") =!= col("prev")).isEmpty
       labels = joined.select(col("doc_id"), col("cluster"))
       iter += 1
