@@ -101,6 +101,43 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("label propagation with path halving equals union-find on random graphs") {
+    import graft.queries.TextOps
+    // random graphs of up to 40 nodes incl. long chains (the deep-diameter
+    // regime path halving exists for) — the distributed clustering must
+    // produce exactly the connected components a driver-side union-find
+    // computes, with the min id as label and singletons absent
+    val gen: Gen[List[(Long, Long)]] = for {
+      n <- Gen.chooseNum(2, 40)
+      chainLen <- Gen.chooseNum(0, 20) // a guaranteed deep path component
+      extra <- Gen.listOfN(25, for {
+        a <- Gen.chooseNum(0L, n.toLong - 1)
+        b <- Gen.chooseNum(0L, n.toLong - 1)
+      } yield (a, b))
+    } yield {
+      val chain = (100L until (100L + chainLen)).map(i => (i, i + 1)).toList
+      (extra.filter { case (a, b) => a != b } ++ chain)
+    }
+    samples(gen, 6).filter(_.nonEmpty).foreach { edgesIn =>
+      val nodeIds = edgesIn.flatMap { case (a, b) => Seq(a, b) }.distinct
+      // driver-side union-find oracle
+      val parent = scala.collection.mutable.Map(nodeIds.map(i => i -> i): _*)
+      def find(x: Long): Long = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      edgesIn.foreach { case (a, b) => parent(find(a)) = find(b) }
+      val expected = nodeIds.groupBy(find).values
+        .filter(_.size > 1)
+        .flatMap { comp => val m = comp.min; comp.map(id => id -> (m, comp.size.toLong)) }
+        .toMap
+
+      val pairs = edgesIn.toDF("doc_a", "doc_b")
+      val nodes = nodeIds.toDF("doc_id")
+      val got = TextOps.dedupClustersOf(nodes, pairs).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("cluster"), r.getAs[Long]("cluster_size"))).toMap
+      assert(got === expected)
+    }
+  }
+
   test("masksWithin(r, b) is exactly the codes of popcount <= r, for any dial") {
     import graft.queries.Lsh
     for (bits <- Seq(4, 6, 8, 11); radius <- 0 to math.min(bits, 4)) {
