@@ -223,11 +223,39 @@ object TextOps {
     // a frame cached under a since-stopped session throws from unpersist
     // (stopped RpcEnv) — that entry needs no unpersist at all, and one
     // bad entry must not abort the sweep before clear()
-    pairCache.values.foreach { case (_, df) =>
+    def sweep(dfs: Iterable[(String, DataFrame)]): Unit = dfs.foreach { case (_, df) =>
       try { if (!df.sparkSession.sparkContext.isStopped) df.unpersist(false) }
       catch { case _: IllegalStateException => () }
     }
+    sweep(pairCache.values)
     pairCache.clear()
+    sweep(cosinePairCache.values)
+    cosinePairCache.clear()
+  }
+
+  /** One cosine near-dup pass per (corpus, dial), shared by t15 and t34 —
+    * the embedding-space analog of [[minhashCandidatePairs]]: a driver
+    * pass running both queries pays the LSH bucket join + cosine verify
+    * ONCE. Same staleness protocol (embeddings content stamp) and the
+    * same [[invalidatePairCache]] bench hook, so per-query bench numbers
+    * stay cold/honest.
+    */
+  private val cosinePairCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int, Int), (String, DataFrame)]
+
+  def cosineCandidatePairs(s: SparkSession, dir: String,
+                           bits: Int = Lsh.Bits, radius: Int = PairRadius): DataFrame = {
+    cosinePairCache.filterInPlace { case ((sess, _, _, _), _) => !sess.sparkContext.isStopped }
+    val mt = Tables.contentStamp(s, s"$dir/embeddings.parquet")
+    val key = (s, dir, bits, radius)
+    cosinePairCache.get(key) match {
+      case Some((`mt`, df)) => df
+      case stale =>
+        stale.foreach { case (_, old) => old.unpersist(false) }
+        val fresh = t15CosineNearDup(s, dir, bits, radius).persist()
+        cosinePairCache.put(key, (mt, fresh))
+        fresh
+    }
   }
 
   def minhashCandidatePairs(s: SparkSession, dir: String): DataFrame = {
@@ -957,8 +985,14 @@ object TextOps {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
-  lazy val t15Sql: String =
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+  /** The t15 candidate chain (embeddings → dialed bucket codes → probe
+    * explosion → cosine-scored candidates) as ONE shared oracle fragment —
+    * t15Sql and t34Sql both splice it, the same way the t06/t08/t13 family
+    * shares shingle/sig/pair CTEs, so a dial or rounding change can never
+    * leave one of the two checking stale semantics.
+    */
+  private def t15CandCtes: String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
        |eb AS (SELECT vec_id, emb, ${Lsh.bucketSql("emb", DialBits)} AS bucket FROM e),
        |pr AS (
        |  SELECT vec_id AS vec_a, emb AS emb_a, xor(bucket, m) AS bucket
@@ -967,7 +1001,10 @@ object TextOps {
        |  SELECT p.vec_a, e.vec_id AS vec_b,
        |    ${R.halfUpSql(cosineSql("p.emb_a", "e.emb"), 6)} AS cosine
        |  FROM eb e JOIN pr p USING (bucket)
-       |  WHERE p.vec_a < e.vec_id)
+       |  WHERE p.vec_a < e.vec_id)""".stripMargin
+
+  lazy val t15Sql: String =
+    s"""WITH $t15CandCtes
        |SELECT vec_a, vec_b, cosine FROM cand
        |WHERE cosine >= $CosTau ORDER BY vec_a, vec_b""".stripMargin
 
@@ -986,7 +1023,7 @@ object TextOps {
     */
   def t34EmbedDedupClusters(s: SparkSession, dir: String,
                             bits: Int = Lsh.Bits, radius: Int = PairRadius): DataFrame = {
-    val pairs = t15CosineNearDup(s, dir, bits, radius)
+    val pairs = cosineCandidatePairs(s, dir, bits, radius)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
     val nodes = embeddings(s, dir).select(col("vec_id").as("doc_id")).distinct()
     dedupClustersOf(nodes, pairs)
@@ -996,16 +1033,7 @@ object TextOps {
   }
 
   lazy val t34Sql: String =
-    s"""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-       |eb AS (SELECT vec_id, emb, ${Lsh.bucketSql("emb", DialBits)} AS bucket FROM e),
-       |pr AS (
-       |  SELECT vec_id AS vec_a, emb AS emb_a, xor(bucket, m) AS bucket
-       |  FROM eb CROSS JOIN (SELECT unnest(${Lsh.masksSqlWithin(DialRadius.getOrElse(PairRadius), DialBits)}) AS m)),
-       |cand AS (
-       |  SELECT p.vec_a, e.vec_id AS vec_b,
-       |    ${R.halfUpSql(cosineSql("p.emb_a", "e.emb"), 6)} AS cosine
-       |  FROM eb e JOIN pr p USING (bucket)
-       |  WHERE p.vec_a < e.vec_id),
+    s"""WITH RECURSIVE $t15CandCtes,
        |pairs AS (SELECT DISTINCT vec_a, vec_b FROM cand WHERE cosine >= $CosTau),
        |edge AS (
        |  SELECT vec_a AS a, vec_b AS b FROM pairs
@@ -1089,27 +1117,38 @@ object TextOps {
         .join(labels.select(col("doc_id").as("doc_b"), col("cluster").as("nb_cluster")), Seq("doc_b"))
         .groupBy(col("doc_a")).agg(min(col("nb_cluster")).as("min_nb"))
         .select(col("doc_a").as("doc_id"), col("min_nb"))
+      // stepped is PERSISTED before the halving self-join references it
+      // twice — without it, both join sides embed the labels⋈neighborMin
+      // plan and only its exchanges dedupe via ReuseExchange, so the
+      // post-shuffle work would run twice per round. persist (not a
+      // checkpoint: joined's cut below already bounds lineage) computes
+      // it once under this round's single action; released after the
+      // round so at most one round's cache is ever held.
       val stepped = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"), col("cluster").as("prev"),
           least(col("cluster"), coalesce(col("min_nb"), col("cluster"))).as("cluster"))
+        .persist()
       // PATH HALVING (pointer jumping): also adopt the label's own label,
       // L''(x) = min(L'(x), L'(L'(x))). Neighbor-min alone converges in
       // O(diameter) rounds, and at one Spark job per round that is the
       // scale hazard — measured 17 rounds on the t34 embedding graph at
       // sf0.1 (cosine chains run deep), uncomfortably close to the budget
-      // a bigger corpus would blow. Halving makes label distances shrink
-      // geometrically → O(log diameter) rounds; labels are always node
-      // ids of `participating`, so the self-lookup is total (left join +
-      // coalesce only guards the converged fixpoint where L(x) = x).
+      // a bigger corpus would blow (DedupClusterSpec pins a 40-edge chain,
+      // which CANNOT converge inside the budget without halving). Halving
+      // makes label distances shrink geometrically → O(log diameter)
+      // rounds; labels are always node ids of `participating`, so the
+      // self-lookup is total (left join + coalesce only guards the
+      // converged fixpoint where L(x) = x).
       val byNode = stepped.select(col("doc_id").as("cluster"), col("cluster").as("hop"))
       val joined = cutLineage(stepped.join(byNode, Seq("cluster"), "left")
         .select(col("doc_id"), col("prev"),
           least(col("cluster"), coalesce(col("hop"), col("cluster"))).as("cluster")),
         eager = false)
-      // one job per round: the lazy checkpoint materializes under the
+      // one job per round: both lazy checkpoints materialize under the
       // change-count action (old and new label side by side), so the
       // convergence check costs no second pass over the lineage
       converged = joined.filter(col("cluster") =!= col("prev")).isEmpty
+      stepped.unpersist(false) // joined is materialized; the round's cache is done
       labels = joined.select(col("doc_id"), col("cluster"))
       iter += 1
     }
@@ -1168,7 +1207,7 @@ object TextOps {
     "t13_dedup_clusters"  -> (t13DedupClusters _),
     "t14_ann_ivf"         -> (t14AnnIvf _),
     "t15_cosine_near_dup" -> ((s: SparkSession, d: String) =>
-      t15CosineNearDup(s, d, DialBits, DialRadius.getOrElse(PairRadius))),
+      cosineCandidatePairs(s, d, DialBits, DialRadius.getOrElse(PairRadius))),
     "t16_token_bpe"       -> (t16TokenBpe _),
     "t34_embed_dedup_clusters" -> ((s: SparkSession, d: String) =>
       t34EmbedDedupClusters(s, d, DialBits, DialRadius.getOrElse(PairRadius))),

@@ -66,6 +66,21 @@ class DedupClusterSpec extends SparkTestBase {
     }
   }
 
+  test("a 40-edge chain converges inside the round budget (path halving load-bearing)") {
+    // Plain neighbor-min propagation needs O(diameter) rounds — a 40-edge
+    // path would blow the 32-round budget and THROW. Only the path-halving
+    // step makes this converge (O(log diameter)); if halving silently
+    // degrades to a no-op (wrong join key, null hops), this test fails
+    // with the non-convergence error instead of staying green.
+    val edges = (0L until 40L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val nodes = (0L to 40L).toDF("doc_id")
+    val out = graft.queries.TextOps.dedupClustersOf(nodes, edges).collect()
+    assert(out.length === 41)
+    assert(out.forall(_.getAs[Long]("cluster") === 0L))
+    assert(out.forall(_.getAs[Long]("cluster_size") === 41L))
+    assert(out.count(_.getAs[Boolean]("is_canonical")) === 1)
+  }
+
   test("t34 embedding clusters: consistent with t15 pairs, transitive, canonical = min id") {
     import graft.queries.TextOps
     val pairs = TextOps.t15CosineNearDup(spark, sf())

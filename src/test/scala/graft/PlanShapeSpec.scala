@@ -14,8 +14,17 @@ class PlanShapeSpec extends SparkTestBase {
 
   private def collectPlan(p: SparkPlan): Seq[SparkPlan] = p.collect { case n => n }
 
+  // These specs assert the UNCACHED plan shape. Another suite may have
+  // populated the shared cosine pair cache, whose persisted frame Spark's
+  // CacheManager would substitute (InMemoryRelation) into any matching
+  // fresh plan — dropping the join nodes these tests inspect.
+  private def coldT15() = {
+    TextOps.invalidatePairCache()
+    TextOps.t15CosineNearDup(spark, sf())
+  }
+
   test("t15 candidate generation is an equi hash join, never cartesian") {
-    val plan = TextOps.t15CosineNearDup(spark, sf()).queryExecution.sparkPlan
+    val plan = coldT15().queryExecution.sparkPlan
     val nodes = collectPlan(plan)
     assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),
       "t15 plan contains a cartesian product")
@@ -28,7 +37,7 @@ class PlanShapeSpec extends SparkTestBase {
   test("t15 pair filter (vec_a < vec_b) evaluates inside the join, not after") {
     // as a join condition it prunes rows during probe; as a post-join
     // filter every candidate materializes first
-    val plan = TextOps.t15CosineNearDup(spark, sf()).queryExecution.sparkPlan
+    val plan = coldT15().queryExecution.sparkPlan
     val bhj = plan.collectFirst { case j: BroadcastHashJoinExec => j }
     assert(bhj.nonEmpty)
     assert(bhj.get.condition.nonEmpty,
@@ -43,7 +52,7 @@ class PlanShapeSpec extends SparkTestBase {
     val saved = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val plan = TextOps.t15CosineNearDup(spark, sf()).queryExecution.executedPlan
+      val plan = coldT15().queryExecution.executedPlan
       val codegenWithDot = plan.collect {
         case w: org.apache.spark.sql.execution.WholeStageCodegenExec
           if w.toString.contains("dot_product") => w
