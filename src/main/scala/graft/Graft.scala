@@ -23,6 +23,7 @@ import graft.etl.Warehouse
   * // Training-data ops over any corpus:
   * graft.queries.TextOps.t06MinhashPairs(spark, dataDir)
   * graft.queries.TextOps.t15CosineNearDup(spark, dataDir, bits = 10, radius = 3)
+  * graft.queries.TextOps.t34EmbedDedupClusters(spark, dataDir)  // transitive semantic dedup
   * graft.queries.QualityOps.qualityFlagsOf(docsDf)      // keep/drop signals
   * graft.queries.QualityOps.contaminationOf(docsDf)     // eval-set overlap
   * graft.pipelines.Curation.curate(spark, docsDf, useClusters = true)
