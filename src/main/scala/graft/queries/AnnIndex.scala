@@ -261,6 +261,16 @@ object IvfModel {
     */
   private[graft] def resetEnsureMemo(): Unit = StampedTable.reset()
 
+  /** Rows the KMeans fit will at most see. A 100 TB corpus cannot feed an
+    * iterative driver-coordinated fit directly, and doesn't need to:
+    * coarse-quantizer quality requires a large multiple of K, not the
+    * whole corpus, so the fit trains on a seeded uniform sample
+    * (standard IVF practice — FAISS trains on samples too). No-op when
+    * the corpus is smaller than the cap, so the test-SF centroids are
+    * bit-identical to a full fit.
+    */
+  val FitSampleCap = 1000000L
+
   /** Fit-and-persist once per corpus. Every persisted row stamps the dir
     * AND the embeddings table's content (per-file name/length/mtime —
     * Tables.contentStamp), so the same dir regenerated with new content,
@@ -271,14 +281,22 @@ object IvfModel {
     * not query work: Bench warms this outside the timed region, the way
     * any vector store builds its index before serving.
     */
-  def ensure(s: SparkSession, dir: String): Unit = {
+  def ensure(s: SparkSession, dir: String,
+             fitSampleCap: Long = FitSampleCap): Unit = {
     val wh = warehouseFor(s, dir)
     val stamp = s"$dir\n${Tables.contentStamp(s, s"$dir/embeddings.parquet")}"
     StampedTable.ensure(wh, TableName, CentroidSchema, stamp) {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
-      val e = Tables.embeddings(s, dir)
+      val e0 = Tables.embeddings(s, dir)
         .select(col("vec_id"), V.toDouble(col("embedding")).as("emb"))
+      // the count + sample run only at FIT time (stamp mismatch), never
+      // on the query path; seeded so a refit on the same corpus sees the
+      // same sample
+      val n = e0.count()
+      val e = (if (n > fitSampleCap)
+        e0.sample(withReplacement = false, fitSampleCap.toDouble / n, Seed)
+      else e0)
         .withColumn("features", array_to_vector(col("emb")))
       val model = new KMeans().setK(K).setSeed(Seed).setMaxIter(MaxIter).fit(e)
       val cents = model.clusterCenters.zipWithIndex

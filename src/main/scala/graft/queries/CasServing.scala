@@ -200,8 +200,9 @@ object CasServing {
     * server's promedio_general DESC ordering, app.py:1193): the pivot
     * matrix restricted to the top-`top` groups, in ranking order.
     */
-  def historicoHeatmap(wh: Warehouse, tipo: String, top: Int = 15): DataFrame = {
-    val (matrix, grupoAvgs, _) = historico(wh, tipo)
+  def historicoHeatmap(wh: Warehouse, tipo: String, top: Int = 15,
+                       maxPivotPeriods: Int = MaxPivotPeriods): DataFrame = {
+    val (matrix, grupoAvgs, _) = historico(wh, tipo, maxPivotPeriods)
     val slice = broadcast(grupoAvgs.limit(top)
       .select(col("grupo_id"), col("promedio_general")))
     matrix.join(slice, Seq("grupo_id"))

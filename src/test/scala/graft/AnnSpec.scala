@@ -114,6 +114,26 @@ class AnnSpec extends SparkTestBase {
     assert(rows(TextOps.t14AnnIvf(spark, sf())) === rows(mirror))
   }
 
+  test("IVF fit trains on a seeded sample when the corpus exceeds the cap") {
+    // 100 TB corpora can't feed a driver-coordinated KMeans directly; the
+    // quantizer fits on a seeded uniform sample (cap FitSampleCap, no-op
+    // below it). Forced here with cap=100 against the ~500-vector corpus,
+    // under an isolated index root so the shared scratch centroids (full
+    // fit, what the oracle reads) are untouched.
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_ivf_sample_").toString
+    System.setProperty("graft.index.dir", tmpRoot)
+    try {
+      IvfModel.resetEnsureMemo()
+      IvfModel.ensure(spark, sf(), fitSampleCap = 100)
+      val c = IvfModel.centroids(spark, sf()).collect()
+      assert(c.length === IvfModel.K)
+      assert(c.forall(_.getAs[Seq[Double]]("cvec").length === Lsh.Dim))
+    } finally {
+      System.clearProperty("graft.index.dir")
+      IvfModel.resetEnsureMemo()
+    }
+  }
+
   test("native dot product matches the HOF formulation bit-for-bit") {
     import graft.functions.{VectorOps => V}
     val e = graft.core.Tables.embeddings(spark, sf())
