@@ -308,9 +308,15 @@ case class Warehouse(spark: SparkSession, dir: String) {
       if (p.getName != live) fs.delete(p, true) }
     val flat = new Path(dir, name)
     if (live != name && fs.exists(flat)) fs.delete(flat, true)
-    // reset the retention history to the sole surviving generation
+    // reset the retention history to the sole surviving generation, and
+    // reclaim tmp strays left by crashed writers (tmp names are
+    // writer-unique since round 6, so they no longer self-overwrite; a
+    // LIVE concurrent writer losing its tmp here just skips GC for that
+    // rewrite — vacuum is already documented as a quiescent operation)
     try {
       historyFiles(name).foreach { case (_, p) => fs.delete(p, false) }
+      Option(fs.globStatus(new Path(dir, s"$name.__history.tmp*")))
+        .getOrElse(Array.empty).foreach(st => fs.delete(st.getPath, false))
       if (fs.exists(legacyHistoryPath(name))) fs.delete(legacyHistoryPath(name), false)
       if (live.startsWith(s"$name.__v")) appendHistory(name, live, None)
     } catch { case _: java.io.IOException => () }

@@ -157,6 +157,12 @@ class WarehouseSpec extends SparkTestBase {
     val gens = fs.globStatus(new Path(wh.dir, "t.__history.*")).map(_.getPath.getName)
       .filter(_.stripPrefix("t.__history.").forall(_.isDigit))
     assert(gens.length === 1)
+    // vacuum reclaims abandoned tmp strays (writer-unique names no longer
+    // self-overwrite, so crash debris would otherwise linger forever)
+    assert(fs.exists(new Path(wh.dir, "t.__history.tmp")))
+    wh.vacuum("t")
+    assert(fs.globStatus(new Path(wh.dir, "t.__history.tmp*")).isEmpty)
+    assert(names(wh) === Set("gen2")) // the live table is untouched
   }
 
   test("a stray never shrinks the reader window (retention counts committed generations)") {
