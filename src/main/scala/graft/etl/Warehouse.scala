@@ -317,6 +317,13 @@ case class Warehouse(spark: SparkSession, dir: String) {
       historyFiles(name).foreach { case (_, p) => fs.delete(p, false) }
       Option(fs.globStatus(new Path(dir, s"$name.__history.tmp*")))
         .getOrElse(Array.empty).foreach(st => fs.delete(st.getPath, false))
+      // ...and the fixed-name pointer tmp a rewrite crashed between
+      // create and rename would leave (one file per table at most).
+      // _staging/ dirs are deliberately NOT swept here: they are
+      // warehouse-wide, so a per-table vacuum could delete another
+      // table's in-flight staged increment.
+      val pointerTmp = new Path(dir, s"$name.__current.tmp")
+      if (fs.exists(pointerTmp)) fs.delete(pointerTmp, false)
       if (fs.exists(legacyHistoryPath(name))) fs.delete(legacyHistoryPath(name), false)
       if (live.startsWith(s"$name.__v")) appendHistory(name, live, None)
     } catch { case _: java.io.IOException => () }

@@ -261,8 +261,10 @@ object IvfModel {
     */
   private[graft] def resetEnsureMemo(): Unit = StampedTable.reset()
 
-  /** Rows the KMeans fit will at most see. A 100 TB corpus cannot feed an
-    * iterative driver-coordinated fit directly, and doesn't need to:
+  /** EXPECTED number of rows the KMeans fit sees (Bernoulli sampling —
+    * the realized count varies around this, which is immaterial for fit
+    * quality). A 100 TB corpus cannot feed an iterative
+    * driver-coordinated fit directly, and doesn't need to:
     * coarse-quantizer quality requires a large multiple of K, not the
     * whole corpus, so the fit trains on a seeded uniform sample
     * (standard IVF practice — FAISS trains on samples too). No-op when
@@ -284,7 +286,11 @@ object IvfModel {
   def ensure(s: SparkSession, dir: String,
              fitSampleCap: Long = FitSampleCap): Unit = {
     val wh = warehouseFor(s, dir)
-    val stamp = s"$dir\n${Tables.contentStamp(s, s"$dir/embeddings.parquet")}"
+    // the cap is part of the stamp: it changes the fitted artifact, so an
+    // ensure() at a different cap must refit rather than silently serve
+    // centroids trained under the old one
+    val stamp =
+      s"$dir\ncap=$fitSampleCap\n${Tables.contentStamp(s, s"$dir/embeddings.parquet")}"
     StampedTable.ensure(wh, TableName, CentroidSchema, stamp) {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector

@@ -131,6 +131,13 @@ class AnnSpec extends SparkTestBase {
     } finally {
       System.clearProperty("graft.index.dir")
       IvfModel.resetEnsureMemo()
+      // reclaim the temp index root (a fitted parquet table) — CI boxes
+      // accumulate these otherwise
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(tmpRoot))
     }
   }
 
