@@ -58,10 +58,22 @@ object Curation {
     * the pairwise default would keep B. The clustering is iterative
     * (label propagation runs jobs inside this call), so the ≤ 2-job
     * guarantee documented above holds only for the pairwise default.
+    *
+    * `extraPairs` unions candidate near-dup pairs from ANY other signal
+    * into the same drop decision — multi-signal curation: pass
+    * embedding-cosine pairs (t15/t34 with vec ids mapped to doc ids) and
+    * semantic duplicates the text LSH can't see (paraphrases) dedup in
+    * the same audited pipeline. Pairs are normalized (min id as doc_a)
+    * and only count between docs that SURVIVED the quality + exact
+    * stages, mirroring the text pairs' construction — an extra pair
+    * naming a quality-dropped doc never pulls a surviving doc down with
+    * it. Under `useClusters` the extra edges join the same connected
+    * components, so mixed text/embedding chains collapse transitively.
     */
   def curate(spark: SparkSession, docs: DataFrame,
              t: Thresholds = Thresholds(),
-             useClusters: Boolean = false): (DataFrame, DataFrame) = {
+             useClusters: Boolean = false,
+             extraPairs: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     release(spark) // previous batch's pin, if any
     // single scan: every per-doc signal at once
     val signals = docs
@@ -118,13 +130,26 @@ object Curation {
       .select(col("doc_a"), col("doc_b"),
         TF.estJaccard(col("sig_a"), col("sig_b")).as("j"))
       .filter(col("j") >= t.nearDupJaccard)
+    // other-signal pairs: normalized orientation (the pairwise rule drops
+    // the LARGER id, so (5,3) must read as (3,5)), self-pairs dropped,
+    // and both endpoints semi-joined to the exact-stage survivors so the
+    // extra signal gets exactly the text pairs' eligibility
+    val survivors = staged.filter(col("exact_ok")).select(col("doc_id"))
+    val extra = extraPairs.map { p =>
+      p.select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+          greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+        .filter(col("doc_a") =!= col("doc_b"))
+        .join(survivors.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
+        .join(survivors.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi")
+    }
+    val allPairs = extra.foldLeft(candPairs.select(col("doc_a"), col("doc_b")))(_ unionByName _)
     val toDrop = (if (useClusters) {
       graft.queries.TextOps
-        .dedupClustersOf(sigs.select(col("doc_id")), candPairs.select(col("doc_a"), col("doc_b")))
+        .dedupClustersOf(survivors, allPairs)
         .filter(!col("is_canonical"))
         .select(col("doc_id"))
     } else {
-      candPairs.select(col("doc_b").as("doc_id")).distinct()
+      allPairs.select(col("doc_b").as("doc_id")).distinct()
     }).withColumn("near_dup", lit(true))
 
     val tagged = staged

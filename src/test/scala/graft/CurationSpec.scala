@@ -175,6 +175,36 @@ class CurationSpec extends SparkTestBase {
     assert(a.getAs[Long]("dropped_exact_dup") === 1)  // only doc 2
   }
 
+  test("extraPairs: another signal's pairs join the drop decision, survivors-only") {
+    // multi-signal curation: an embedding-cosine pair (5 ~ 1) the text
+    // LSH cannot see (doc 5 is textually distinct) drops doc 5; a pair
+    // naming a quality-dropped doc (4 ~ 5... via (4,5)) is ignored — the
+    // extra signal gets exactly the text pairs' survivor eligibility.
+    // Orientation is normalized: the pair arrives as (5, 1) and the
+    // smaller id still wins.
+    val base = "the quick brown fox jumps over the lazy dog and keeps running far away"
+    val docs = Seq(
+      (1L, base),                          // kept (canonical)
+      (2L, base),                          // exact dup -> dropped
+      (3L, base + " tonight"),             // text near dup -> dropped
+      (4L, "too short"),                   // quality -> dropped
+      (5L, "completely different content about spark engines and columnar execution at scale"),
+      (6L, Seq.fill(25)("buy now click").mkString(" "))) // quality (looping)
+      .toDF("doc_id", "text")
+    val extras = Seq((5L, 1L), (4L, 5L)).toDF("doc_a", "doc_b")
+
+    for (clusters <- Seq(false, true)) {
+      val (curated, audit) = Curation.curate(spark, docs, extraPairs = Some(extras),
+        useClusters = clusters)
+      val kept = curated.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept === Set(1L), s"useClusters=$clusters")
+      val aa = audit.collect().head
+      assert(aa.getAs[Long]("dropped_quality") === 2, s"useClusters=$clusters")
+      assert(aa.getAs[Long]("dropped_exact_dup") === 1, s"useClusters=$clusters")
+      assert(aa.getAs[Long]("dropped_near_dup") === 2, s"useClusters=$clusters") // 3 (text) + 5 (extra)
+    }
+  }
+
   test("curation over the corpus conserves counts in the audit") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val (curated, audit) = Curation.curate(spark, docs)
