@@ -241,18 +241,19 @@ object TextOps {
     * stay cold/honest.
     */
   private val cosinePairCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int, Int), (String, DataFrame)]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int, Int, Int), (String, DataFrame)]
 
   def cosineCandidatePairs(s: SparkSession, dir: String,
-                           bits: Int = Lsh.Bits, radius: Int = PairRadius): DataFrame = {
-    cosinePairCache.filterInPlace { case ((sess, _, _, _), _) => !sess.sparkContext.isStopped }
+                           bits: Int = Lsh.Bits, radius: Int = PairRadius,
+                           maxBucket: Int = EmbBucketCap): DataFrame = {
+    cosinePairCache.filterInPlace { case ((sess, _, _, _, _), _) => !sess.sparkContext.isStopped }
     val mt = Tables.contentStamp(s, s"$dir/embeddings.parquet")
-    val key = (s, dir, bits, radius)
+    val key = (s, dir, bits, radius, maxBucket)
     cosinePairCache.get(key) match {
       case Some((`mt`, df)) => df
       case stale =>
         stale.foreach { case (_, old) => old.unpersist(false) }
-        val fresh = t15CosineNearDup(s, dir, bits, radius).persist()
+        val fresh = t15CosineNearDup(s, dir, bits, radius, maxBucket = maxBucket).persist()
         cosinePairCache.put(key, (mt, fresh))
         fresh
     }
@@ -604,12 +605,15 @@ object TextOps {
     * the env set and both engines replay the dialed code space (recorded
     * run at bits=10: SCALE.md "ANN recall"). The driver leaves the env
     * unset. Radius applies its entry point's own default (t12 Hamming 3,
-    * t15 pair radius 4) unless overridden.
+    * t15 pair radius 4) unless overridden. `SPARK_GRAFT_EMB_CAP` dials
+    * the t15/t34 per-bucket skew cap ([[EmbBucketCap]]) the same way.
     */
   private[graft] lazy val DialBits: Int =
     sys.env.get("SPARK_GRAFT_LSH_BITS").map(_.trim.toInt).getOrElse(Lsh.Bits)
   private[graft] lazy val DialRadius: Option[Int] =
     sys.env.get("SPARK_GRAFT_LSH_RADIUS").map(_.trim.toInt)
+  private[graft] lazy val DialEmbCap: Int =
+    sys.env.get("SPARK_GRAFT_EMB_CAP").map(_.trim.toInt).getOrElse(EmbBucketCap)
 
   lazy val t12Sql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
@@ -927,6 +931,20 @@ object TextOps {
   val CosTau = 0.4
   val PairRadius = 4
 
+  /** Per-sign-code bucket cap for the t15/t34 candidate join — the
+    * embedding-space twin of the text family's [[capBuckets]] guard. The
+    * dial contract (`bits ≈ log2(n/bucket_target)`) bounds the AVERAGE
+    * bucket; real embedding corpora are clustered, and one dense semantic
+    * cluster (mass near-duplicates, templated content) piles into a single
+    * sign code and makes that bucket's probe join quadratic. Buckets over
+    * the cap are excluded from candidate generation BEFORE the join —
+    * t06 semantics: a mass-collision bucket is degenerate content, its
+    * members are conservatively KEPT (they pair with nothing, so dedup
+    * never drops them). Raise `bits` (locally finer codes) to split such
+    * buckets when they are genuine dup mass worth pairing.
+    */
+  val EmbBucketCap = 1000
+
   /** (bits, radius) are arguments for the same reason as [[t12AnnLsh]]:
     * candidate volume is probe_fraction × n²/2^bits, so bits must grow
     * with the corpus (`bits ≈ log2(n/bucket_target)`) for the candidate
@@ -945,15 +963,39 @@ object TextOps {
     */
   def t15CosineNearDup(s: SparkSession, dir: String,
                        bits: Int = Lsh.Bits, radius: Int = PairRadius,
-                       narrowProbe: Boolean = false): DataFrame = {
+                       narrowProbe: Boolean = false,
+                       maxBucket: Int = EmbBucketCap): DataFrame =
+    t15CosineNearDupOf(embeddings(s, dir), bits, radius, narrowProbe, maxBucket)
+
+  /** The t15 pipeline over an arbitrary (vec_id, embedding) frame — also
+    * the spec hook for the [[EmbBucketCap]] skew guard on pathological
+    * dense-bucket corpora.
+    */
+  def t15CosineNearDupOf(embSrc: DataFrame,
+                         bits: Int = Lsh.Bits, radius: Int = PairRadius,
+                         narrowProbe: Boolean = false,
+                         maxBucket: Int = EmbBucketCap): DataFrame = {
     // norms materialize per VECTOR before the join (n rows), so the only
     // per-PAIR work is one native dot product and a divide — the HOF
     // cosine here re-evaluated three 64-element folds per candidate pair
     // and measured 105 s at sf0.1 vs ~2 s for this shape
-    val e = embeddings(s, dir)
+    val e0 = embSrc
       .select(col("vec_id"), V.toDouble(col("embedding")).as("emb"))
       .withColumn("nrm", V.norm(col("emb")))
       .withColumn("bucket", Lsh.bucketOf(col("emb"), bits))
+    // The skew guard. Per-bucket counts collapse to ≤ 2^bits rows under
+    // map-side partial aggregation, and only the OVERSIZED codes (normally
+    // zero) broadcast back as an anti-join — the corpus side takes no
+    // shuffle for the guard, unlike the text family's window-based
+    // capBuckets (whose banded frames are about to shuffle anyway). The
+    // capped frame bounds every join-key group: ≤ maxBucket corpus rows
+    // per bucket and ≤ |masks| × maxBucket probe rows targeting it, so
+    // per-key candidate work is ≤ |masks| × maxBucket² regardless of skew.
+    val oversized = e0.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+      .select(col("bucket"))
+    val e = e0.join(broadcast(oversized), Seq("bucket"), "left_anti")
     val masks = Lsh.masksWithin(radius, bits)
     val scored =
       if (narrowProbe) {
@@ -993,7 +1035,11 @@ object TextOps {
     */
   private def t15CandCtes: String =
     s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-       |eb AS (SELECT vec_id, emb, ${Lsh.bucketSql("emb", DialBits)} AS bucket FROM e),
+       |eb0 AS (SELECT vec_id, emb, ${Lsh.bucketSql("emb", DialBits)} AS bucket FROM e),
+       |eb AS (
+       |  SELECT vec_id, emb, bucket FROM (
+       |    SELECT vec_id, emb, bucket, count(*) OVER (PARTITION BY bucket) AS bucket_n FROM eb0)
+       |  WHERE bucket_n <= $DialEmbCap),
        |pr AS (
        |  SELECT vec_id AS vec_a, emb AS emb_a, xor(bucket, m) AS bucket
        |  FROM eb CROSS JOIN (SELECT unnest(${Lsh.masksSqlWithin(DialRadius.getOrElse(PairRadius), DialBits)}) AS m)),
@@ -1022,8 +1068,9 @@ object TextOps {
     * DuckDB — both engines honor the same (bits, radius) dial.
     */
   def t34EmbedDedupClusters(s: SparkSession, dir: String,
-                            bits: Int = Lsh.Bits, radius: Int = PairRadius): DataFrame = {
-    val pairs = cosineCandidatePairs(s, dir, bits, radius)
+                            bits: Int = Lsh.Bits, radius: Int = PairRadius,
+                            maxBucket: Int = EmbBucketCap): DataFrame = {
+    val pairs = cosineCandidatePairs(s, dir, bits, radius, maxBucket)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
     val nodes = embeddings(s, dir).select(col("vec_id").as("doc_id")).distinct()
     dedupClustersOf(nodes, pairs)
@@ -1207,10 +1254,10 @@ object TextOps {
     "t13_dedup_clusters"  -> (t13DedupClusters _),
     "t14_ann_ivf"         -> (t14AnnIvf _),
     "t15_cosine_near_dup" -> ((s: SparkSession, d: String) =>
-      cosineCandidatePairs(s, d, DialBits, DialRadius.getOrElse(PairRadius))),
+      cosineCandidatePairs(s, d, DialBits, DialRadius.getOrElse(PairRadius), DialEmbCap)),
     "t16_token_bpe"       -> (t16TokenBpe _),
     "t34_embed_dedup_clusters" -> ((s: SparkSession, d: String) =>
-      t34EmbedDedupClusters(s, d, DialBits, DialRadius.getOrElse(PairRadius))),
+      t34EmbedDedupClusters(s, d, DialBits, DialRadius.getOrElse(PairRadius), DialEmbCap)),
     "t17_train_split"     -> (t17TrainSplit _),
     "t18_chunks"          -> (t18Chunks _),
     "t19_boilerplate"     -> (t19Boilerplate _),

@@ -301,6 +301,31 @@ class AnnSpec extends SparkTestBase {
       "repeat ensure re-read the stamp table — per-call query cost regressed")
   }
 
+  test("t15 skew guard: oversized sign-code buckets pair with nothing, in-cap buckets pair fully") {
+    // A pathological dense-bucket corpus: 50 identical vectors collapse
+    // into ONE sign code (the clustered-corpus failure mode the dial
+    // contract's average-bucket math misses), plus 8 copies of the
+    // negated vector in the complementary code. With the cap below the
+    // dense bucket's size, its members must be excluded from candidate
+    // generation (conservatively kept — they pair with nothing, so dedup
+    // never drops them) while the in-cap bucket still pairs fully;
+    // uncapped, the dense bucket goes quadratic (C(50,2) pairs).
+    import spark.implicits._
+    val v = Array.tabulate(Lsh.Dim)(i => math.sin(i + 1.0).toFloat)
+    val w = v.map(x => -x)
+    val emb = ((0L until 50L).map(i => (i, v)) ++ (100L until 108L).map(i => (i, w)))
+      .toDF("vec_id", "embedding")
+    val capped = TextOps.t15CosineNearDupOf(emb, maxBucket = 10)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.forall { case (a, b) => a >= 100L && b >= 100L },
+      "a dense-bucket member leaked into the candidate join")
+    assert(capped.size === 8 * 7 / 2, "the in-cap bucket no longer pairs fully")
+    val uncapped = TextOps.t15CosineNearDupOf(emb).count()
+    assert(uncapped === 50L * 49 / 2 + 8 * 7 / 2,
+      "without the guard the dense bucket should pair quadratically")
+  }
+
   test("t15 narrow-probe form is result-identical to the wide form at any dial") {
     for ((b, r) <- Seq((Lsh.Bits, TextOps.PairRadius), (10, 6))) {
       val wide = TextOps.t15CosineNearDup(spark, sf(), b, r)
