@@ -169,13 +169,24 @@ private[queries] object StampedTable {
   */
 object IvfModel {
 
-  /** Coarse-quantizer cells. */
+  /** Default coarse-quantizer cell count — the dial for the synthetic
+    * test corpus, an ARGUMENT of [[ensure]]/[[TextOps.t14AnnIvf]] like
+    * LSH's (bits, radius). The sizing contract at scale is `K ≈ √n`
+    * (the standard IVF balance point: probe cost ≈ K distance
+    * computations + nProbe × n/K candidates, minimized near √n) — K=32
+    * on a 100 TB corpus would make every probe scan n/2 vectors. K is
+    * part of the centroid stamp: an ensure at a different K refits
+    * rather than silently serving centroids trained under the old one.
+    */
   val K = 32
 
-  /** Inverted lists probed per query: 16/32 cells ≈ 0.50 of an isotropic
-    * corpus → recall ≈ 0.86-0.90 @5 (see SCALE.md for the curve — on this
-    * synthetic corpus recall tracks probe fraction; real clustered data
-    * reaches the same recall at nProbe ≪ K).
+  /** Default inverted lists probed per query: 16/32 cells ≈ 0.50 of an
+    * isotropic corpus → recall ≈ 0.86-0.90 @5 (see SCALE.md for the curve
+    * — on this synthetic corpus recall tracks probe fraction; real
+    * clustered data reaches the same recall at nProbe ≪ K). Also an
+    * argument of the query path; NOT stamped, because it selects how many
+    * of the persisted lists a QUERY visits and changes no fitted state —
+    * stamping it would force a spurious refit per probe-count change.
     */
   val NProbe = 16
 
@@ -284,13 +295,15 @@ object IvfModel {
     * any vector store builds its index before serving.
     */
   def ensure(s: SparkSession, dir: String,
-             fitSampleCap: Long = FitSampleCap): Unit = {
+             fitSampleCap: Long = FitSampleCap, k: Int = K): Unit = {
     val wh = warehouseFor(s, dir)
-    // the cap is part of the stamp: it changes the fitted artifact, so an
-    // ensure() at a different cap must refit rather than silently serve
-    // centroids trained under the old one
+    // the cap AND k are part of the stamp: each changes the fitted
+    // artifact, so an ensure() at a different dial must refit rather than
+    // silently serve centroids trained under the old one (a code- or
+    // env-level K change over an existing warehouse would otherwise keep
+    // probing the stale K-centroid table)
     val stamp =
-      s"$dir\ncap=$fitSampleCap\n${Tables.contentStamp(s, s"$dir/embeddings.parquet")}"
+      s"$dir\ncap=$fitSampleCap\nk=$k\n${Tables.contentStamp(s, s"$dir/embeddings.parquet")}"
     StampedTable.ensure(wh, TableName, CentroidSchema, stamp) {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
@@ -304,7 +317,7 @@ object IvfModel {
         e0.sample(withReplacement = false, fitSampleCap.toDouble / n, Seed)
       else e0)
         .withColumn("features", array_to_vector(col("emb")))
-      val model = new KMeans().setK(K).setSeed(Seed).setMaxIter(MaxIter).fit(e)
+      val model = new KMeans().setK(k).setSeed(Seed).setMaxIter(MaxIter).fit(e)
       val cents = model.clusterCenters.zipWithIndex
         .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
       s.createDataFrame(cents).toDF("cid", "cvec").coalesce(1)

@@ -606,7 +606,10 @@ object TextOps {
     * run at bits=10: SCALE.md "ANN recall"). The driver leaves the env
     * unset. Radius applies its entry point's own default (t12 Hamming 3,
     * t15 pair radius 4) unless overridden. `SPARK_GRAFT_EMB_CAP` dials
-    * the t15/t34 per-bucket skew cap ([[EmbBucketCap]]) the same way.
+    * the t15/t34 per-bucket skew cap ([[EmbBucketCap]]), and
+    * `SPARK_GRAFT_IVF_K` / `SPARK_GRAFT_IVF_NPROBE` dial t14's quantizer
+    * the same way — a dialed K refits the stamped centroid table, and
+    * the oracle reads whatever generation that run committed.
     */
   private[graft] lazy val DialBits: Int =
     sys.env.get("SPARK_GRAFT_LSH_BITS").map(_.trim.toInt).getOrElse(Lsh.Bits)
@@ -614,6 +617,10 @@ object TextOps {
     sys.env.get("SPARK_GRAFT_LSH_RADIUS").map(_.trim.toInt)
   private[graft] lazy val DialEmbCap: Int =
     sys.env.get("SPARK_GRAFT_EMB_CAP").map(_.trim.toInt).getOrElse(EmbBucketCap)
+  private[graft] lazy val DialIvfK: Int =
+    sys.env.get("SPARK_GRAFT_IVF_K").map(_.trim.toInt).getOrElse(IvfModel.K)
+  private[graft] lazy val DialIvfNProbe: Int =
+    sys.env.get("SPARK_GRAFT_IVF_NPROBE").map(_.trim.toInt).getOrElse(IvfModel.NProbe)
 
   lazy val t12Sql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
@@ -656,8 +663,15 @@ object TextOps {
     * formulation now lives only in AnnSpec's oracle-mirror test, which
     * pins this plan's results to it.)
     */
-  def t14AnnIvf(s: SparkSession, dir: String): DataFrame = {
-    IvfModel.ensure(s, dir)
+  /** (k, nProbe) are arguments for the same reason as t12's (bits,
+    * radius): K must track the corpus (`K ≈ √n` — see [[IvfModel.K]]) and
+    * nProbe is the recall/latency dial over the persisted lists. Defaults
+    * = test-corpus dials = what the oracle SQL replays; a non-default k
+    * refits via the stamp, never probes stale centroids.
+    */
+  def t14AnnIvf(s: SparkSession, dir: String,
+                k: Int = IvfModel.K, nProbe: Int = IvfModel.NProbe): DataFrame = {
+    IvfModel.ensure(s, dir, k = k)
     val e = embeddings(s, dir)
       .select(col("vec_id"), V.toDouble(col("embedding")).as("emb"))
     // k rows -> 1 row holding array<struct<cid,cvec>>, sorted by cid so the
@@ -679,7 +693,7 @@ object TextOps {
         array_min(scored).getField("cid").as("cluster"))
     val probes = withC.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
-        explode(slice(array_sort(scored), 1, IvfModel.NProbe)
+        explode(slice(array_sort(scored), 1, nProbe)
           .getField("cid")).as("cluster"))
 
     val wTop = Window.partitionBy(col("query_id"))
@@ -713,7 +727,7 @@ object TextOps {
        |  SELECT vec_id AS query_id, emb AS q_emb, cid AS cluster FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS pr
        |    FROM ad WHERE vec_id < 10)
-       |  WHERE pr <= ${IvfModel.NProbe}),
+       |  WHERE pr <= $DialIvfNProbe),
        |scored AS (
        |  SELECT p.query_id, a.vec_id, a.cluster,
        |    ${R.halfUpSql(cosineSql("p.q_emb", "a.emb"), 6)} AS cosine
@@ -1252,7 +1266,8 @@ object TextOps {
     "t12_ann_lsh"         -> ((s: SparkSession, d: String) =>
       t12AnnLsh(s, d, DialBits, DialRadius.getOrElse(Lsh.HammingRadius))),
     "t13_dedup_clusters"  -> (t13DedupClusters _),
-    "t14_ann_ivf"         -> (t14AnnIvf _),
+    "t14_ann_ivf"         -> ((s: SparkSession, d: String) =>
+      t14AnnIvf(s, d, DialIvfK, DialIvfNProbe)),
     "t15_cosine_near_dup" -> ((s: SparkSession, d: String) =>
       cosineCandidatePairs(s, d, DialBits, DialRadius.getOrElse(PairRadius), DialEmbCap)),
     "t16_token_bpe"       -> (t16TokenBpe _),

@@ -301,6 +301,51 @@ class AnnSpec extends SparkTestBase {
       "repeat ensure re-read the stamp table — per-call query cost regressed")
   }
 
+  test("t14 (k, nProbe) dial: a non-default k refits the stamped table, repeat serves, recall sane") {
+    // K is part of the centroid stamp: a dialed ensure over an existing
+    // warehouse must REFIT (serving 32 stale centroids to a k=16 caller
+    // was the round-6 hazard), and a repeat at the same dial must serve
+    // without rewriting. Isolated index root so the shared scratch
+    // centroids (default fit, what the oracle reads) are untouched.
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_ivf_dial_").toString
+    System.setProperty("graft.index.dir", tmpRoot)
+    try {
+      IvfModel.resetEnsureMemo()
+      IvfModel.ensure(spark, sf())
+      assert(IvfModel.centroids(spark, sf()).count() === IvfModel.K)
+      val wh = IvfModel.warehouseFor(spark, sf())
+      def versions = new java.io.File(wh.dir).listFiles()
+        .count(_.getName.startsWith(s"${IvfModel.TableName}.__v"))
+      val v1 = versions
+      IvfModel.ensure(spark, sf(), k = 16)
+      assert(IvfModel.centroids(spark, sf()).count() === 16,
+        "dialed k served the stale default-K table")
+      assert(versions === v1 + 1)
+      IvfModel.ensure(spark, sf(), k = 16)
+      assert(versions === v1 + 1, "repeat ensure at the same dial rewrote the table")
+      // the dialed query path: exact cosines for whatever it probes, and
+      // recall@5 at nProbe/k = 0.5 tracks the isotropic probe-fraction
+      // curve (~fraction + 0.2); assert the conservative floor
+      val brute = TextOps.t10AnnBruteForce(spark, sf())
+        .select(col("query_id"), col("vec_id"), col("cosine").as("bf"))
+      val got = TextOps.t14AnnIvf(spark, sf(), k = 16, nProbe = 8)
+      assert(got.join(brute, Seq("query_id", "vec_id"))
+        .filter(col("cosine") =!= col("bf")).count() === 0)
+      val bf = pairs(brute.withColumnRenamed("bf", "cosine"))
+      val recall = (bf intersect pairs(got)).size.toDouble / bf.size
+      info(f"IVF recall@5 at (k=16, nProbe=8): $recall%.2f")
+      assert(recall >= 0.4)
+    } finally {
+      System.clearProperty("graft.index.dir")
+      IvfModel.resetEnsureMemo()
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(tmpRoot))
+    }
+  }
+
   test("t15 skew guard: oversized sign-code buckets pair with nothing, in-cap buckets pair fully") {
     // A pathological dense-bucket corpus: 50 identical vectors collapse
     // into ONE sign code (the clustered-corpus failure mode the dial
