@@ -42,14 +42,27 @@ case class Warehouse(spark: SparkSession, dir: String) {
     */
   private def legacyHistoryPath(name: String) = new Path(dir, s"$name.__history")
 
-  private def historyFiles(name: String): Seq[(Long, Path)] = {
+  /** Every numeric history file with its length. A ZERO-LENGTH entry is a
+    * CLAIM (create-exclusive placeholder from [[appendHistory]]) whose
+    * writer crashed before renaming its entry list over it, or is still
+    * inside that window — never a generation. Numbering must count claims
+    * (so a stale one cannot stall seq assignment forever) but resolution
+    * must skip them: an empty newest "generation" would read as an empty
+    * entry list, sending appendHistory down the seed-from-version-dirs
+    * path — re-admitting stray dirs, the exact hazard generations close.
+    */
+  private def rawHistoryFiles(name: String): Seq[(Long, Path, Long)] = {
     val stats = try fs.globStatus(new Path(dir, s"$name.__history.*"))
                 catch { case _: java.io.FileNotFoundException => null }
     Option(stats).map(_.toSeq).getOrElse(Nil).flatMap { st =>
       st.getPath.getName.stripPrefix(s"$name.__history.").toLongOption
-        .map(_ -> st.getPath)
+        .map(seq => (seq, st.getPath, st.getLen))
     }.sortBy(_._1)
   }
+
+  /** Committed (non-claim) history generations, oldest→newest. */
+  private def historyFiles(name: String): Seq[(Long, Path)] =
+    rawHistoryFiles(name).collect { case (seq, p, len) if len > 0 => (seq, p) }
 
   /** The last committed pointer targets, oldest→newest — the only
     * directories a reader can ever have resolved through the pointer.
@@ -128,8 +141,14 @@ case class Warehouse(spark: SparkSession, dir: String) {
     }
     val entries = (prior :+ vname).takeRight(16)
     try {
-      val existing = historyFiles(name)
-      val seq = existing.lastOption.map(_._1).getOrElse(0L) + 1
+      val raw = rawHistoryFiles(name)
+      val existing = raw.collect { case (seq, p, len) if len > 0 => (seq, p) }
+      // seq counts CLAIMS too: a crashed writer's zero-length claim at
+      // max+1 would otherwise make every later writer recompute the same
+      // seq, lose the claim, and skip GC forever — numbering past it
+      // leaves the stale claim inert (invisible to readers, reclaimed by
+      // vacuum) while history advances
+      val seq = raw.lastOption.map(_._1).getOrElse(0L) + 1
       // the fixed tmp name parses as suffix "tmp" → non-numeric → invisible
       // to historyFiles, so a stray from a crash never resolves as a
       // generation; rename targets a FRESH name, so no delete precedes it
@@ -166,16 +185,32 @@ case class Warehouse(spark: SparkSession, dir: String) {
       // so two local writers landing inside that narrower window can
       // still both claim — a dev/test-only scenario (multi-writer
       // warehouses run on HDFS-like stores), bounded by the one-
-      // generation self-heal either way.
+      // generation self-heal either way. A crash BETWEEN claim and rename
+      // leaves the zero-length claim at the real generation name — it is
+      // invisible to resolution (see rawHistoryFiles), numbering steps
+      // past it, and vacuum reclaims it, so it can never shadow the
+      // previous intact generation.
       val claimed = try fs.createNewFile(target)
                     catch { case _: java.io.IOException => false }
       if (!claimed) { fs.delete(tmp, false); return None }
       if (!fs.rename(tmp, target)) {
         // POSIX rename overwrote the zero-length claim and returned true;
         // an HDFS-semantics store instead refuses to rename onto our own
-        // claim — clear it and land the content. A second false means the
-        // target reappeared concurrently: same collision exit as above.
-        fs.delete(target, false)
+        // claim — clear it and land the content. Delete ONLY what is
+        // verifiably a claim (zero-length): if the first false was
+        // transient and another writer's createNewFile landed at the
+        // target in between, an unconditional delete would destroy THEIR
+        // claim and let our second rename commit under a seq they believe
+        // they own — both writers would then proceed as committed for the
+        // same generation. Anything non-empty (or vanished-and-still-
+        // unrenameable) is the collision exit. Our own claim cannot be
+        // told apart from another writer's by content — both are empty —
+        // but deleting an empty claim is safe in either case: the loser's
+        // rename returns false and takes this same exit.
+        val claimLen = try Some(fs.getFileStatus(target).getLen)
+                       catch { case _: java.io.FileNotFoundException => None }
+        if (claimLen.exists(_ > 0)) { fs.delete(tmp, false); return None }
+        claimLen.foreach(_ => fs.delete(target, false))
         if (!fs.rename(tmp, target)) { fs.delete(tmp, false); return None }
       }
       // only after the new generation is live: sweep superseded ones
@@ -314,7 +349,10 @@ case class Warehouse(spark: SparkSession, dir: String) {
     // LIVE concurrent writer losing its tmp here just skips GC for that
     // rewrite — vacuum is already documented as a quiescent operation)
     try {
-      historyFiles(name).foreach { case (_, p) => fs.delete(p, false) }
+      // rawHistoryFiles, not historyFiles: zero-length claims from crashed
+      // writers are invisible to resolution and must be reclaimed HERE —
+      // numbering steps past them, so nothing else ever removes them
+      rawHistoryFiles(name).foreach { case (_, p, _) => fs.delete(p, false) }
       Option(fs.globStatus(new Path(dir, s"$name.__history.tmp*")))
         .getOrElse(Array.empty).foreach(st => fs.delete(st.getPath, false))
       // ...and the fixed-name pointer tmp a rewrite crashed between

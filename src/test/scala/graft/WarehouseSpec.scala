@@ -165,6 +165,41 @@ class WarehouseSpec extends SparkTestBase {
     assert(names(wh) === Set("gen2")) // the live table is untouched
   }
 
+  test("a crashed claim (zero-length newest generation) neither shadows history nor stalls numbering") {
+    val wh = fresh()
+    wh.rewrite("t", Seq((1L, "gen1")).toDF("id", "name")) // v1, committed
+    val pre = wh.read("t", schema)                        // reader holds v1
+    val fs = new Path(wh.dir).getFileSystem(spark.sessionState.newHadoopConf())
+    // crash debris pair: an uncommitted version dir AND a zero-length
+    // claim at the next history seq (a writer died between createNewFile
+    // and renaming its entry list over it). Were the empty claim resolved
+    // as the newest generation, history would read as an EMPTY entry list
+    // and the next rewrite would seed the committed set from raw version
+    // dirs — admitting the stray into a reader-window slot and pushing v1
+    // out two rewrites later.
+    Seq((1L, "stray")).toDF("id", "name").write.parquet(s"${wh.dir}/t.__v000002")
+    val maxSeq = fs.globStatus(new Path(wh.dir, "t.__history.*")).map(_.getPath.getName)
+      .flatMap(_.stripPrefix("t.__history.").toLongOption).max
+    assert(fs.createNewFile(new Path(wh.dir, f"t.__history.${maxSeq + 1}%06d")))
+    wh.rewrite("t", Seq((1L, "gen2")).toDF("id", "name"))
+    wh.rewrite("t", Seq((1L, "gen3")).toDF("id", "name"))
+    assert(pre.collect().map(_.getString(1)).toSet === Set("gen1"),
+      "the empty claim shadowed the intact generation and the stray seed narrowed the window")
+    assert(names(wh) === Set("gen3"))
+    // numbering moved PAST the stale claim (a same-seq retry would lose
+    // the claim and skip GC on every future rewrite)
+    val committed = fs.globStatus(new Path(wh.dir, "t.__history.*"))
+      .flatMap(st => st.getPath.getName.stripPrefix("t.__history.").toLongOption
+        .map(_ -> st.getLen))
+    assert(committed.exists { case (seq, len) => seq > maxSeq + 1 && len > 0 })
+    // the stale claim itself is reclaimed by vacuum, not left forever
+    wh.vacuum("t")
+    val after = fs.globStatus(new Path(wh.dir, "t.__history.*"))
+      .filter(_.getPath.getName.stripPrefix("t.__history.").forall(_.isDigit))
+    assert(after.nonEmpty && after.forall(_.getLen > 0))
+    assert(names(wh) === Set("gen3"))
+  }
+
   test("a stray never shrinks the reader window (retention counts committed generations)") {
     val wh = fresh()
     wh.rewrite("t", Seq((1L, "gen1")).toDF("id", "name")) // v1, committed
