@@ -163,8 +163,11 @@ object CasServing {
     // don't sort chronologically — then sorted ascending for stable
     // column order. A null codigo (the schema field is nullable) can
     // never become a pivot column: it is filtered before the collect so
-    // the driver-side sort cannot NPE on it; under overflow its rows fold
-    // into the __otros bucket like any non-kept code.
+    // the driver-side sort cannot NPE on it, and its rows are dropped
+    // from the matrix in BOTH pivot modes — the second `when` below keeps
+    // them out of the __otros fold, since a warehouse crossing the
+    // period-count cap must not silently start counting rows the
+    // non-overflow matrix always dropped.
     val newest = wh.periodos.select(col("codigo"), col("fecha_inicio"))
       .filter(col("codigo").isNotNull)
       .orderBy(col("fecha_inicio").desc_nulls_last, col("codigo").desc)
@@ -173,7 +176,8 @@ object CasServing {
     val kept = newest.take(maxPivotPeriods).sorted.toSeq
     val headers = if (overflow) kept :+ OtrosCol else kept
     val pivotCol = if (overflow)
-      when(col("codigo").isInCollection(kept), col("codigo")).otherwise(OtrosCol)
+      when(col("codigo").isInCollection(kept), col("codigo"))
+        .when(col("codigo").isNotNull, OtrosCol) // null → null → not pivoted
     else col("codigo")
     // avg == first for the 1-period-per-cell columns; the overflow bucket
     // genuinely averages its folded periods (average-of-averages, A10)

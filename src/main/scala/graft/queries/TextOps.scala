@@ -251,11 +251,23 @@ object TextOps {
     val key = (s, dir, bits, radius, maxBucket)
     cosinePairCache.get(key) match {
       case Some((`mt`, df)) => df
-      case stale =>
-        stale.foreach { case (_, old) => old.unpersist(false) }
-        val fresh = t15CosineNearDup(s, dir, bits, radius, maxBucket = maxBucket).persist()
-        cosinePairCache.put(key, (mt, fresh))
-        fresh
+      case _ =>
+        // the miss path re-checks under the cache's lock: the bare
+        // check-then-act let two concurrent callers both persist(), and
+        // the loser's pinned frame (the full cosine pair set) leaked
+        // executor storage with no owner until invalidatePairCache. Only
+        // plan construction + the persist MARK happen under the lock —
+        // no Spark job runs here.
+        cosinePairCache.synchronized {
+          cosinePairCache.get(key) match {
+            case Some((`mt`, df)) => df
+            case stale =>
+              stale.foreach { case (_, old) => old.unpersist(false) }
+              val fresh = t15CosineNearDup(s, dir, bits, radius, maxBucket = maxBucket).persist()
+              cosinePairCache.put(key, (mt, fresh))
+              fresh
+          }
+        }
     }
   }
 
@@ -266,11 +278,19 @@ object TextOps {
     val mt = docsStamp(s, dir)
     pairCache.get((s, dir)) match {
       case Some((`mt`, df)) => df
-      case stale =>
-        stale.foreach { case (_, old) => old.unpersist(false) }
-        val fresh = minhashPairsOf(documents(s, dir)).persist()
-        pairCache.put((s, dir), (mt, fresh))
-        fresh
+      case _ =>
+        // same synchronized re-check as cosineCandidatePairs: the miss
+        // path must not double-persist under concurrency
+        pairCache.synchronized {
+          pairCache.get((s, dir)) match {
+            case Some((`mt`, df)) => df
+            case stale =>
+              stale.foreach { case (_, old) => old.unpersist(false) }
+              val fresh = minhashPairsOf(documents(s, dir)).persist()
+              pairCache.put((s, dir), (mt, fresh))
+              fresh
+          }
+        }
     }
   }
 

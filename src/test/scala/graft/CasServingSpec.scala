@@ -175,6 +175,44 @@ class CasServingSpec extends SparkTestBase {
     assert(matrix.collect().head.getAs[java.lang.Double]("P1") === 90.0)
   }
 
+  test("null-codigo rows never fold into __otros: both pivot modes drop them") {
+    // Crossing the period-count cap must not change what a null-codigo
+    // period contributes: the non-overflow matrix drops it (a null pivot
+    // value is not in the headers), so the overflow fold has to drop it
+    // too — previously `otherwise(__otros)` silently averaged it in.
+    val w = Warehouse(spark, Files.createTempDirectory("graft_serve_nullov_").toString)
+    w.rewrite("grupos_operativos", spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1, "Uno", true))), CasSchema.grupos))
+    w.rewrite("sucursales", spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1, "Suc A", "NL", "local", 25.0, -100.0, 1, 101L, true))),
+      CasSchema.sucursales))
+    val base = java.time.LocalDate.of(2020, 1, 1)
+    // 26 periods, one with a NULL codigo → 25 pivotable codes > cap 24:
+    // overflow mode, with only the oldest (P001) folding into __otros
+    w.rewrite("periodos_cas", spark.createDataFrame(
+      spark.sparkContext.parallelize((1 to 26).map { i =>
+        Row(i, if (i == 25) null else f"P$i%03d", s"M$i",
+          java.sql.Date.valueOf(base.plusDays(i.toLong * 7)),
+          java.sql.Date.valueOf(base.plusDays(i.toLong * 7 + 6)), i == 26)
+      }),
+      CasSchema.periodos))
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    w.rewrite("supervisiones_operativas", spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "z1", 1, 26, "Ana", ts("2020-07-10 10:00:00"), 90.0, null, null), // kept column
+        Row(2L, "z2", 1, 1, "Ana", ts("2020-01-10 10:00:00"), 70.0, null, null),  // folded
+        Row(3L, "z3", 1, 25, "Ana", ts("2020-06-20 10:00:00"), 50.0, null, null))), // null codigo: dropped
+      CasSchema.supervisiones))
+    val (matrix, _, _) = CasServing.historico(w, "operativas", maxPivotPeriods = 24)
+    assert(matrix.columns.last === CasServing.OtrosCol)
+    val uno = matrix.collect().head
+    assert(uno.getAs[java.lang.Double]("P026") === 90.0)
+    // only P001's promedio folds; 60.0 here means the null-codigo
+    // supervision leaked into the overflow bucket
+    assert(uno.getAs[java.lang.Double](CasServing.OtrosCol) === 70.0)
+  }
+
   test("historicoHeatmap: top-N slice in promedio_general order (O4)") {
     // grupo averages: PLOG Sur 90.0, PLOG Norte 85.0, Centro 67.5, Vacio
     // no data -> top-2 slice keeps Sur then Norte, app.js:1024 style
