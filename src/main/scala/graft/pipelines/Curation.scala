@@ -23,22 +23,37 @@ object Curation {
                         maxRepRatio: Double = 0.9, nearDupJaccard: Double = 0.5,
                         maxBandBucket: Int = 1000)
 
-  // the signals frame each session currently has pinned: a per-batch
-  // driver calling curate() in a loop holds at most ONE cached frame
-  // (the previous batch's pin is released on the next call), and
-  // release() reclaims the last one. Materialize both outputs before the
-  // next curate()/release() — after that the cached plan recomputes.
+  // the signals frame each session currently has pinned via the LEGACY
+  // curate(): a per-batch driver calling curate() in a loop holds at most
+  // ONE cached frame (the previous batch's pin is released on the next
+  // call), and release() reclaims the last one. Materialize both outputs
+  // before the next curate()/release() — after that the cached plan
+  // recomputes. Concurrent pipelines on one session should use
+  // [[curateHandle]], which has no global state at all.
   private val pinned = scala.collection.concurrent.TrieMap.empty[SparkSession, DataFrame]
 
   /** Unpersist the signals frame cached by the last [[curate]] call.
     * Also sweeps entries for stopped sessions so per-job-session drivers
     * that never call release don't accumulate dead references. curate()
     * is not thread-safe per session (a concurrent call releases the
-    * other's cache); serialize batches per session.
+    * other's cache); serialize batches per session, or use
+    * [[curateHandle]] for per-call ownership.
     */
   def release(spark: SparkSession): Unit = {
     pinned.remove(spark).foreach(_.unpersist(false))
     pinned.keys.filter(_.sparkContext.isStopped).foreach(pinned.remove)
+  }
+
+  /** Per-call ownership of the run's cached signals frame: `close()` (or
+    * try-with-resources) unpersists it once both outputs are
+    * materialized. Two concurrent handles on one session each own their
+    * pin — nothing global to race on, unlike the legacy [[curate]]/
+    * [[release]] pair.
+    */
+  final class CurationHandle private[pipelines] (
+      val curated: DataFrame, val audit: DataFrame,
+      private[graft] val signals: DataFrame) extends AutoCloseable {
+    def close(): Unit = signals.unpersist(false)
   }
 
   /** One lineage, no intermediate actions: every row is tagged with the
@@ -75,6 +90,18 @@ object Curation {
              useClusters: Boolean = false,
              extraPairs: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     release(spark) // previous batch's pin, if any
+    val run = curateHandle(docs, t, useClusters, extraPairs)
+    pinned.put(spark, run.signals)
+    (run.curated, run.audit)
+  }
+
+  /** The pipeline with per-call cache ownership — see [[CurationHandle]].
+    * Same outputs as [[curate]]; the caller releases the pin.
+    */
+  def curateHandle(docs: DataFrame,
+                   t: Thresholds = Thresholds(),
+                   useClusters: Boolean = false,
+                   extraPairs: Option[DataFrame] = None): CurationHandle = {
     // single scan: every per-doc signal at once
     val signals = docs
       .withColumn("toks", TF.tokens(col("text")))
@@ -86,7 +113,6 @@ object Curation {
       .withColumn("sh", NT.md5ShingleHashes(col("text"), 3))
       .drop("toks", "n_stop")
       .cache()
-    pinned.put(spark, signals)
 
     // stage 1: quality — length/stopword rules plus the t25 repetition
     // signal, free here: the shingle array is already computed for the
@@ -168,6 +194,6 @@ object Curation {
       count(when(col("stage") === "exact_dup", 1)).as("dropped_exact_dup"),
       count(when(col("stage") === "near_dup", 1)).as("dropped_near_dup"),
       count(when(col("stage") === "kept", 1)).as("curated_docs"))
-    (curated, audit)
+    new CurationHandle(curated, audit, signals)
   }
 }

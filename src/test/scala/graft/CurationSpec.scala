@@ -205,6 +205,36 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("curateHandle: interleaved runs each own their pin; close releases it") {
+    // the legacy curate() pins one signals frame per SESSION, so a second
+    // call mid-flight releases the first call's cache; handles own their
+    // pin per CALL — two interleaved sequences (open A, open B,
+    // materialize A, materialize B) must both complete with correct
+    // results and live caches
+    val base = "the quick brown fox jumps over the lazy dog and keeps running far away"
+    val docsA = Seq(
+      (1L, base), (2L, base),
+      (5L, "completely different content about spark engines and columnar execution at scale"))
+      .toDF("doc_id", "text")
+    val docsB = Seq(
+      (10L, base + " again"), (11L, base + " again"), (12L, "too short"))
+      .toDF("doc_id", "text")
+    val hA = Curation.curateHandle(docsA)
+    val hB = Curation.curateHandle(docsB) // legacy semantics would unpin hA here
+    // BOTH pins are live after the interleaved opens
+    assert(hA.signals.storageLevel.useMemory && hB.signals.storageLevel.useMemory)
+    try {
+      assert(hA.curated.select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L, 5L))
+      assert(hA.audit.collect().head.getAs[Long]("dropped_exact_dup") === 1)
+      assert(hB.curated.select("doc_id").collect().map(_.getLong(0)).toSet === Set(10L))
+      val b = hB.audit.collect().head
+      assert(b.getAs[Long]("dropped_exact_dup") === 1)
+      assert(b.getAs[Long]("dropped_quality") === 1)
+    } finally { hA.close(); hB.close() }
+    // close() released each run's own pin
+    assert(!hA.signals.storageLevel.useMemory && !hB.signals.storageLevel.useMemory)
+  }
+
   test("curation over the corpus conserves counts in the audit") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val (curated, audit) = Curation.curate(spark, docs)
