@@ -20,7 +20,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.all ++ TextOps.all ++ QualityOps.all +
-      ("q28_sessionize" -> (graft.streaming.Sessionize.query _))
+      ("q28_sessionize" -> (graft.streaming.Sessionize.query _)) +
+      ("t35_curation_audit" -> (graft.pipelines.Curation.t35CurationAudit _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for hash-seed-dependent ops (MinHash/
@@ -36,5 +37,6 @@ object SparkEntry {
     */
   def oracleSqlFor(dir: String): Map[String, String] =
     Relational.oracles ++ TextOps.oraclesFor(dir) ++ QualityOps.oracles +
-      ("q28_sessionize" -> graft.streaming.Sessionize.oracleSql)
+      ("q28_sessionize" -> graft.streaming.Sessionize.oracleSql) +
+      ("t35_curation_audit" -> graft.pipelines.Curation.t35Sql)
 }

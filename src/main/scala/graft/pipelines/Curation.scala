@@ -196,4 +196,68 @@ object Curation {
       count(when(col("stage") === "kept", 1)).as("curated_docs"))
     new CurationHandle(curated, audit, signals)
   }
+
+  // ---------------------------------------------------------------- t35
+  /** The pipeline's audit row as a registered, ORACLE-CHECKED query: the
+    * flagship composition (quality → exact dedup → near-dup) at default
+    * [[Thresholds]] over the corpus's `documents` table, driver-verified
+    * per round instead of only spec-checked. Uses the legacy [[curate]]
+    * (one pin per session, released on the next call) so repeated Verify/
+    * Bench invocations never accumulate pinned frames.
+    */
+  def t35CurationAudit(s: SparkSession, dir: String): DataFrame =
+    curate(s, graft.core.Tables.documents(s, dir))._2
+
+  /** DuckDB replay of the full staging: the t06 family's shingle/sig/pair
+    * CTE fragments (same md5 base hash, MinHash constants, band cap)
+    * restricted to the exact-stage survivors, plus the quality rules and
+    * the min-per-content-hash exact stage, aggregated to the same five
+    * counters. Thresholds are inlined from the same [[Thresholds]]
+    * defaults the query runs at.
+    */
+  lazy val t35Sql: String = {
+    val t = Thresholds()
+    val T = graft.queries.TextOps
+    s"""WITH ${T.shingleCtes},
+       |q AS (
+       |  SELECT d.doc_id,
+       |    len(t.toks) AS n_tokens,
+       |    CASE WHEN len(t.toks) > 0
+       |         THEN len(list_filter(t.toks, x -> x IN ('the', 'a'))) * 1.0 / len(t.toks)
+       |         ELSE 1.0 END AS stop_ratio,
+       |    CASE WHEN len(t.toks) >= 3
+       |         THEN 1.0 - coalesce(len(h.hs), 0) * 1.0 / (len(t.toks) - 2)
+       |         ELSE 0.0 END AS rep_ratio,
+       |    md5(d.text) AS content_hash
+       |  FROM documents d JOIN tk t USING (doc_id) LEFT JOIN hs h USING (doc_id)),
+       |staged AS (
+       |  SELECT doc_id, content_hash,
+       |    (n_tokens >= ${t.minTokens} AND stop_ratio <= ${t.maxStopwordRatio}
+       |      AND rep_ratio <= ${t.maxRepRatio}) AS q_ok
+       |  FROM q),
+       |staged2 AS (
+       |  SELECT *, (q_ok AND doc_id =
+       |    min(CASE WHEN q_ok THEN doc_id END) OVER (PARTITION BY content_hash)) AS exact_ok
+       |  FROM staged),
+       |hs_surv AS (
+       |  SELECT hs.doc_id, hs.hs FROM hs JOIN staged2 USING (doc_id)
+       |  WHERE staged2.exact_ok),
+       |${T.sigCteFrom("hs_surv")},
+       |${T.candPairCtes},
+       |drops AS (SELECT DISTINCT doc_b AS doc_id FROM est
+       |          WHERE est_jaccard >= ${t.nearDupJaccard}),
+       |tagged AS (
+       |  SELECT s.doc_id,
+       |    CASE WHEN NOT s.q_ok THEN 'quality'
+       |         WHEN NOT s.exact_ok THEN 'exact_dup'
+       |         WHEN d.doc_id IS NOT NULL THEN 'near_dup'
+       |         ELSE 'kept' END AS stage
+       |  FROM staged2 s LEFT JOIN drops d ON s.doc_id = d.doc_id)
+       |SELECT count(*) AS input_docs,
+       |  count(CASE WHEN stage = 'quality' THEN 1 END) AS dropped_quality,
+       |  count(CASE WHEN stage = 'exact_dup' THEN 1 END) AS dropped_exact_dup,
+       |  count(CASE WHEN stage = 'near_dup' THEN 1 END) AS dropped_near_dup,
+       |  count(CASE WHEN stage = 'kept' THEN 1 END) AS curated_docs
+       |FROM tagged""".stripMargin
+  }
 }

@@ -310,7 +310,7 @@ object TextOps {
       |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
       |  FROM documents)""".stripMargin
 
-  private def shingleCtes: String =
+  private[graft] def shingleCtes: String =
     s"""$toksCte,
        |sh AS (
        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks)-2),
@@ -320,15 +320,21 @@ object TextOps {
        |  SELECT doc_id, list_transform(shs, x -> ${md5l("x")} % $P) AS hs
        |  FROM sh)""".stripMargin
 
-  private def sigCte: String = {
+  private def sigCte: String = sigCteFrom("hs")
+
+  /** The 16-slot signature CTE over any (doc_id, hs) source — shared with
+    * the Curation audit oracle, whose signatures run over the exact-stage
+    * SURVIVORS rather than the whole corpus.
+    */
+  private[graft] def sigCteFrom(src: String): String = {
     val slots = TF.minhashParamsFor(NumHashes).zipWithIndex.map {
       case ((a, b), i) =>
         s"list_min(list_transform(hs, h -> ($a * h + $b) % $P)) AS s$i"
     }.mkString(",\n    ")
-    s"sig AS (\n  SELECT doc_id,\n    $slots\n  FROM hs)"
+    s"sig AS (\n  SELECT doc_id,\n    $slots\n  FROM $src)"
   }
 
-  private def candPairCtes: String = {
+  private[graft] def candPairCtes: String = {
     val bandCase = (0 until Bands).map { b =>
       val key = (0 until RowsPerBand).map(r => s"s${b * RowsPerBand + r}").mkString(" || '_' || ")
       s"WHEN $b THEN $key"
