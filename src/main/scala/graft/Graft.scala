@@ -27,6 +27,10 @@ import graft.etl.Warehouse
   * graft.queries.QualityOps.qualityFlagsOf(docsDf)      // keep/drop signals
   * graft.queries.QualityOps.contaminationOf(docsDf)     // eval-set overlap
   * graft.pipelines.Curation.curate(spark, docsDf, useClusters = true)
+  * // multi-signal dedup: embedding pairs join the text pipeline's drop decision
+  * val semantic = graft.pipelines.Curation.embeddingDocPairs(
+  *   graft.queries.TextOps.t15CosineNearDup(spark, dataDir), vecToDocDf)
+  * graft.pipelines.Curation.curate(spark, docsDf, extraPairs = Some(semantic))
   * graft.streaming.Sessionize.sessionsBatch(eventsDf)
   * }}}
   */

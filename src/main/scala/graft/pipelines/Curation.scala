@@ -197,6 +197,33 @@ object Curation {
     new CurationHandle(curated, audit, signals)
   }
 
+  /** The multi-signal wiring: map embedding-space near-dup pairs (t15's
+    * (vec_a, vec_b) output) onto document ids, ready for [[curate]]'s
+    * `extraPairs` —
+    *
+    * {{{
+    * val pairs  = TextOps.t15CosineNearDup(spark, dir)     // or t15CosineNearDupOf(embFrame)
+    * val extras = Curation.embeddingDocPairs(pairs, vecToDoc) // vecToDoc: (vec_id, doc_id)
+    * Curation.curate(spark, docs, extraPairs = Some(extras))  // paraphrases dedup too
+    * }}}
+    *
+    * t34 clusters feed the same way — pair each non-canonical member with
+    * its canonical: `t34.filter(!col("is_canonical")).select(col("cluster")
+    * .as("vec_a"), col("vec_id").as("vec_b"))`. Pairs whose vec ids have
+    * no mapping row drop out (inner joins): an unmapped vector names no
+    * document to dedup. Orientation normalization and survivor gating
+    * happen inside curate. Both joins are equi on vec id — the pair side
+    * is the dup-involved sliver, so at scale this broadcasts or shuffles
+    * the small side, never the corpus.
+    */
+  def embeddingDocPairs(pairs: DataFrame, vecToDoc: DataFrame): DataFrame = {
+    val m = vecToDoc.select(col("vec_id"), col("doc_id"))
+    pairs.select(col("vec_a"), col("vec_b"))
+      .join(m.withColumnsRenamed(Map("vec_id" -> "vec_a", "doc_id" -> "doc_a")), Seq("vec_a"))
+      .join(m.withColumnsRenamed(Map("vec_id" -> "vec_b", "doc_id" -> "doc_b")), Seq("vec_b"))
+      .select(col("doc_a"), col("doc_b"))
+  }
+
   // ---------------------------------------------------------------- t35
   /** The pipeline's audit row as a registered, ORACLE-CHECKED query: the
     * flagship composition (quality → exact dedup → near-dup) at default

@@ -205,6 +205,38 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("multi-signal e2e: real t15 pairs catch a paraphrase the text LSH cannot see") {
+    // docs 1 and 2 are PARAPHRASES: same meaning, zero shared 3-shingles,
+    // so the text near-dup stage can never pair them (pinned below). Their
+    // embeddings are near-identical, so the REAL t15 pipeline pairs their
+    // vectors; embeddingDocPairs maps vec ids to doc ids and curate drops
+    // the larger paraphrase — the full embedding→curation contract.
+    import graft.queries.{Lsh, TextOps}
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and keeps running far away tonight"),
+      (2L, "a fast auburn canine leaps across some sleepy hound then sprints into that distance"),
+      (3L, "completely different content about spark engines and columnar execution at scale"))
+      .toDF("doc_id", "text")
+    val v = Array.tabulate(Lsh.Dim)(i => math.sin(i + 1.0).toFloat)
+    val v2 = v.clone(); v2(0) = v2(0) + 0.01f                      // cosine(v, v2) ≈ 1
+    val u = Array.tabulate(Lsh.Dim)(i =>                            // alternating signs:
+      (if (i % 2 == 0) 1.0f else -1.0f) * math.sin(i + 1.0).toFloat) // cosine(v, u) ≈ 0
+    val emb = Seq((101L, v), (102L, v2), (103L, u)).toDF("vec_id", "embedding")
+    val vecToDoc = Seq((101L, 1L), (102L, 2L), (103L, 3L)).toDF("vec_id", "doc_id")
+
+    // text-only curation keeps both paraphrases — the gap the extra signal closes
+    val (textOnly, _) = Curation.curate(spark, docs)
+    assert(textOnly.select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
+
+    val pairs = TextOps.t15CosineNearDupOf(emb) // the library's real embedding pass
+    val extras = Curation.embeddingDocPairs(pairs, vecToDoc)
+    assert(extras.collect().map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)),
+      "t15 should pair exactly the paraphrase vectors, mapped to their doc ids")
+    val (curated, audit) = Curation.curate(spark, docs, extraPairs = Some(extras))
+    assert(curated.select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+    assert(audit.collect().head.getAs[Long]("dropped_near_dup") === 1)
+  }
+
   test("curateHandle: interleaved runs each own their pin; close releases it") {
     // the legacy curate() pins one signals frame per SESSION, so a second
     // call mid-flight releases the first call's cache; handles own their
