@@ -1174,7 +1174,15 @@ object TextOps {
   /** Same clustering over an explicit node set — the reusable form
     * (Curation's transitive near-dup stage feeds its own survivor set).
     */
-  def dedupClustersOf(nodes: DataFrame, pairsSrc: DataFrame): DataFrame = {
+  def dedupClustersOf(nodes: DataFrame, pairsSrc: DataFrame): DataFrame =
+    presentClusters(propagateLabels(nodes, pairsSrc))
+
+  /** The converged min-label assignment over the EDGE-PARTICIPATING
+    * subset of `nodes` — the iterative core shared by [[dedupClustersOf]]
+    * and [[dedupClustersIncrement]]. Nodes without a pair never appear
+    * (their label is trivially their own id — callers coalesce).
+    */
+  private def propagateLabels(nodes: DataFrame, pairsSrc: DataFrame): DataFrame = {
     // The pair source is cut FIRST, then mirrored: both union branches
     // reference one materialized frame, so an expensive uncached source
     // (t34 feeds the whole t15 LSH join in here) runs once, not once per
@@ -1243,14 +1251,95 @@ object TextOps {
       throw new IllegalStateException(
         s"t13 label propagation did not converge after $MaxIters iterations — " +
           "component diameter exceeds the budget; raise MaxIters")
-
-    // converged ⇒ cluster = min doc_id of the component, so the canonical
-    // survivor is exactly the doc whose id equals the label
     labels
+  }
+
+  /** Presentation over a converged (doc_id, cluster) assignment:
+    * converged ⇒ cluster = min doc_id of the component, so the canonical
+    * survivor is exactly the doc whose id equals the label. Public so an
+    * incrementally-maintained assignment presents identically to a full
+    * recluster (spec-pinned).
+    */
+  def presentClusters(assignment: DataFrame): DataFrame =
+    assignment
       .withColumn("is_canonical", col("doc_id") === col("cluster"))
       .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy(col("cluster"))))
       .filter(col("cluster_size") > 1) // singleton docs are not duplicates
       .orderBy(col("cluster"), col("doc_id"))
+
+  /** FULL label assignment over `nodes` (singletons as self-labels) — the
+    * state [[dedupClustersIncrement]] maintains across batches.
+    */
+  def clusterAssignmentOf(nodes: DataFrame, pairsSrc: DataFrame): DataFrame =
+    nodes.select(col("doc_id"))
+      .join(propagateLabels(nodes, pairsSrc)
+        .withColumnRenamed("cluster", "lab"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lab"), col("doc_id")).as("cluster"))
+
+  /** The increment's CONTRACTED graph: every prior connected component
+    * collapses to its label (a super-node), so the propagation input is
+    * the increment's edge neighborhood — new doc ids plus the labels of
+    * prior components the new pairs touch — never the prior corpus.
+    * Exposed for the spec that pins exactly that bound.
+    */
+  private[graft] def contractedGraph(prior: DataFrame, newNodes: DataFrame,
+                                     incPairs: DataFrame): (DataFrame, DataFrame) = {
+    val pa = prior.select(col("doc_id"), col("cluster"))
+    val repped = cutLineage(incPairs
+      .join(pa.withColumnsRenamed(Map("doc_id" -> "doc_a", "cluster" -> "rep_a")),
+        Seq("doc_a"), "left")
+      .join(pa.withColumnsRenamed(Map("doc_id" -> "doc_b", "cluster" -> "rep_b")),
+        Seq("doc_b"), "left")
+      .select(coalesce(col("rep_a"), col("doc_a")).as("doc_a"),
+        coalesce(col("rep_b"), col("doc_b")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b")), eager = true)
+    val touched = repped.select(col("doc_a").as("doc_id"))
+      .unionByName(repped.select(col("doc_b").as("doc_id")))
+      .unionByName(newNodes.select(col("doc_id")))
+      .distinct()
+    (touched, repped)
+  }
+
+  /** Batch-increment cluster maintenance — the ETL's incremental posture
+    * applied to dedup state (cf. the reference's checkpointed sync,
+    * etl_sync.py:356-385): new documents join existing clusters WITHOUT
+    * re-propagating the full corpus.
+    *
+    * `prior` is the full (doc_id, cluster) assignment of the existing
+    * corpus ([[clusterAssignmentOf]] output, or the previous increment's
+    * return). `incPairs` is every candidate pair with at least one
+    * endpoint in the increment — the increment's edge neighborhood (for
+    * deterministic LSH sources, pairs between two prior docs already
+    * existed in the prior assignment).
+    *
+    * Correctness: a prior component is connected, its label is its min
+    * id, and new edges can only merge whole components — so contracting
+    * each component to its label (and each new doc to itself), running
+    * the SAME min-label propagation on that contracted graph, and
+    * composing the relabeling (`final(x) = merged(prior(x))`) yields
+    * exactly the labels of a full recluster of the union; the min over a
+    * merged component of {component mins, new ids} is the union
+    * component's global min. Spec pins increment(A, then B) ==
+    * full(A ∪ B) including a new doc bridging two prior clusters and
+    * taking over as canonical.
+    *
+    * Scale shape: propagation shuffles only the contracted neighborhood
+    * (super-nodes + new docs); the prior corpus is touched exactly once,
+    * by the final label-composition join — one map-side-joinable pass,
+    * no iteration over it.
+    */
+  def dedupClustersIncrement(prior: DataFrame, newNodes: DataFrame,
+                             incPairs: DataFrame): DataFrame = {
+    val (touched, repped) = contractedGraph(prior, newNodes, incPairs)
+    val merged = propagateLabels(touched, repped)
+      .select(col("doc_id").as("rep"), col("cluster").as("merged"))
+    val oldFinal = prior.select(col("doc_id"), col("cluster"))
+      .join(merged, col("cluster") === col("rep"), "left")
+      .select(col("doc_id"), coalesce(col("merged"), col("cluster")).as("cluster"))
+    val newFinal = newNodes.select(col("doc_id"))
+      .join(merged, col("doc_id") === col("rep"), "left")
+      .select(col("doc_id"), coalesce(col("merged"), col("doc_id")).as("cluster"))
+    oldFinal.unionByName(newFinal)
   }
 
   def t13DedupClusters(s: SparkSession, dir: String): DataFrame =

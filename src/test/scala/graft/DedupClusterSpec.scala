@@ -81,6 +81,42 @@ class DedupClusterSpec extends SparkTestBase {
     assert(out.count(_.getAs[Boolean]("is_canonical")) === 1)
   }
 
+  test("incremental clustering: increment(A, then B) == full(A ∪ B), incl. merges and canonical takeover") {
+    import graft.queries.TextOps
+    // corpus A: cluster {1,2}, cluster {5,6}, singletons 9, 11
+    val nodesA = Seq(1L, 2L, 5L, 6L, 9L, 11L).toDF("doc_id")
+    val pairsA = Seq((1L, 2L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val assignA = TextOps.clusterAssignmentOf(nodesA, pairsA)
+    // increment B: doc 0 BRIDGES both prior clusters (and, with the
+    // smallest id, takes over as canonical); doc 7 pulls the prior
+    // singleton 9 into a new pair; doc 8 stays a singleton
+    val nodesB = Seq(0L, 7L, 8L).toDF("doc_id")
+    val pairsB = Seq((0L, 2L), (0L, 6L), (7L, 9L)).toDF("doc_a", "doc_b")
+
+    def asMap(df: DataFrame) =
+      df.select("doc_id", "cluster").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val inc = TextOps.dedupClustersIncrement(assignA, nodesB, pairsB)
+    val full = TextOps.clusterAssignmentOf(
+      nodesA.unionByName(nodesB), pairsA.unionByName(pairsB))
+    assert(asMap(inc) === asMap(full))
+    assert(asMap(inc) === Map(
+      0L -> 0L, 1L -> 0L, 2L -> 0L, 5L -> 0L, 6L -> 0L, // merged, new canonical 0
+      7L -> 7L, 9L -> 7L,                               // prior singleton joins
+      8L -> 8L, 11L -> 11L))                            // singletons stay self
+    // and the presentation of the maintained state matches a full recluster
+    def rows(df: DataFrame) = df.collect().map(_.toSeq).toSeq
+    assert(rows(TextOps.presentClusters(inc)) ===
+      rows(TextOps.dedupClustersOf(nodesA.unionByName(nodesB), pairsA.unionByName(pairsB))))
+
+    // the propagation input is the increment's edge NEIGHBORHOOD: new ids
+    // plus the LABELS of touched prior components — the untouched prior
+    // cluster member 11 (and non-label members 2, 6) never enter it
+    val (touched, repped) = TextOps.contractedGraph(assignA, nodesB, pairsB)
+    assert(touched.collect().map(_.getLong(0)).toSet === Set(0L, 1L, 5L, 7L, 8L, 9L))
+    assert(repped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((0L, 1L), (0L, 5L), (7L, 9L)))
+  }
+
   test("t34 embedding clusters: consistent with t15 pairs, transitive, canonical = min id") {
     import graft.queries.TextOps
     val pairs = TextOps.t15CosineNearDup(spark, sf())
