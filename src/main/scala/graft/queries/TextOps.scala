@@ -1326,7 +1326,10 @@ object TextOps {
     * Scale shape: propagation shuffles only the contracted neighborhood
     * (super-nodes + new docs); the prior corpus is touched exactly once,
     * by the final label-composition join — one map-side-joinable pass,
-    * no iteration over it.
+    * no iteration over it. `prior` is referenced three times (both pair
+    * endpoints + the composition), so MATERIALIZE the state between
+    * batches — in production it is a warehouse table per increment
+    * (exactly the ETL's checkpoint posture), never a chained lazy plan.
     */
   def dedupClustersIncrement(prior: DataFrame, newNodes: DataFrame,
                              incPairs: DataFrame): DataFrame = {
