@@ -117,6 +117,41 @@ class DedupClusterSpec extends SparkTestBase {
       Set((0L, 1L), (0L, 5L), (7L, 9L)))
   }
 
+  test("incremental clustering: late old-old pairs, empty increments, and chained batches") {
+    import graft.queries.TextOps
+    def asMap(df: DataFrame) =
+      df.select("doc_id", "cluster").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val nodesA = Seq(1L, 2L, 5L, 6L).toDF("doc_id")
+    val pairsA = Seq((1L, 2L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val assignA = TextOps.clusterAssignmentOf(nodesA, pairsA)
+
+    // a LATE pair between two prior docs (no new nodes at all) merges
+    // their clusters through the contracted super-nodes
+    val lateMerge = TextOps.dedupClustersIncrement(
+      assignA, Seq.empty[Long].toDF("doc_id"), Seq((2L, 6L)).toDF("doc_a", "doc_b"))
+    assert(asMap(lateMerge) === Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L))
+
+    // an empty increment is the identity
+    val noop = TextOps.dedupClustersIncrement(
+      assignA, Seq.empty[Long].toDF("doc_id"),
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"))
+    assert(asMap(noop) === asMap(assignA))
+
+    // chained: (A +B) +C == full(A ∪ B ∪ C); state materialized between
+    // batches per the docstring contract
+    val nodesB = Seq(10L).toDF("doc_id")
+    val pairsB = Seq((10L, 2L)).toDF("doc_a", "doc_b")
+    val afterB = TextOps.dedupClustersIncrement(assignA, nodesB, pairsB).localCheckpoint()
+    val nodesC = Seq(0L, 20L).toDF("doc_id")
+    val pairsC = Seq((0L, 10L), (20L, 5L)).toDF("doc_a", "doc_b")
+    val afterC = TextOps.dedupClustersIncrement(afterB, nodesC, pairsC)
+    val full = TextOps.clusterAssignmentOf(
+      nodesA.unionByName(nodesB).unionByName(nodesC),
+      pairsA.unionByName(pairsB).unionByName(pairsC))
+    assert(asMap(afterC) === asMap(full))
+    assert(asMap(afterC)(20L) === 5L && asMap(afterC)(0L) === 0L && asMap(afterC)(2L) === 0L)
+  }
+
   test("t34 embedding clusters: consistent with t15 pairs, transitive, canonical = min id") {
     import graft.queries.TextOps
     val pairs = TextOps.t15CosineNearDup(spark, sf())
