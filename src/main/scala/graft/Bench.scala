@@ -28,8 +28,9 @@ object Bench {
     // centroid table once here so t14 measures the probe path (the way any
     // vector store builds its index before serving).
     // ...at the DIALED k — otherwise a dialed run would warm the default
-    // table and t14's first measured pass would absorb the refit
-    try { graft.queries.IvfModel.ensure(spark, sfDir, k = graft.queries.TextOps.DialIvfK) }
+    // table and t14's first measured pass would absorb the refit.
+    // ensureLists subsumes ensure (t14's centroids + t36's lists).
+    try { graft.queries.IvfModel.ensureLists(spark, sfDir, k = graft.queries.TextOps.DialIvfK) }
     catch { case _: Throwable => () }
     // ...and the t33 rarity vocab, same reasoning: scoring pipelines
     // materialize their vocab before serving

@@ -252,7 +252,13 @@ case class Warehouse(spark: SparkSession, dir: String) {
       .getOrElse(new Path(dir, name))
 
   private def hasParquet(p: Path): Boolean =
-    fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
+    fs.exists(p) && fs.listStatus(p).exists { st =>
+      st.getPath.getName.endsWith(".parquet") ||
+        // Hive-layout versioned tables (rewrite(..., partitionBy)): data
+        // files live one level down, under col=value dirs
+        (st.isDirectory && st.getPath.getName.contains("=") &&
+          fs.listStatus(st.getPath).exists(_.getPath.getName.endsWith(".parquet")))
+    }
 
   def read(name: String, schema: StructType): DataFrame = {
     val p = resolve(name)
@@ -286,13 +292,16 @@ case class Warehouse(spark: SparkSession, dir: String) {
     * lineage reads the table it replaces (periodos, checkpoints) never
     * overwrites what it is still reading.
     */
-  def rewrite(name: String, df: DataFrame): Unit = {
+  def rewrite(name: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
     // what readers resolved BEFORE this rewrite (pointer, crash-recovered
     // version, or the legacy flat dir) — the one directory GC must keep
     val prevLive = resolve(name)
     val next = listVersions(name).lastOption.map(_._1).getOrElse(0L) + 1
     val vname = versionName(name, next)
-    df.write.mode("overwrite").parquet(path(vname))
+    // partitionBy gives a versioned table the Hive layout (col=value dirs
+    // inside the version dir) so partition-pruned reads work under the
+    // same pointer-flip commit — the IVF inverted-list table's shape
+    df.write.mode("overwrite").partitionBy(partitionBy: _*).parquet(path(vname))
 
     // commit: tmp pointer + rename. Rename is atomic on local FS and HDFS;
     // between delete and rename there is no pointer, and resolve() then

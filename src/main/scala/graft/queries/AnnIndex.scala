@@ -140,7 +140,7 @@ private[queries] object StampedTable {
     */
   def ensure(wh: Warehouse, table: String,
              schema: org.apache.spark.sql.types.StructType,
-             stamp: String)(fit: => DataFrame): Unit = synchronized {
+             stamp: String, partitionBy: Seq[String] = Nil)(fit: => DataFrame): Unit = synchronized {
     val key = s"${wh.dir}/$table"
     if (verified.get(key).contains(stamp)) return
     val current = wh.read(table, schema)
@@ -152,7 +152,7 @@ private[queries] object StampedTable {
       return // serve the existing generation; do not memoize, do not poison
     }
     if (!current.contains(stamp))
-      wh.rewrite(table, fit.withColumn("corpus_stamp", lit(stamp)))
+      wh.rewrite(table, fit.withColumn("corpus_stamp", lit(stamp)), partitionBy)
     verified.put(key, stamp)
   }
 }
@@ -329,6 +329,67 @@ object IvfModel {
     */
   def centroids(s: SparkSession, dir: String): DataFrame =
     warehouseFor(s, dir).read(TableName, CentroidSchema).select(col("cid"), col("cvec"))
+
+  // ------------------------------------------------------ inverted lists
+  /** The IVF INVERTED LISTS as a real table: every corpus vector stored
+    * under its assigned cell, partitioned BY the cell — `cluster` is a
+    * Hive partition column, so a probe that visits nProbe of K cells
+    * reads nProbe/K of the corpus from disk instead of scanning all of
+    * it and filtering. This is the 100 TB serving shape (t14 computes
+    * assignment on the fly per query batch — right for one-off queries;
+    * a serving deployment amortizes the assignment ONCE into storage).
+    * Assignment uses the same map-side argmin expression t14 runs
+    * (spec-pinned identical outputs), stamped like every fitted artifact:
+    * corpus content + k + the centroid stamp inputs, so a refit of the
+    * quantizer re-materializes the lists.
+    */
+  val ListsTable = "ann_lists"
+
+  val ListsSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("emb", ArrayType(DoubleType)),
+      StructField("corpus_stamp", StringType),
+      StructField("cluster", IntegerType)))
+  }
+
+  /** Map-side argmin assignment of `e` (vec_id, emb) to centroid cells —
+    * the SAME shape as t14's: one broadcast array row, transform +
+    * array_min per row, zero expansion, struct(dist, cid) tie-break.
+    */
+  private[queries] def assignClusters(e: DataFrame, cents: DataFrame): DataFrame = {
+    val centArr = cents.agg(sort_array(collect_list(struct(col("cid"), col("cvec")))).as("cents"))
+    e.crossJoin(broadcast(centArr))
+      .select(col("vec_id"), col("emb"),
+        array_min(transform(col("cents"), c =>
+          struct(
+            aggregate(zip_with(col("emb"), c.getField("cvec"), (x, y) => (x - y) * (x - y)),
+              lit(0.0), (acc, x) => acc + x).as("dist"),
+            c.getField("cid").as("cid")))).getField("cid").as("cluster"))
+  }
+
+  /** Fit-and-materialize the inverted lists once per (corpus, k) — same
+    * staleness protocol as [[ensure]] (which it runs first: lists always
+    * assign against the CURRENT centroid generation).
+    */
+  def ensureLists(s: SparkSession, dir: String,
+                  fitSampleCap: Long = FitSampleCap, k: Int = K): Unit = {
+    ensure(s, dir, fitSampleCap, k)
+    val wh = warehouseFor(s, dir)
+    val stamp =
+      s"lists\n$dir\ncap=$fitSampleCap\nk=$k\n${Tables.contentStamp(s, s"$dir/embeddings.parquet")}"
+    StampedTable.ensure(wh, ListsTable, ListsSchema, stamp, partitionBy = Seq("cluster")) {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), V.toDouble(col("embedding")).as("emb"))
+      assignClusters(e, centroids(s, dir))
+    }
+  }
+
+  /** The partitioned inverted-list table (vec_id, emb, cluster). */
+  def lists(s: SparkSession, dir: String): DataFrame =
+    warehouseFor(s, dir).read(ListsTable, ListsSchema)
+      .select(col("vec_id"), col("emb"), col("cluster"))
 
   /** The live centroid directory for the DuckDB oracle. Oracle SQL is
     * generated without a Spark session, and DuckDB is a local single-node

@@ -733,6 +733,43 @@ object TextOps {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  // ---------------------------------------------------------------- t36
+  /** IVF probe over the MATERIALIZED inverted lists ([[IvfModel.ensureLists]]):
+    * identical results to t14 (same centroids, same argmin, same probe
+    * selection — the oracle runs t14's SQL against it), but the corpus
+    * side reads the `cluster`-PARTITIONED list table, so the probe join
+    * prunes to the probed cells at the SCAN — nProbe/K of the corpus off
+    * disk, the serving shape at 100 TB (t14's compute-on-read is right
+    * for one-off batches; a vector store amortizes assignment into
+    * storage once). Partition pruning is plan-asserted in AnnSpec.
+    */
+  def t36AnnIvfLists(s: SparkSession, dir: String,
+                     k: Int = IvfModel.K, nProbe: Int = IvfModel.NProbe): DataFrame = {
+    IvfModel.ensureLists(s, dir, k = k)
+    val lists = IvfModel.lists(s, dir)
+    val centArr = IvfModel.centroids(s, dir)
+      .agg(sort_array(collect_list(struct(col("cid"), col("cvec")))).as("cents"))
+    def scored = transform(col("cents"), c =>
+      struct(
+        aggregate(zip_with(col("emb"), c.getField("cvec"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x).as("dist"),
+        c.getField("cid").as("cid")))
+    val probes = lists.filter(col("vec_id") < 10)
+      .crossJoin(broadcast(centArr))
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        explode(slice(array_sort(scored), 1, nProbe)
+          .getField("cid")).as("cluster"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    lists.join(broadcast(probes), Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("cluster"),
+        R.halfUp(V.cosine(col("q_emb"), col("emb")), 6).as("cosine"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= 5)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** The centroid path derives from the corpus dir EXPLICITLY — the caller
     * (Verify, via [[SparkEntry.oracleSqlFor]]) threads the dir it ran the
     * queries against, rather than routing it through JVM-global state
@@ -1386,6 +1423,8 @@ object TextOps {
     "t13_dedup_clusters"  -> (t13DedupClusters _),
     "t14_ann_ivf"         -> ((s: SparkSession, d: String) =>
       t14AnnIvf(s, d, DialIvfK, DialIvfNProbe)),
+    "t36_ann_ivf_lists"   -> ((s: SparkSession, d: String) =>
+      t36AnnIvfLists(s, d, DialIvfK, DialIvfNProbe)),
     "t15_cosine_near_dup" -> ((s: SparkSession, d: String) =>
       cosineCandidatePairs(s, d, DialBits, DialRadius.getOrElse(PairRadius), DialEmbCap)),
     "t16_token_bpe"       -> (t16TokenBpe _),
@@ -1420,6 +1459,11 @@ object TextOps {
     "t12_ann_lsh"         -> t12Sql,
     "t13_dedup_clusters"  -> t13Sql,
     "t14_ann_ivf"         -> t14Sql(dir),
+    // t36 is result-identical to t14 by construction (same centroids,
+    // argmin, probes — only the storage layout differs), so the oracle
+    // replays the same SQL; a hash mismatch here means the materialized
+    // assignment drifted from the computed one
+    "t36_ann_ivf_lists"   -> t14Sql(dir),
     "t15_cosine_near_dup" -> t15Sql,
     "t16_token_bpe"       -> t16Sql,
     "t34_embed_dedup_clusters" -> t34Sql,

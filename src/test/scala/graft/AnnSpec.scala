@@ -301,6 +301,66 @@ class AnnSpec extends SparkTestBase {
       "repeat ensure re-read the stamp table — per-call query cost regressed")
   }
 
+  test("t36 inverted lists: result-identical to t14, scan prunes to probed partitions") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id", "cluster", "cosine", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3), r.getInt(4))).toSet
+    // same centroids, same argmin, same probes — only storage differs
+    assert(rows(TextOps.t36AnnIvfLists(spark, sf())) === rows(TextOps.t14AnnIvf(spark, sf())))
+
+    // the corpus-side scan must read the cluster-partitioned list table
+    // WITH partition filters (dynamic pruning from the broadcast probe
+    // side) — the difference between reading nProbe/K of the corpus and
+    // scanning all of it at 100 TB
+    // sparkPlan, not executedPlan: AdaptiveSparkPlanExec hides its
+    // finalized subtree from collect(), and the DynamicPruningExpression
+    // is planted by the optimizer before execution anyway
+    val scans = TextOps.t36AnnIvfLists(spark, sf()).queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains(IvfModel.ListsTable)) => s
+    }
+    assert(scans.nonEmpty, "t36 does not scan the materialized list table")
+    assert(scans.exists(_.partitionFilters.nonEmpty),
+      "list-table scan carries no partition filters — the probe join reads every cell")
+  }
+
+  test("ensureLists: stamped, repeat serves without rewrite, refits with the quantizer dial") {
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_ivf_lists_").toString
+    System.setProperty("graft.index.dir", tmpRoot)
+    try {
+      IvfModel.resetEnsureMemo()
+      IvfModel.ensureLists(spark, sf())
+      val wh = IvfModel.warehouseFor(spark, sf())
+      def versions = new java.io.File(wh.dir).listFiles()
+        .count(_.getName.startsWith(s"${IvfModel.ListsTable}.__v"))
+      val v1 = versions
+      assert(v1 >= 1)
+      // every corpus vector is in exactly one cell; cells match t14's
+      // assignment universe (0 until K)
+      val lists = IvfModel.lists(spark, sf())
+      val n = graft.core.Tables.embeddings(spark, sf()).count()
+      assert(lists.count() === n)
+      assert(lists.select("vec_id").distinct().count() === n)
+      assert(lists.select("cluster").distinct().count() <= IvfModel.K)
+      // repeat ensure: served from the stamp, no rewrite
+      IvfModel.resetEnsureMemo()
+      IvfModel.ensureLists(spark, sf())
+      assert(versions === v1, "unchanged corpus re-materialized the lists")
+      // a dialed k refits BOTH artifacts (lists stamp includes k)
+      IvfModel.ensureLists(spark, sf(), k = 16)
+      assert(versions === v1 + 1)
+      assert(IvfModel.lists(spark, sf()).select("cluster").distinct().count() <= 16)
+    } finally {
+      System.clearProperty("graft.index.dir")
+      IvfModel.resetEnsureMemo()
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(tmpRoot))
+    }
+  }
+
   test("t14 (k, nProbe) dial: a non-default k refits the stamped table, repeat serves, recall sane") {
     // K is part of the centroid stamp: a dialed ensure over an existing
     // warehouse must REFIT (serving 32 stale centroids to a k=16 caller
