@@ -152,6 +152,34 @@ class DedupClusterSpec extends SparkTestBase {
     assert(asMap(afterC)(20L) === 5L && asMap(afterC)(0L) === 0L && asMap(afterC)(2L) === 0L)
   }
 
+  test("ClusterState: persisted seed → advance equals a full recluster; crash-safe generations") {
+    import graft.pipelines.ClusterState
+    import graft.queries.TextOps
+    val wh = graft.etl.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft_cstate_").toString)
+    val nodesA = Seq(1L, 2L, 5L, 6L, 9L).toDF("doc_id")
+    val pairsA = Seq((1L, 2L), (5L, 6L)).toDF("doc_a", "doc_b")
+    ClusterState.seed(wh, nodesA, pairsA)
+    // advance by a batch that bridges the two clusters and adds a singleton
+    val nodesB = Seq(0L, 8L).toDF("doc_id")
+    val pairsB = Seq((0L, 2L), (0L, 6L)).toDF("doc_a", "doc_b")
+    ClusterState.advance(wh, nodesB, pairsB)
+    def rows(df: DataFrame) = df.collect().map(_.toSeq).toSeq
+    assert(rows(ClusterState.clusters(wh)) ===
+      rows(TextOps.dedupClustersOf(nodesA.unionByName(nodesB), pairsA.unionByName(pairsB))))
+    // the state table is versioned: the pre-advance generation is still on
+    // disk inside the retention window (a crash mid-advance keeps serving it)
+    val fs = new org.apache.hadoop.fs.Path(wh.dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.globStatus(new org.apache.hadoop.fs.Path(
+      wh.dir, s"${ClusterState.TableName}.__v*")).length >= 2)
+    // an empty advance re-commits the same assignment (identity)
+    ClusterState.advance(wh, Seq.empty[Long].toDF("doc_id"),
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"))
+    assert(rows(ClusterState.clusters(wh)) ===
+      rows(TextOps.dedupClustersOf(nodesA.unionByName(nodesB), pairsA.unionByName(pairsB))))
+  }
+
   test("t34 embedding clusters: consistent with t15 pairs, transitive, canonical = min id") {
     import graft.queries.TextOps
     val pairs = TextOps.t15CosineNearDup(spark, sf())
