@@ -138,6 +138,73 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("incremental clustering equals a full recluster on random graphs and batch splits") {
+    import graft.queries.TextOps
+    // random graphs; a random id cutoff decides which nodes arrive in the
+    // increment, and every other old-old edge is "discovered late" (lands
+    // in the increment's pair set) — the contracted-component maintenance
+    // must agree with a full recluster of the union on ALL of it
+    val gen: Gen[(Long, List[(Long, Long)], Long)] = for {
+      n <- Gen.chooseNum(4, 28)
+      edges <- Gen.listOfN(22, for {
+        a <- Gen.chooseNum(0L, n.toLong - 1)
+        b <- Gen.chooseNum(0L, n.toLong - 1)
+      } yield (a, b))
+      cut <- Gen.chooseNum(1, n - 1)
+    } yield (n.toLong, edges.filter { case (a, b) => a != b }, cut.toLong)
+    def pairsDf(ps: Seq[(Long, Long)]) =
+      if (ps.isEmpty) Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+      else ps.toDF("doc_a", "doc_b")
+    samples(gen, 5).foreach { case (n, edges, cut) =>
+      val oldIds = (0L until cut)
+      val newIds = (cut until n)
+      val (oldOld, touching) = edges.partition { case (a, b) => a < cut && b < cut }
+      val (late, priorPairs) = oldOld.zipWithIndex.partition(_._2 % 2 == 1)
+      val incPairs = touching ++ late.map(_._1)
+      val prior = TextOps.clusterAssignmentOf(oldIds.toDF("doc_id"), pairsDf(priorPairs.map(_._1)))
+      val inc = TextOps.dedupClustersIncrement(prior, newIds.toDF("doc_id"), pairsDf(incPairs))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val full = TextOps.clusterAssignmentOf((0L until n).toDF("doc_id"), pairsDf(edges))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(inc === full, s"n=$n cut=$cut edges=$edges")
+    }
+  }
+
+  test("emb bucket cap: capped pairs are a subset; drops explained exactly by oversized endpoints") {
+    import graft.functions.{VectorOps => V}
+    import graft.queries.{Lsh, TextOps}
+    // vectors drawn from a small base pool so sign-code buckets genuinely
+    // collide and a cap of 2 bites; the guard must (a) never invent pairs,
+    // (b) emit no pair touching an oversized bucket, (c) drop ONLY pairs
+    // with at least one oversized endpoint
+    val vecGen: Gen[List[Float]] =
+      Gen.listOfN(Lsh.Dim, Gen.chooseNum(-100, 100).map(_ / 100.0f))
+    val gen: Gen[List[List[Float]]] = for {
+      bases <- Gen.listOfN(4, vecGen)
+      picks <- Gen.listOfN(12, Gen.chooseNum(0, 3))
+    } yield picks.map(bases(_))
+    samples(gen, 5).foreach { vs =>
+      val cap = 2
+      val emb = vs.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+        .toDF("vec_id", "embedding")
+      val buckets = emb.select(col("vec_id"),
+        Lsh.bucketOf(V.toDouble(col("embedding"))).as("bucket"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val sizes = buckets.values.groupBy(identity).view.mapValues(_.size).toMap
+      def pset(df: org.apache.spark.sql.DataFrame) =
+        df.select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val capped = pset(TextOps.t15CosineNearDupOf(emb, maxBucket = cap))
+      val uncapped = pset(TextOps.t15CosineNearDupOf(emb))
+      assert(capped.subsetOf(uncapped))
+      capped.foreach { case (a, b) =>
+        assert(sizes(buckets(a)) <= cap && sizes(buckets(b)) <= cap,
+          s"pair ($a,$b) survived with an oversized-bucket endpoint") }
+      (uncapped -- capped).foreach { case (a, b) =>
+        assert(sizes(buckets(a)) > cap || sizes(buckets(b)) > cap,
+          s"pair ($a,$b) was dropped though both endpoints are in-cap") }
+    }
+  }
+
   test("masksWithin(r, b) is exactly the codes of popcount <= r, for any dial") {
     import graft.queries.Lsh
     for (bits <- Seq(4, 6, 8, 11); radius <- 0 to math.min(bits, 4)) {
