@@ -1347,7 +1347,12 @@ object TextOps {
     * return). `incPairs` is every candidate pair with at least one
     * endpoint in the increment — the increment's edge neighborhood (for
     * deterministic LSH sources, pairs between two prior docs already
-    * existed in the prior assignment).
+    * existed in the prior assignment). Every pair endpoint must lie in
+    * `prior` ∪ `newNodes`: a foreign id would enter the contracted graph
+    * as a phantom super-node and BRIDGE components a full recluster
+    * (where non-node endpoints never connect anything) would keep apart —
+    * candidate generation over the actual corpus satisfies this by
+    * construction.
     *
     * Correctness: a prior component is connected, its label is its min
     * id, and new edges can only merge whole components — so contracting
