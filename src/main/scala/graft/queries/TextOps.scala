@@ -135,7 +135,7 @@ object TextOps {
   private val NumHashes = 16
   private val Bands = 4
   private val RowsPerBand = NumHashes / Bands
-  private val MaxBucket = 1000
+  private[graft] val MaxBucket = 1000
 
   /** The skew guard every banded self-join must pass through (t06 minhash,
     * t07 simhash, the Curation pipeline's near-dup stage): drop band
@@ -152,7 +152,7 @@ object TextOps {
         count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
       .filter(col("bucket_n") <= maxBucket)
       .drop("bucket_n")
-  private val MinJaccard = 0.5
+  private[graft] val MinJaccard = 0.5
   private val P = 2147483647L // MinHash family modulus (2^31 - 1)
   private val FpP = 1000000007L // rolling-fingerprint modulus
 
@@ -191,14 +191,20 @@ object TextOps {
   /** The LSH pipeline over an arbitrary (doc_id, text) frame — also the
     * spec hook for cap/skew behavior on synthetic corpora.
     */
-  def minhashPairsOf(docs: DataFrame, maxBucket: Int = MaxBucket): DataFrame = {
-    val sigs = shingledOf(docs)
+  /** One row per (doc_id, band) with the full 16-slot MinHash signature
+    * and the band's key — the frame every LSH consumer self-joins on, and
+    * the row set [[BandIndex]] persists so an ingest batch can probe the
+    * settled corpus's buckets without re-banding it.
+    */
+  private[graft] def bandedSigsOf(docs: DataFrame): DataFrame =
+    shingledOf(docs)
       .select(col("doc_id"), NH.minhashSignature(col("hs"), NumHashes).as("sig"))
-    val banded = sigs
       .select(col("doc_id"), col("sig"),
         posexplode(TF.bandKeys(col("sig"), Bands, RowsPerBand)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_key"))
-    val bounded = capBuckets(banded, maxBucket)
+
+  def minhashPairsOf(docs: DataFrame, maxBucket: Int = MaxBucket): DataFrame = {
+    val bounded = capBuckets(bandedSigsOf(docs), maxBucket)
     val a = bounded.select(col("band"), col("band_key"),
       col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val b = bounded.select(col("band"), col("band_key"),
@@ -1110,7 +1116,7 @@ object TextOps {
     * shares shingle/sig/pair CTEs, so a dial or rounding change can never
     * leave one of the two checking stale semantics.
     */
-  private def t15CandCtes: String =
+  private[graft] def t15CandCtes: String =
     s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
        |eb0 AS (SELECT vec_id, emb, ${Lsh.bucketSql("emb", DialBits)} AS bucket FROM e),
        |eb AS (
@@ -1352,7 +1358,22 @@ object TextOps {
     * as a phantom super-node and BRIDGE components a full recluster
     * (where non-node endpoints never connect anything) would keep apart —
     * candidate generation over the actual corpus satisfies this by
-    * construction.
+    * construction, and with `validateEndpoints` (the default) a mis-wired
+    * caller fails loudly instead: one anti-join pass over the pair
+    * endpoints (batch-sized probe side against the node set — a single
+    * non-iterated job, like the composition join) throws naming the
+    * foreign ids. Disable only when the pair feed is the library's own
+    * index probe, which satisfies the contract by construction.
+    *
+    * REPLAY-SAFE: `newNodes` already present in `prior` are dropped
+    * (anti-join) before contraction — a batch replayed after a crash
+    * (advance committed, orchestrator's batch record didn't — the exact
+    * window the reference's idempotent upsert covers) would otherwise
+    * emit each replayed doc_id TWICE (once via the prior side, once via
+    * the new side), inflating cluster_size downstream so prior singletons
+    * present as 2-member "clusters" and get wrongly dropped. A full
+    * replay is a no-op; its pairs degenerate to late old-old pairs whose
+    * merges are already in `prior` (spec-pinned).
     *
     * Correctness: a prior component is connected, its label is its min
     * id, and new edges can only merge whole components — so contracting
@@ -1374,14 +1395,32 @@ object TextOps {
     * (exactly the ETL's checkpoint posture), never a chained lazy plan.
     */
   def dedupClustersIncrement(prior: DataFrame, newNodes: DataFrame,
-                             incPairs: DataFrame): DataFrame = {
-    val (touched, repped) = contractedGraph(prior, newNodes, incPairs)
+                             incPairs: DataFrame,
+                             validateEndpoints: Boolean = true): DataFrame = {
+    if (validateEndpoints) {
+      val known = prior.select(col("doc_id"))
+        .unionByName(newNodes.select(col("doc_id")))
+      val foreign = incPairs
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .distinct()
+        .join(known, Seq("doc_id"), "left_anti")
+        .limit(5).collect().map(_.get(0))
+      if (foreign.nonEmpty)
+        throw new IllegalArgumentException(
+          s"incPairs name endpoints outside prior ∪ newNodes (e.g. ${foreign.mkString(", ")}) — " +
+            "a foreign id would contract to a phantom super-node and bridge components a " +
+            "full recluster keeps apart; fix the pair feed (or pre-filter the pairs)")
+    }
+    // replay guard: ids the prior assignment already governs are not new
+    val freshNodes = newNodes.select(col("doc_id"))
+      .join(prior.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val (touched, repped) = contractedGraph(prior, freshNodes, incPairs)
     val merged = propagateLabels(touched, repped)
       .select(col("doc_id").as("rep"), col("cluster").as("merged"))
     val oldFinal = prior.select(col("doc_id"), col("cluster"))
       .join(merged, col("cluster") === col("rep"), "left")
       .select(col("doc_id"), coalesce(col("merged"), col("cluster")).as("cluster"))
-    val newFinal = newNodes.select(col("doc_id"))
+    val newFinal = freshNodes
       .join(merged, col("doc_id") === col("rep"), "left")
       .select(col("doc_id"), coalesce(col("merged"), col("doc_id")).as("cluster"))
     oldFinal.unionByName(newFinal)

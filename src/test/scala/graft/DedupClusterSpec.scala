@@ -152,6 +152,59 @@ class DedupClusterSpec extends SparkTestBase {
     assert(asMap(afterC)(20L) === 5L && asMap(afterC)(0L) === 0L && asMap(afterC)(2L) === 0L)
   }
 
+  test("incremental clustering: a replayed batch is a no-op (newNodes overlapping prior)") {
+    import graft.queries.TextOps
+    def asMap(df: DataFrame) =
+      df.select("doc_id", "cluster").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val nodesA = Seq(1L, 2L, 5L, 6L, 9L).toDF("doc_id")
+    val pairsA = Seq((1L, 2L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val assignA = TextOps.clusterAssignmentOf(nodesA, pairsA)
+    val nodesB = Seq(0L, 8L).toDF("doc_id")
+    val pairsB = Seq((0L, 2L), (0L, 6L)).toDF("doc_a", "doc_b")
+    val afterB = TextOps.dedupClustersIncrement(assignA, nodesB, pairsB).localCheckpoint()
+
+    // the crash-replay scenario: advance committed, the orchestrator's
+    // batch record didn't — the SAME batch runs again against the
+    // advanced state. Every replayed doc_id must appear exactly once
+    // (pre-fix it appeared twice — once via the prior side, once via the
+    // new side — inflating cluster_size so singletons presented as
+    // 2-member clusters and got wrongly dropped as duplicates).
+    val replayed = TextOps.dedupClustersIncrement(afterB, nodesB, pairsB)
+    assert(replayed.groupBy("doc_id").count().filter(col("count") > 1).isEmpty,
+      "replayed batch emitted duplicate doc_id rows")
+    assert(asMap(replayed) === asMap(afterB))
+    // the singleton 8 presents as NO cluster, not a phantom 2-member one
+    val presented = TextOps.presentClusters(replayed.localCheckpoint())
+    assert(!presented.select("doc_id").collect().map(_.getLong(0)).contains(8L))
+
+    // partial overlap: one replayed node, one genuinely new — the new
+    // node lands, the replayed one stays governed by prior
+    val afterC = TextOps.dedupClustersIncrement(
+      afterB, Seq(8L, 30L).toDF("doc_id"), Seq((30L, 8L)).toDF("doc_a", "doc_b"))
+    assert(afterC.groupBy("doc_id").count().filter(col("count") > 1).isEmpty)
+    assert(asMap(afterC) === asMap(afterB) + (30L -> 8L))
+  }
+
+  test("incremental clustering: foreign pair endpoints fail loudly (and the guard can be waived)") {
+    import graft.queries.TextOps
+    val assignA = TextOps.clusterAssignmentOf(
+      Seq(1L, 2L).toDF("doc_id"), Seq((1L, 2L)).toDF("doc_a", "doc_b"))
+    // 99 is in neither prior nor newNodes: a phantom super-node that
+    // would silently bridge components — must throw at call time
+    val ex = intercept[IllegalArgumentException] {
+      TextOps.dedupClustersIncrement(assignA, Seq(3L).toDF("doc_id"),
+        Seq((3L, 99L)).toDF("doc_a", "doc_b"))
+    }
+    assert(ex.getMessage.contains("99"))
+    // the waived form is the library's own index-probed feed, which
+    // satisfies the contract by construction — same inputs minus the
+    // foreign pair must still work with the guard off
+    val ok = TextOps.dedupClustersIncrement(assignA, Seq(3L).toDF("doc_id"),
+      Seq((3L, 1L)).toDF("doc_a", "doc_b"), validateEndpoints = false)
+    assert(ok.select("doc_id", "cluster").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("ClusterState: persisted seed → advance equals a full recluster; crash-safe generations") {
     import graft.pipelines.ClusterState
     import graft.queries.TextOps
