@@ -252,13 +252,20 @@ case class Warehouse(spark: SparkSession, dir: String) {
       .getOrElse(new Path(dir, name))
 
   private def hasParquet(p: Path): Boolean =
-    fs.exists(p) && fs.listStatus(p).exists { st =>
-      st.getPath.getName.endsWith(".parquet") ||
-        // Hive-layout versioned tables (rewrite(..., partitionBy)): data
-        // files live one level down, under col=value dirs
-        (st.isDirectory && st.getPath.getName.contains("=") &&
-          fs.listStatus(st.getPath).exists(_.getPath.getName.endsWith(".parquet")))
-    }
+    fs.exists(p) && (
+      // every committed rewrite lands a _SUCCESS marker in the version
+      // dir — one existence probe answers "is there a committed write
+      // here" without listing anything. The per-entry probe below is the
+      // fallback for legacy flat/append dirs (no marker), where on an
+      // object store it costs up to one LIST per col=value subdirectory.
+      fs.exists(new Path(p, "_SUCCESS")) ||
+        fs.listStatus(p).exists { st =>
+          st.getPath.getName.endsWith(".parquet") ||
+            // Hive-layout versioned tables (rewrite(..., partitionBy)): data
+            // files live one level down, under col=value dirs
+            (st.isDirectory && st.getPath.getName.contains("=") &&
+              fs.listStatus(st.getPath).exists(_.getPath.getName.endsWith(".parquet")))
+        })
 
   def read(name: String, schema: StructType): DataFrame = {
     val p = resolve(name)
@@ -284,6 +291,24 @@ case class Warehouse(spark: SparkSession, dir: String) {
     */
   def readPartitioned(name: String): DataFrame =
     spark.read.parquet(path(name))
+
+  /** Append into the directory `name` currently RESOLVES to — for a
+    * versioned table, its live version dir — the grow-in-place path for
+    * append-only artifacts (IVF inverted lists, the LSH band index): a
+    * batch's rows land in their existing partition subdirectories without
+    * rewriting the settled corpus's files. NOT atomic like [[rewrite]]:
+    * a crash mid-append can leave a partial batch on disk, so callers
+    * MUST be replay-idempotent (both callers anti-join what is already
+    * there before appending — the reference ETL's idempotent-upsert
+    * posture). Concurrent readers of the live version see the batch's
+    * rows appear file-by-file; full snapshot isolation needs [[rewrite]].
+    * Note for [[graft.queries.StampedTable]]-managed tables: appended
+    * rows carry the APPEND-TIME stamp, so the table holds mixed stamps
+    * and a later plain ensure may spuriously re-materialize (safe — the
+    * rebuild is the fallback, never wrong data).
+    */
+  def appendLive(name: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit =
+    df.write.mode("append").partitionBy(partitionBy: _*).parquet(resolve(name).toString)
 
   /** Small control/dimension tables are rewritten atomically per run
     * (checkpoints, sync_log rollups, periodos after a transition): write a

@@ -1,10 +1,11 @@
 package graft.pipelines
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 import graft.etl.Warehouse
-import graft.queries.TextOps
+import graft.queries.{BandIndex, IvfModel, TextOps}
 
 /** PERSISTED dedup-cluster state — the reference's checkpoint posture
   * (etl_sync.py:356-385: sync state survives runs, each batch advances
@@ -56,4 +57,89 @@ object ClusterState {
     * canonical member + cluster_size, singletons dropped.
     */
   def clusters(wh: Warehouse): DataFrame = TextOps.presentClusters(read(wh))
+
+  // ------------------------------------------------- index-fed lifecycle
+  /** Full build of BOTH persisted artifacts — the cluster assignment AND
+    * the [[BandIndex]] the next batches will probe. Run once per corpus
+    * (or to reconcile after many increments); everything after is
+    * [[ingestBatch]].
+    */
+  def seedCorpus(wh: Warehouse, docs: DataFrame): Unit = {
+    BandIndex.seed(wh, docs)
+    seed(wh, docs.select(col("doc_id")), TextOps.minhashPairsOf(docs))
+  }
+
+  /** One ingest batch, fully incremental: the batch bands ONLY ITSELF,
+    * probes the persisted index for its candidate pairs (partition-pruned
+    * read — see [[BandIndex.incrementCandidatePairs]]), advances the
+    * cluster state through the contracted propagation, then appends its
+    * own bands to the index for the NEXT batch. Nothing in the loop
+    * re-shingles or re-bands the settled corpus; the only full passes
+    * left are one column-pruned read of the prior assignment (the
+    * composition join inside the increment) and the append's idempotency
+    * anti-join on the index's doc_id column.
+    *
+    * Replay-safe at every crash point: pairs are recomputed
+    * deterministically, a re-run advance is a no-op (the increment drops
+    * newNodes already in the prior assignment), and the index append
+    * anti-joins what already landed. `validateEndpoints = false` on the
+    * advance: this pair feed satisfies the endpoint contract by
+    * construction (every pair touches the batch or the indexed corpus,
+    * both governed by the state), so the guard's extra pass is skipped
+    * in the hot loop.
+    */
+  def ingestBatch(wh: Warehouse, batchDocs: DataFrame): Unit = {
+    val pairs = BandIndex.incrementCandidatePairs(wh, batchDocs)
+    wh.rewrite(TableName, TextOps.dedupClustersIncrement(
+      read(wh), batchDocs.select(col("doc_id")), pairs, validateEndpoints = false))
+    BandIndex.appendBatch(wh, batchDocs)
+  }
+
+  // ---------------------------------------------------------------- t37
+  /** The incremental path as a registered, ORACLE-CHECKED query: split
+    * the corpus deterministically (same md5-bucket arithmetic as t17 —
+    * low 50 buckets are the "settled" part A, the rest is the ingest
+    * batch B), seed state + band index on A, advance with B's
+    * INDEX-PROBED pairs, present the maintained state. The oracle is
+    * t13's full-recluster SQL over the WHOLE corpus — increment == full
+    * recluster IS the claim, proved here through the persisted warehouse
+    * and the driver's DuckDB hash-compare, not just in-memory specs.
+    *
+    * Each invocation re-seeds and re-advances (deterministic under the
+    * driver's repeat runs; the versioned rewrites GC themselves) — a
+    * production deployment seeds once and runs [[ingestBatch]] per batch.
+    * The band index IS stamp-guarded (static part-A content), so repeat
+    * runs probe the committed generation without re-materializing it.
+    * Cap caveat, documented not hidden: a band bucket crossing the skew
+    * cap only in the union would have fed part-A pairs the full
+    * recluster drops; at the verified scale factors no bucket is within
+    * 100× of the cap, and the reconciliation posture at 100 TB is a
+    * periodic [[seedCorpus]] (segment-merge style).
+    */
+  def t37ClusterIncrement(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.core.Tables.documents(s, dir)
+    val partA = docs.filter(TextOps.splitBucket(col("doc_id")) < 50)
+    val partB = docs.filter(TextOps.splitBucket(col("doc_id")) >= 50)
+    // own sub-warehouse: the shared per-corpus scratch holds the FULL-
+    // corpus artifacts (ann_*, and BandIndex.ensure's full index); t37's
+    // part-A index under the same table name would refit-ping-pong there
+    val wh = Warehouse(s, new java.io.File(
+      IvfModel.warehouseFor(s, dir).dir, "t37_increment").toString)
+    BandIndex.ensureFor(wh, partA,
+      s"bands-partA50\n$dir\n${graft.core.Tables.contentStamp(s, s"$dir/documents.parquet")}")
+    seed(wh, partA.select(col("doc_id")), TextOps.minhashPairsOf(partA))
+    ingestBatchNoAppend(wh, partB)
+    clusters(wh)
+  }
+
+  /** [[ingestBatch]] minus the index append — t37 must leave the index at
+    * exactly part A so every driver invocation replays the same probe
+    * (an appended index would double-count B in the union bucket caps on
+    * the next run).
+    */
+  private def ingestBatchNoAppend(wh: Warehouse, batchDocs: DataFrame): Unit = {
+    val pairs = BandIndex.incrementCandidatePairs(wh, batchDocs)
+    wh.rewrite(TableName, TextOps.dedupClustersIncrement(
+      read(wh), batchDocs.select(col("doc_id")), pairs, validateEndpoints = false))
+  }
 }

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.etl.Warehouse
+import graft.pipelines.ClusterState
+import graft.queries.{BandIndex, TextOps}
+
+/** The persisted LSH band index and the index-probed increment pair feed —
+  * the piece that makes [[ClusterState]]'s batch posture O(batch) end to
+  * end: equivalence against the full-corpus pipeline, the union-count
+  * skew cap, partition-pruned probes, and the replay-safe lifecycle.
+  */
+class BandIndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmpWh(): Warehouse =
+    Warehouse(spark, java.nio.file.Files.createTempDirectory("graft_bands_").toString)
+
+  private def pairSet(df: DataFrame): Set[(Long, Long, Double)] =
+    df.select("doc_a", "doc_b", "est_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  private val docsAll = graft.core.Tables.documents(spark, sf())
+  private val partA = docsAll.filter(TextOps.splitBucket(col("doc_id")) < 50)
+  private val partB = docsAll.filter(TextOps.splitBucket(col("doc_id")) >= 50)
+
+  test("index-probed increment pairs == full-corpus pairs restricted to the batch's neighborhood") {
+    val wh = tmpWh()
+    BandIndex.seed(wh, partA)
+    val inc = pairSet(BandIndex.incrementCandidatePairs(wh, partB))
+    val bIds = partB.select("doc_id").collect().map(_.getLong(0)).toSet
+    val full = pairSet(TextOps.minhashPairsOf(docsAll))
+      .filter { case (a, b, _) => bIds(a) || bIds(b) }
+    assert(inc === full)
+    assert(inc.nonEmpty, "split produced no cross/batch pairs — the assertion checked nothing")
+    // and nothing leaked from the settled corpus's own business: no pair
+    // with BOTH endpoints in part A
+    assert(inc.forall { case (a, b, _) => bIds(a) || bIds(b) })
+  }
+
+  test("the skew cap counts the UNION's bucket occupancy, not either side alone") {
+    // four identical docs share every band key: 2 settled + 2 in the batch
+    val text = "alpha beta gamma delta epsilon zeta"
+    val idx = BandIndex.bandedOf(Seq((1L, text), (2L, text)).toDF("doc_id", "text"))
+    val bat = BandIndex.bandedOf(Seq((3L, text), (4L, text)).toDF("doc_id", "text"))
+    // cap 4: union occupancy is exactly 4 — every batch-neighborhood pair
+    // survives, and matches the full pipeline at the same cap
+    val at4 = BandIndex.incrementPairsOf(idx, bat, maxBucket = 4)
+    val full4 = TextOps.minhashPairsOf(
+      Seq((1L, text), (2L, text), (3L, text), (4L, text)).toDF("doc_id", "text"), maxBucket = 4)
+    assert(pairSet(at4) ===
+      Set((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)).map { case (a, b) => (a, b, 1.0) })
+    // == the full pipeline at the same cap, minus the settled corpus's
+    // own (1,2) pair — not batch-neighborhood
+    assert(pairSet(at4) ===
+      pairSet(full4).filter { case (a, b, _) => a >= 3L || b >= 3L })
+    // cap 3: each side alone (2) is under the cap; the union (4) is over —
+    // the bucket must be excluded, exactly as a full recluster would
+    assert(pairSet(BandIndex.incrementPairsOf(idx, bat, maxBucket = 3)) === Set.empty)
+  }
+
+  test("the probe's index scan is partition-pruned (static bk_bucket filter)") {
+    val wh = tmpWh()
+    BandIndex.seed(wh, partA)
+    // probedSlice IS the plan that reads the table inside
+    // incrementCandidatePairs (the caller cuts it eagerly, so the pruned
+    // scan never appears in the returned pair plan); assert a SUBSET of
+    // buckets actually prunes the scan's partition list
+    val bb = BandIndex.bandedOf(partB)
+    val someBuckets = Array(0, 1, 2, 3)
+    val plan = BandIndex.probedSlice(BandIndex.banded(wh), bb, someBuckets)
+      .queryExecution.sparkPlan
+    val scans = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains(BandIndex.TableName)) => s
+    }
+    assert(scans.nonEmpty, "probe does not scan the persisted band index")
+    assert(scans.forall(_.partitionFilters.nonEmpty),
+      "index scan carries no partition filters — the probe reads every bk_bucket")
+    // the pruning is REAL: only the named buckets' files are read
+    val readFiles = scans.flatMap(_.selectedPartitions.toPartitionArray
+      .map(_.filePath.toString))
+    assert(readFiles.nonEmpty)
+    assert(readFiles.forall(p => someBuckets.exists(b => p.contains(s"bk_bucket=$b/"))),
+      s"scan read partitions outside the probe's bucket set: $readFiles")
+  }
+
+  test("seedCorpus + ingestBatch == full recluster; replayed batch is a no-op; append idempotent") {
+    val wh = tmpWh()
+    ClusterState.seedCorpus(wh, partA)
+    ClusterState.ingestBatch(wh, partB)
+    def rows(df: DataFrame) = df.collect().map(_.toSeq).toSeq
+    val expect = rows(TextOps.dedupClustersOf(
+      docsAll.select(col("doc_id")).distinct(), TextOps.minhashPairsOf(docsAll)))
+    assert(rows(ClusterState.clusters(wh)) === expect)
+    // the index now holds the whole corpus's bands, once each
+    val idxRows = BandIndex.banded(wh).count()
+    assert(BandIndex.banded(wh).select("doc_id", "band").distinct().count() === idxRows)
+    assert(BandIndex.banded(wh).select("doc_id").distinct().count() === docsAll.count())
+    // a crashed orchestrator replays the whole batch: state unchanged,
+    // no duplicate index rows, presentation identical
+    ClusterState.ingestBatch(wh, partB)
+    assert(rows(ClusterState.clusters(wh)) === expect)
+    assert(BandIndex.banded(wh).count() === idxRows)
+  }
+
+  test("ensureFor is stamped: repeat calls serve the committed generation without a rewrite") {
+    val wh = tmpWh()
+    def versions = Option(new java.io.File(wh.dir).listFiles()).getOrElse(Array.empty)
+      .count(_.getName.startsWith(s"${BandIndex.TableName}.__v"))
+    BandIndex.ensureFor(wh, partA, "stamp-a")
+    val v1 = versions
+    assert(v1 === 1)
+    BandIndex.ensureFor(wh, partA, "stamp-a")
+    assert(versions === v1, "unchanged stamp re-materialized the index")
+    BandIndex.ensureFor(wh, partA, "stamp-b")
+    assert(versions === v1 + 1, "a changed stamp must re-materialize")
+  }
+}
