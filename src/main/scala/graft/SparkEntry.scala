@@ -21,7 +21,9 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.all ++ TextOps.all ++ QualityOps.all +
       ("q28_sessionize" -> (graft.streaming.Sessionize.query _)) +
-      ("t35_curation_audit" -> (graft.pipelines.Curation.t35CurationAudit _))
+      ("t35_curation_audit" -> (graft.pipelines.Curation.t35CurationAudit _)) +
+      ("t37_cluster_increment" -> (graft.pipelines.ClusterState.t37ClusterIncrement _)) +
+      ("t38_curation_multisignal" -> (graft.pipelines.Curation.t38CurationMultiSignal _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for hash-seed-dependent ops (MinHash/
@@ -38,5 +40,11 @@ object SparkEntry {
   def oracleSqlFor(dir: String): Map[String, String] =
     Relational.oracles ++ TextOps.oraclesFor(dir) ++ QualityOps.oracles +
       ("q28_sessionize" -> graft.streaming.Sessionize.oracleSql) +
-      ("t35_curation_audit" -> graft.pipelines.Curation.t35Sql)
+      ("t35_curation_audit" -> graft.pipelines.Curation.t35Sql) +
+      // t37's claim IS "increment == full recluster": the oracle replays
+      // t13's full transitive closure over the WHOLE corpus, while the
+      // Spark side goes seed(part A) → index-probed advance(part B)
+      // through the persisted warehouse
+      ("t37_cluster_increment" -> TextOps.t13Sql) +
+      ("t38_curation_multisignal" -> graft.pipelines.Curation.t38Sql)
 }

@@ -287,4 +287,109 @@ object Curation {
        |  count(CASE WHEN stage = 'kept' THEN 1 END) AS curated_docs
        |FROM tagged""".stripMargin
   }
+
+  // ---------------------------------------------------------------- t38
+  /** MULTI-SIGNAL curation with TRANSITIVE clustering as a registered,
+    * oracle-checked query — the two flags t35's default pipeline leaves
+    * off, exercised together end-to-end: `useClusters = true` (near-dup
+    * candidates become connected components, every non-canonical member
+    * drops) and `extraPairs` = the t15 embedding-cosine pairs mapped onto
+    * doc ids ([[embeddingDocPairs]]; on this corpus embedding i IS
+    * document i's vector, so the mapping frame is the identity over
+    * `embeddings`). A paraphrase chain the text LSH can't see drops in
+    * the same audited decision as the text near-dups, and mixed
+    * text/embedding chains collapse transitively. Shares the per-(corpus,
+    * dial) cosine pair cache with t15/t34, and the legacy [[curate]] pin
+    * protocol with t35 (released by the Verify/Bench post-query hook).
+    */
+  def t38CurationMultiSignal(s: SparkSession, dir: String): DataFrame = {
+    import graft.queries.{TextOps => T}
+    val docs = graft.core.Tables.documents(s, dir)
+    val vecPairs = T.cosineCandidatePairs(s, dir,
+      T.DialBits, T.DialRadius.getOrElse(T.PairRadius), T.DialEmbCap)
+    val vecToDoc = graft.core.Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("vec_id").as("doc_id"))
+    val extras = embeddingDocPairs(vecPairs.select(col("vec_a"), col("vec_b")), vecToDoc)
+    curate(s, docs, useClusters = true, extraPairs = Some(extras))._2
+  }
+
+  /** DuckDB replay of the multi-signal clustered pipeline: t35's staging
+    * CTEs, PLUS the t15 candidate chain ([[graft.queries.TextOps
+    * .t15CandCtes]] — same dialed bucket codes, skew cap and rounded
+    * cosines both engines run), the vec→doc mapping, orientation
+    * normalization and survivor gating exactly as [[curateHandle]]
+    * applies them, then the t34-style recursive transitive closure over
+    * the UNION of both edge sets — non-canonical component members are
+    * the drop set. Same five audit counters.
+    */
+  lazy val t38Sql: String = {
+    val t = Thresholds()
+    val T = graft.queries.TextOps
+    s"""WITH RECURSIVE ${T.shingleCtes},
+       |q AS (
+       |  SELECT d.doc_id,
+       |    len(t.toks) AS n_tokens,
+       |    CASE WHEN len(t.toks) > 0
+       |         THEN len(list_filter(t.toks, x -> x IN ('the', 'a'))) * 1.0 / len(t.toks)
+       |         ELSE 1.0 END AS stop_ratio,
+       |    CASE WHEN len(t.toks) >= 3
+       |         THEN 1.0 - coalesce(len(h.hs), 0) * 1.0 / (len(t.toks) - 2)
+       |         ELSE 0.0 END AS rep_ratio,
+       |    md5(d.text) AS content_hash
+       |  FROM documents d JOIN tk t USING (doc_id) LEFT JOIN hs h USING (doc_id)),
+       |staged AS (
+       |  SELECT doc_id, content_hash,
+       |    (n_tokens >= ${t.minTokens} AND stop_ratio <= ${t.maxStopwordRatio}
+       |      AND rep_ratio <= ${t.maxRepRatio}) AS q_ok
+       |  FROM q),
+       |staged2 AS (
+       |  SELECT *, (q_ok AND doc_id =
+       |    min(CASE WHEN q_ok THEN doc_id END) OVER (PARTITION BY content_hash)) AS exact_ok
+       |  FROM staged),
+       |hs_surv AS (
+       |  SELECT hs.doc_id, hs.hs FROM hs JOIN staged2 USING (doc_id)
+       |  WHERE staged2.exact_ok),
+       |${T.sigCteFrom("hs_surv")},
+       |${T.candPairCtes},
+       |${T.t15CandCtes},
+       |v2d AS (SELECT vec_id, vec_id AS doc_id FROM embeddings),
+       |emb_pairs AS (
+       |  SELECT ma.doc_id AS doc_a, mb.doc_id AS doc_b
+       |  FROM cand c
+       |  JOIN v2d ma ON ma.vec_id = c.vec_a
+       |  JOIN v2d mb ON mb.vec_id = c.vec_b
+       |  WHERE c.cosine >= ${T.CosTau}),
+       |all_pairs AS (
+       |  SELECT DISTINCT least(doc_a, doc_b) AS doc_a, greatest(doc_a, doc_b) AS doc_b
+       |  FROM (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= ${t.nearDupJaccard}
+       |        UNION ALL SELECT doc_a, doc_b FROM emb_pairs)
+       |  WHERE doc_a <> doc_b),
+       |surv_pairs AS (
+       |  SELECT p.doc_a, p.doc_b FROM all_pairs p
+       |  JOIN staged2 sa ON sa.doc_id = p.doc_a AND sa.exact_ok
+       |  JOIN staged2 sb ON sb.doc_id = p.doc_b AND sb.exact_ok),
+       |edge AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM surv_pairs
+       |  UNION ALL
+       |  SELECT doc_b AS a, doc_a AS b FROM surv_pairs),
+       |reach AS (
+       |  SELECT a AS src, b AS dst FROM edge
+       |  UNION
+       |  SELECT r.src, e2.b FROM reach r JOIN edge e2 ON r.dst = e2.a),
+       |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster FROM reach GROUP BY src),
+       |drops AS (SELECT doc_id FROM comp WHERE doc_id <> cluster),
+       |tagged AS (
+       |  SELECT s.doc_id,
+       |    CASE WHEN NOT s.q_ok THEN 'quality'
+       |         WHEN NOT s.exact_ok THEN 'exact_dup'
+       |         WHEN d.doc_id IS NOT NULL THEN 'near_dup'
+       |         ELSE 'kept' END AS stage
+       |  FROM staged2 s LEFT JOIN drops d ON s.doc_id = d.doc_id)
+       |SELECT count(*) AS input_docs,
+       |  count(CASE WHEN stage = 'quality' THEN 1 END) AS dropped_quality,
+       |  count(CASE WHEN stage = 'exact_dup' THEN 1 END) AS dropped_exact_dup,
+       |  count(CASE WHEN stage = 'near_dup' THEN 1 END) AS dropped_near_dup,
+       |  count(CASE WHEN stage = 'kept' THEN 1 END) AS curated_docs
+       |FROM tagged""".stripMargin
+  }
 }
