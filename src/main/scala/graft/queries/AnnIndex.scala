@@ -358,7 +358,7 @@ object IvfModel {
     * the SAME shape as t14's: one broadcast array row, transform +
     * array_min per row, zero expansion, struct(dist, cid) tie-break.
     */
-  private[queries] def assignClusters(e: DataFrame, cents: DataFrame): DataFrame = {
+  private[graft] def assignClusters(e: DataFrame, cents: DataFrame): DataFrame = {
     val centArr = cents.agg(sort_array(collect_list(struct(col("cid"), col("cvec")))).as("cents"))
     e.crossJoin(broadcast(centArr))
       .select(col("vec_id"), col("emb"),
@@ -390,6 +390,48 @@ object IvfModel {
   def lists(s: SparkSession, dir: String): DataFrame =
     warehouseFor(s, dir).read(ListsTable, ListsSchema)
       .select(col("vec_id"), col("emb"), col("cluster"))
+
+  /** INCREMENTAL list maintenance for an append-only corpus: vectors not
+    * yet in the lists are assigned against the EXISTING centroid
+    * generation and appended into their cluster partitions — a
+    * batch-sized job instead of [[ensureLists]]'s full re-materialization
+    * on every corpus growth. The coarse quantizer is deliberately NOT
+    * refitted on append (standard IVF practice: a quantizer trained on a
+    * representative sample keeps serving as lists grow; refit is an
+    * explicit rebuild event), so this path engages only when the
+    * persisted quantizer was fitted at the SAME (k, fitSampleCap) dials —
+    * any dial change, or no persisted artifacts at all, falls back to the
+    * full [[ensureLists]] fit-and-rewrite.
+    *
+    * Replay-safe: the anti-join on the lists' vec_id column (one
+    * column-pruned pass) makes a crashed append's re-run complete the
+    * missing vectors instead of duplicating landed ones. Appended rows
+    * carry the append-time corpus stamp, so the table holds MIXED stamps;
+    * a later plain [[ensureLists]] may therefore re-materialize wholesale
+    * — safe (it rebuilds the identical assignment), just not incremental.
+    * A deployment picks ONE lifecycle per table: ensure-on-read for
+    * static corpora, appendLists per ingest batch for growing ones
+    * (AnnSpec pins append == re-materialization against the same
+    * quantizer, bit-for-bit on rows).
+    */
+  def appendLists(s: SparkSession, dir: String,
+                  fitSampleCap: Long = FitSampleCap, k: Int = K): Unit = {
+    val wh = warehouseFor(s, dir)
+    val centStamp = wh.read(TableName, CentroidSchema)
+      .select(col("corpus_stamp")).limit(1).collect().headOption.map(_.getString(0))
+    val dialOk = centStamp.exists(st =>
+      st.linesIterator.contains(s"cap=$fitSampleCap") && st.linesIterator.contains(s"k=$k"))
+    val haveLists = !wh.read(ListsTable, ListsSchema).isEmpty
+    if (!dialOk || !haveLists) { ensureLists(s, dir, fitSampleCap, k); return }
+    val fresh = Tables.embeddings(s, dir)
+      .select(col("vec_id"), V.toDouble(col("embedding")).as("emb"))
+      .join(lists(s, dir).select(col("vec_id")), Seq("vec_id"), "left_anti")
+    val stamp =
+      s"lists-append\n$dir\ncap=$fitSampleCap\nk=$k\n${Tables.contentStamp(s, s"$dir/embeddings.parquet")}"
+    wh.appendLive(ListsTable,
+      assignClusters(fresh, centroids(s, dir)).withColumn("corpus_stamp", lit(stamp)),
+      partitionBy = Seq("cluster"))
+  }
 
   /** The live centroid directory for the DuckDB oracle. Oracle SQL is
     * generated without a Spark session, and DuckDB is a local single-node

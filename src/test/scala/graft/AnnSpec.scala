@@ -485,4 +485,58 @@ class AnnSpec extends SparkTestBase {
     assert(t2.map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq ===
       t1.map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq) // same seeded fit
   }
+
+  test("appendLists: append-only corpus growth appends new vectors — no rewrite, no quantizer refit") {
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_ivf_append_").toString
+    System.setProperty("graft.index.dir", tmpRoot)
+    try {
+      IvfModel.resetEnsureMemo()
+      // a growable corpus: embeddings.parquet as a DIRECTORY the test
+      // appends files into, the way an append-only 100 TB corpus grows
+      val corpus = java.nio.file.Files.createTempDirectory("graft_corpus_").toString
+      val all = graft.core.Tables.embeddings(spark, sf())
+      all.filter(col("vec_id") < 300).write.parquet(s"$corpus/embeddings.parquet")
+      IvfModel.ensureLists(spark, corpus)
+      val wh = IvfModel.warehouseFor(spark, corpus)
+      def versions(t: String) = Option(new java.io.File(wh.dir).listFiles())
+        .getOrElse(Array.empty).count(_.getName.startsWith(s"$t.__v"))
+      val (lv, cv) = (versions(IvfModel.ListsTable), versions(IvfModel.TableName))
+      def cents() = IvfModel.centroids(spark, corpus).collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1))).toSet
+      val centsBefore = cents()
+
+      all.filter(col("vec_id") >= 300).write.mode("append").parquet(s"$corpus/embeddings.parquet")
+      IvfModel.appendLists(spark, corpus)
+      assert(versions(IvfModel.ListsTable) === lv, "append re-materialized the lists")
+      assert(versions(IvfModel.TableName) === cv, "append refitted the quantizer")
+      assert(cents() === centsBefore)
+      // bit-for-bit vs re-materializing the lists against the SAME
+      // quantizer: every corpus vector present once, in the cell the live
+      // centroids assign it to
+      def asn(df: org.apache.spark.sql.DataFrame) = df.select("vec_id", "cluster")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      val expect = asn(IvfModel.assignClusters(
+        graft.core.Tables.embeddings(spark, corpus)
+          .select(col("vec_id"), graft.functions.VectorOps.toDouble(col("embedding")).as("emb")),
+        IvfModel.centroids(spark, corpus)))
+      assert(asn(IvfModel.lists(spark, corpus)) === expect)
+      assert(expect.size === 500)
+      // replay (crash mid-append, orchestrator re-runs): idempotent
+      IvfModel.appendLists(spark, corpus)
+      assert(IvfModel.lists(spark, corpus).count() === 500)
+      // a quantizer dial change is a REBUILD event: full fit-and-rewrite
+      IvfModel.appendLists(spark, corpus, k = 16)
+      assert(versions(IvfModel.ListsTable) === lv + 1, "dial change must re-materialize")
+      assert(IvfModel.lists(spark, corpus).count() === 500)
+      assert(IvfModel.lists(spark, corpus).select("cluster").distinct().count() <= 16)
+    } finally {
+      System.clearProperty("graft.index.dir")
+      IvfModel.resetEnsureMemo()
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(tmpRoot))
+    }
+  }
 }
