@@ -83,9 +83,11 @@ object BandIndex {
   /** Stamped variant for a STATIC corpus (the t37 verification path):
     * same staleness protocol as the IVF artifacts — materialized once per
     * (corpus content, stamp), repeat calls serve the committed
-    * generation with zero setup jobs.
+    * generation with zero setup jobs. `docs` is BY-NAME so a memoized
+    * repeat never constructs the corpus frame (parquet schema inference
+    * is a Spark job — the zero-jobs claim is spec-asserted).
     */
-  def ensureFor(wh: Warehouse, docs: DataFrame, stamp: String): Unit =
+  def ensureFor(wh: Warehouse, docs: => DataFrame, stamp: String): Unit =
     StampedTable.ensure(wh, TableName, Schema, stamp, partitionBy = Seq("bk_bucket")) {
       bandedOf(docs)
     }

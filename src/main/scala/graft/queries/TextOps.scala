@@ -1411,9 +1411,12 @@ object TextOps {
             "a foreign id would contract to a phantom super-node and bridge components a " +
             "full recluster keeps apart; fix the pair feed (or pre-filter the pairs)")
     }
-    // replay guard: ids the prior assignment already governs are not new
-    val freshNodes = newNodes.select(col("doc_id"))
-      .join(prior.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    // replay guard: ids the prior assignment already governs are not new.
+    // Cut eagerly — the anti-join reads the prior corpus, and freshNodes
+    // is referenced twice (contraction + newFinal); the cut result is
+    // batch-sized, so this halves the increment's prior passes
+    val freshNodes = cutLineage(newNodes.select(col("doc_id"))
+      .join(prior.select(col("doc_id")), Seq("doc_id"), "left_anti"), eager = true)
     val (touched, repped) = contractedGraph(prior, freshNodes, incPairs)
     val merged = propagateLabels(touched, repped)
       .select(col("doc_id").as("rep"), col("cluster").as("merged"))

@@ -106,6 +106,35 @@ class BandIndexSpec extends SparkTestBase {
     assert(BandIndex.banded(wh).count() === idxRows)
   }
 
+  test("ensure(dir): content-stamped index in the per-corpus scratch warehouse, memoized repeat") {
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_bands_root_").toString
+    System.setProperty("graft.index.dir", tmpRoot)
+    try {
+      graft.queries.IvfModel.resetEnsureMemo()
+      BandIndex.ensure(spark, sf())
+      val wh = graft.queries.IvfModel.warehouseFor(spark, sf())
+      val rows = BandIndex.banded(wh)
+      // every banding-eligible doc (≥3 tokens) × 4 bands, once each
+      assert(rows.count() === rows.select("doc_id", "band").distinct().count())
+      assert(rows.select("doc_id").distinct().count() ===
+        BandIndex.bandedOf(docsAll).select("doc_id").distinct().count())
+      // repeat serves the committed generation: zero Spark jobs
+      val tracker = spark.sparkContext.statusTracker
+      val before = tracker.getJobIdsForGroup(null).length
+      BandIndex.ensure(spark, sf())
+      assert(tracker.getJobIdsForGroup(null).length === before,
+        "repeat ensure re-ran setup jobs despite the stamp memo")
+    } finally {
+      System.clearProperty("graft.index.dir")
+      graft.queries.IvfModel.resetEnsureMemo()
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(tmpRoot))
+    }
+  }
+
   test("ensureFor is stamped: repeat calls serve the committed generation without a rewrite") {
     val wh = tmpWh()
     def versions = Option(new java.io.File(wh.dir).listFiles()).getOrElse(Array.empty)
