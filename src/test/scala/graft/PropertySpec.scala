@@ -170,6 +170,36 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("index-probed increment pairs == full-restricted on random corpora, splits and caps") {
+    import graft.queries.{BandIndex, TextOps}
+    // documents drawn from a tiny vocabulary so shingles genuinely
+    // collide (shared band keys, est_jaccard spread across the
+    // threshold), a random cutoff splits settled corpus vs batch, and a
+    // small random cap exercises the UNION-count skew guard: the probe
+    // must equal a full recluster's capped pairs restricted to the
+    // batch's neighborhood on every draw
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta")
+    val gen: Gen[(List[String], Int, Int)] = for {
+      n <- Gen.chooseNum(5, 14)
+      docs <- Gen.listOfN(n, Gen.chooseNum(3, 7).flatMap(Gen.listOfN(_, word).map(_.mkString(" "))))
+      cut <- Gen.chooseNum(1, n - 1)
+      cap <- Gen.chooseNum(2, 8)
+    } yield (docs, cut, cap)
+    samples(gen, 6).foreach { case (texts, cut, cap) =>
+      val all = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val idx = all.filter(col("doc_id") < cut)
+      val bat = all.filter(col("doc_id") >= cut)
+      def pset(df: org.apache.spark.sql.DataFrame) =
+        df.select("doc_a", "doc_b", "est_jaccard").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val inc = pset(BandIndex.incrementPairsOf(
+        BandIndex.bandedOf(idx), BandIndex.bandedOf(bat), maxBucket = cap))
+      val full = pset(TextOps.minhashPairsOf(all, maxBucket = cap))
+        .filter { case (a, b, _) => a >= cut || b >= cut }
+      assert(inc === full, s"cut=$cut cap=$cap texts=$texts")
+    }
+  }
+
   test("emb bucket cap: capped pairs are a subset; drops explained exactly by oversized endpoints") {
     import graft.functions.{VectorOps => V}
     import graft.queries.{Lsh, TextOps}
