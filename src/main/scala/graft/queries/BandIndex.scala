@@ -107,19 +107,25 @@ object BandIndex {
 
   /** Grow the index by an ingest batch — banded rows appended into their
     * existing bk_bucket partitions (no rewrite of the settled corpus's
-    * rows). IDEMPOTENT under replay: doc_ids already indexed are dropped
-    * first, so a batch re-run after a crash mid-append completes the
-    * missing rows instead of duplicating the landed ones — the
-    * reference's idempotent-upsert posture (etl_sync.py ON CONFLICT).
-    * The anti-join reads one column of the index; the append itself is
-    * batch-sized. Not atomic like a rewrite — the anti-join IS the
-    * repair path.
+    * rows). IDEMPOTENT under replay at (doc_id, band) granularity: a
+    * doc's four band rows land in DIFFERENT partition files, so a crash
+    * mid-append can commit some of its bands and not others — an
+    * anti-join on doc_id alone would then see the doc as "already
+    * indexed" and permanently drop its missing bands (silent
+    * under-merging downstream). (doc_id, band) is exactly one row in
+    * exactly one file, so the repair granularity matches the commit
+    * granularity: a replayed batch completes precisely what is missing
+    * and duplicates nothing — the reference's idempotent-upsert posture
+    * (etl_sync.py ON CONFLICT). The anti-join reads two small columns of
+    * the index; the append itself is batch-sized. Not atomic like a
+    * rewrite — the anti-join IS the repair path (spec-pinned against a
+    * simulated torn append).
     */
   def appendBatch(wh: Warehouse, batchDocs: DataFrame): Unit = {
-    val fresh = batchDocs.join(
-      banded(wh).select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+    val fresh = bandedOf(batchDocs)
+      .join(banded(wh).select(col("doc_id"), col("band")), Seq("doc_id", "band"), "left_anti")
     wh.appendLive(TableName,
-      bandedOf(fresh).withColumn("corpus_stamp", lit("append")),
+      fresh.withColumn("corpus_stamp", lit("append")),
       partitionBy = Seq("bk_bucket"))
   }
 

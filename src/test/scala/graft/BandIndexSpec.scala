@@ -106,6 +106,26 @@ class BandIndexSpec extends SparkTestBase {
     assert(BandIndex.banded(wh).count() === idxRows)
   }
 
+  test("a torn append repairs at (doc_id, band) granularity — missing bands complete, nothing duplicates") {
+    val wh = tmpWh()
+    BandIndex.seed(wh, partA)
+    // simulate a crash mid-append: only band 0 of the batch's rows landed
+    // (each band lives in different partition files, so this is a real
+    // crash shape, not a contrivance)
+    wh.appendLive(BandIndex.TableName,
+      BandIndex.bandedOf(partB).filter(col("band") === 0)
+        .withColumn("corpus_stamp", lit("append")),
+      partitionBy = Seq("bk_bucket"))
+    // the orchestrator replays the batch
+    BandIndex.appendBatch(wh, partB)
+    val got = BandIndex.banded(wh)
+    val expect = BandIndex.bandedOf(docsAll)
+    assert(got.count() === expect.count(), "replay did not complete the missing bands, or duplicated rows")
+    assert(got.select("doc_id", "band").distinct().count() === got.count())
+    assert(got.select("doc_id", "band", "band_key").collect().map(_.toSeq).toSet ===
+      expect.select("doc_id", "band", "band_key").collect().map(_.toSeq).toSet)
+  }
+
   test("ensure(dir): content-stamped index in the per-corpus scratch warehouse, memoized repeat") {
     val tmpRoot = java.nio.file.Files.createTempDirectory("graft_bands_root_").toString
     System.setProperty("graft.index.dir", tmpRoot)
