@@ -97,8 +97,12 @@ object BandIndex {
     * instead of serving stale bands).
     */
   def ensure(s: SparkSession, dir: String): Unit =
+    // BkBuckets is part of the stamp: bk_bucket values are baked into the
+    // stored rows at write time, so probing a table laid out under a
+    // different fan-out would prune the WRONG partitions and silently
+    // miss pairs — a code-level BkBuckets change must re-materialize
     ensureFor(IvfModel.warehouseFor(s, dir), Tables.documents(s, dir),
-      s"bands\n$dir\n${Tables.contentStamp(s, s"$dir/documents.parquet")}")
+      s"bands\n$dir\nbk=$BkBuckets\n${Tables.contentStamp(s, s"$dir/documents.parquet")}")
 
   /** The persisted index (doc_id, sig, band, band_key, bk_bucket). */
   def banded(wh: Warehouse): DataFrame =

@@ -733,6 +733,67 @@ object QualityOps {
       |  count(*) AS n_kept
       |FROM kept GROUP BY source ORDER BY source""".stripMargin
 
+  // ------------------------------------------------------------- t39
+  /** Temperature-weighted source mixing (τ = 1/2) — the standard
+    * training-mix interpolation BETWEEN t24's natural distribution
+    * (τ = 1) and t32's flat mix (τ = 0): target share ∝ n_s^τ, realized
+    * in one deterministic hash-filter pass with per-source keep rate
+    * ∝ n_s^(τ−1), normalized so the smallest source is kept WHOLE —
+    * `rate_s = sqrt(min_n / n_s)` at τ = 1/2. Upweighting low-resource
+    * sources without flattening away the corpus bulk is how real
+    * pretraining mixes are built (multilingual / multi-domain sampling).
+    *
+    * Determinism across engines, deliberately NOT the t33 integer
+    * workaround: `u = md5-60bit / 2^60` — the int64→double conversion
+    * rounds identically (IEEE round-to-nearest) and the divide by a
+    * power of two is exact — and `rate = sqrt(min_n / n_s)` uses only
+    * division and sqrt, both CORRECTLY ROUNDED under IEEE 754 in Java
+    * and C libm alike (unlike log/pow, the t33 hazard class), so the
+    * keep decision `u < rate` is bit-identical in Spark and DuckDB at
+    * any corpus size. τ is fixed at 1/2 BECAUSE of that: a general
+    * `pow(n, τ−1)` is not correctly rounded and a 1-ulp divergence at
+    * the threshold would flip a row between engines. The hash input is
+    * `tmix:`-prefixed — independent of the split (t17), sampler (t23),
+    * shard (t30) and flat-mix (t32) hashes.
+    *
+    * Scale shape: identical to t32 — one corpus scan, a |sources|-row
+    * count agg broadcast back onto the scan, conditional count per
+    * source; nothing shuffles but the tiny agg.
+    */
+  def temperatureMixOf(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("min_n", min(col("n_docs")).over())
+      .withColumn("keep_rate", sqrt(col("min_n").cast("double") / col("n_docs")))
+    val u = conv(substring(md5(concat(lit("tmix:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+      .cast("bigint").cast("double") / lit(1152921504606846976.0) // 2^60
+    docs.select(col("doc_id"), col("source"), u.as("u"))
+      .join(broadcast(counts), "source")
+      .groupBy(col("source"))
+      .agg(max(col("n_docs")).as("n_docs"),
+        R.halfUp(max(col("keep_rate")), 6).as("keep_rate"),
+        count(when(col("u") < col("keep_rate"), 1)).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
+  def t39TemperatureMix(s: SparkSession, dir: String): DataFrame =
+    temperatureMixOf(documents(s, dir))
+
+  lazy val t39Sql: String =
+    s"""WITH c AS (
+       |  SELECT source, count(*) AS n_docs, min(count(*)) OVER () AS min_n
+       |  FROM documents GROUP BY source),
+       |r AS (SELECT source, n_docs, sqrt(min_n * 1.0 / n_docs) AS rate FROM c),
+       |h AS (
+       |  SELECT doc_id, source,
+       |    CAST(('0x' || substring(md5('tmix:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       |      / 1152921504606846976.0 AS u
+       |  FROM documents)
+       |SELECT source, max(r.n_docs) AS n_docs,
+       |  ${R.halfUpSql("max(r.rate)", 6)} AS keep_rate,
+       |  count(CASE WHEN h.u < r.rate THEN 1 END) AS n_kept
+       |FROM h JOIN r USING (source)
+       |GROUP BY source ORDER BY source""".stripMargin
+
   // ------------------------------------------------------------- t33
   /** Token-rarity score — the "is this document made of rare or common
     * vocabulary" signal used for quality triage and domain-shift
@@ -863,6 +924,7 @@ object QualityOps {
     "t31_top_ngrams"        -> (t31TopNgrams _),
     "t32_flatten_mix"       -> (t32FlattenMix _),
     "t33_token_idf"         -> (t33TokenIdf _),
+    "t39_temperature_mix"   -> (t39TemperatureMix _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -880,5 +942,6 @@ object QualityOps {
     "t31_top_ngrams"        -> t31Sql,
     "t32_flatten_mix"       -> t32Sql,
     "t33_token_idf"         -> t33Sql,
+    "t39_temperature_mix"   -> t39Sql,
   )
 }

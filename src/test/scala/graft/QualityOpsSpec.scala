@@ -320,6 +320,26 @@ class QualityOpsSpec extends SparkTestBase {
     assert(again === out)
   }
 
+  // ------------------------------------------------------------- t39
+  test("t39 temperature mix: smallest source whole, rates interpolate between flat and natural") {
+    val corpus = docs((1L to 110L).map(id => id -> s"doc $id"): _*)
+      .withColumn("source", when($"doc_id" <= 100L, "big").otherwise("small"))
+    val out = QualityOps.temperatureMixOf(corpus)
+      .select("source", "n_docs", "keep_rate", "n_kept")
+      .as[(String, Long, Double, Long)].collect().map(t => t._1 -> t).toMap
+    // the smallest source's rate is exactly 1.0 and u < 1.0 always holds
+    // (u ∈ [0, 1)): kept whole, deterministically — not just in expectation
+    assert(out("small") === ("small", 10L, 1.0, 10L))
+    // τ = 1/2 sits BETWEEN flat (10%) and natural (100%): sqrt(10/100)
+    assert(out("big")._3 === 0.316228) // halfUp(sqrt(0.1), 6)
+    assert(out("big")._4 > 10L && out("big")._4 < 100L)
+    // membership is a pure hash: physical partitioning changes nothing
+    val again = QualityOps.temperatureMixOf(corpus.repartition(7))
+      .select("source", "n_docs", "keep_rate", "n_kept")
+      .as[(String, Long, Double, Long)].collect().map(t => t._1 -> t).toMap
+    assert(again === out)
+  }
+
   // ------------------------------------------------------------- t33
   test("t33 token rarity: ubiquitous tokens score zero, rare tokens raise the mean") {
     val corpus = docs(
