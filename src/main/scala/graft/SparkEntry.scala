@@ -23,7 +23,12 @@ object SparkEntry {
       ("q28_sessionize" -> (graft.streaming.Sessionize.query _)) +
       ("t35_curation_audit" -> (graft.pipelines.Curation.t35CurationAudit _)) +
       ("t37_cluster_increment" -> (graft.pipelines.ClusterState.t37ClusterIncrement _)) +
-      ("t38_curation_multisignal" -> (graft.pipelines.Curation.t38CurationMultiSignal _))
+      ("t38_curation_multisignal" -> (graft.pipelines.Curation.t38CurationMultiSignal _)) +
+      // explicit lambda, not eta-expansion: the method has default params
+      ("t40_embed_cluster_increment" -> ((s: SparkSession, d: String) =>
+        graft.pipelines.ClusterState.t40EmbedClusterIncrement(s, d,
+          TextOps.DialBits,
+          TextOps.DialRadius.getOrElse(TextOps.PairRadius), TextOps.DialEmbCap)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for hash-seed-dependent ops (MinHash/
@@ -46,5 +51,8 @@ object SparkEntry {
       // Spark side goes seed(part A) → index-probed advance(part B)
       // through the persisted warehouse
       ("t37_cluster_increment" -> TextOps.t13Sql) +
-      ("t38_curation_multisignal" -> graft.pipelines.Curation.t38Sql)
+      ("t38_curation_multisignal" -> graft.pipelines.Curation.t38Sql) +
+      // t40's claim is t37's on the embedding side: increment == full
+      // recluster, so the oracle is t34's whole-corpus closure
+      ("t40_embed_cluster_increment" -> TextOps.t34Sql)
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 import graft.etl.Warehouse
-import graft.queries.{BandIndex, IvfModel, TextOps}
+import graft.queries.{BandIndex, EmbIndex, IvfModel, TextOps}
 
 /** PERSISTED dedup-cluster state — the reference's checkpoint posture
   * (etl_sync.py:356-385: sync state survives runs, each batch advances
@@ -141,5 +141,51 @@ object ClusterState {
     val pairs = BandIndex.incrementCandidatePairs(wh, batchDocs)
     wh.rewrite(TableName, TextOps.dedupClustersIncrement(
       read(wh), batchDocs.select(col("doc_id")), pairs, validateEndpoints = false))
+  }
+
+  // ---------------------------------------------------------------- t40
+  /** t37's EMBEDDING twin: incremental SEMANTIC dedup through the
+    * persisted [[graft.queries.EmbIndex]] — split the embeddings by the
+    * same md5-bucket arithmetic, seed state + sign-code index on part A
+    * (t15 pairs over A), advance with part B's INDEX-PROBED cosine
+    * pairs, present the maintained state. Oracle = t34's full transitive
+    * closure over the WHOLE corpus (same dial contract: bits/radius/cap
+    * reach both this query and the oracle SQL via the shared Dial*
+    * values). Together t37 + t40 make the incremental posture
+    * oracle-proven on BOTH dedup signal types; the same caveats apply
+    * (per-invocation re-seed for determinism, union-cap crossing
+    * reconciled by periodic full reclusters). The crossing caveat is
+    * MEASURABLE here, not hypothetical: at the deliberately-biting
+    * `SPARK_GRAFT_EMB_CAP=8` dial the seed retains part-A pairs from
+    * sign codes that only the union pushes over the cap, so the
+    * increment presents 25 rows where the full-recluster oracle
+    * presents 15 (sf0.01) — the dial records therefore cover t40 at
+    * bits=10 (62 rows, hash-green: no crossing) and NOT at cap=8,
+    * which is exactly the boundary where a deployment schedules
+    * [[seedCorpus]]-style reconciliation.
+    */
+  def t40EmbedClusterIncrement(s: SparkSession, dir: String,
+                               bits: Int = graft.queries.Lsh.Bits,
+                               radius: Int = TextOps.PairRadius,
+                               maxBucket: Int = TextOps.EmbBucketCap): DataFrame = {
+    val emb = graft.core.Tables.embeddings(s, dir)
+    val partA = emb.filter(TextOps.splitBucket(col("vec_id")) < 50)
+    val partB = emb.filter(TextOps.splitBucket(col("vec_id")) >= 50)
+    val wh = Warehouse(s, new java.io.File(
+      IvfModel.warehouseFor(s, dir).dir, "t40_increment").toString)
+    EmbIndex.ensureFor(wh, partA,
+      s"emb-partA50\n$dir\nbits=$bits\n${graft.core.Tables.contentStamp(s, s"$dir/embeddings.parquet")}",
+      bits)
+    val pairsA = TextOps.t15CosineNearDupOf(partA, bits, radius, maxBucket = maxBucket)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    seed(wh, partA.select(col("vec_id").as("doc_id")), pairsA)
+    val pairsB = EmbIndex.incrementCosinePairs(wh, partB, bits, radius, maxBucket)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    wh.rewrite(TableName, TextOps.dedupClustersIncrement(
+      read(wh), partB.select(col("vec_id").as("doc_id")), pairsB, validateEndpoints = false))
+    clusters(wh)
+      .select(col("doc_id").as("vec_id"), col("cluster"),
+        col("is_canonical"), col("cluster_size"))
+      .orderBy(col("cluster"), col("vec_id"))
   }
 }

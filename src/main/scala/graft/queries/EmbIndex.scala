@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.etl.Warehouse
+import graft.functions.{Rounding => R, VectorOps => V}
+
+/** PERSISTED embedding bucket index — [[BandIndex]]'s twin for the
+  * VECTOR side of the dedup family: every corpus vector stored with its
+  * norm under its hyperplane sign code, `bucket` as the Hive partition
+  * column (≤ 2^bits values, directly partitionable — no hashing layer
+  * needed, unlike band keys). An ingest batch codes ONLY ITSELF, probes
+  * the index across its Hamming-radius masks with a static partition
+  * filter, and gets exactly the t15 cosine pairs that touch the batch —
+  * without re-scanning, re-norming or re-coding the settled corpus.
+  * Feeds [[graft.pipelines.ClusterState]] for incremental SEMANTIC
+  * dedup the same way BandIndex feeds the text side (t37 / t40).
+  *
+  * Mask symmetry makes one-sided probing complete: vector a probes b's
+  * bucket iff b probes a's (the XOR mask is the same code difference),
+  * so batch-side-only probes still reach every (old, new) pair; pairs
+  * are emitted orientation-normalized (least, greatest) and deduped,
+  * where the full t15 relies on its a < b probe direction instead.
+  */
+object EmbIndex {
+
+  val TableName = "emb_buckets"
+
+  val Schema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("emb", ArrayType(DoubleType)),
+      StructField("nrm", DoubleType),
+      StructField("corpus_stamp", StringType),
+      StructField("bucket", LongType)))
+  }
+
+  /** Coded rows of an arbitrary (vec_id, embedding) frame — the exact
+    * rows the index stores, and what a batch computes for itself. Same
+    * projection t15 builds per query (norm materialized per VECTOR, so
+    * per-pair work is one dot product).
+    */
+  def codedOf(embSrc: DataFrame, bits: Int = Lsh.Bits): DataFrame =
+    embSrc
+      .select(col("vec_id"), V.toDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", V.norm(col("emb")))
+      .withColumn("bucket", Lsh.bucketOf(col("emb"), bits))
+
+  /** Full (re)build over an explicit frame: one versioned, partitioned
+    * rewrite (pointer-flip commit).
+    */
+  def seed(wh: Warehouse, embSrc: DataFrame, bits: Int = Lsh.Bits): Unit =
+    wh.rewrite(TableName,
+      codedOf(embSrc, bits).withColumn("corpus_stamp", lit("seed")),
+      partitionBy = Seq("bucket"))
+
+  /** Stamped variant for a static corpus (the t40 verification path).
+    * `bits` MUST be part of the caller's stamp: codes are baked into the
+    * stored rows, so probing a table coded at a different width would
+    * match the wrong buckets (the same layout rule as BandIndex's
+    * fan-out and the IVF K).
+    */
+  def ensureFor(wh: Warehouse, embSrc: => DataFrame, stamp: String,
+                bits: Int = Lsh.Bits): Unit =
+    StampedTable.ensure(wh, TableName, Schema, stamp, partitionBy = Seq("bucket")) {
+      codedOf(embSrc, bits)
+    }
+
+  /** The persisted index (vec_id, emb, nrm, bucket). */
+  def coded(wh: Warehouse): DataFrame =
+    wh.read(TableName, Schema)
+      .select(col("vec_id"), col("emb"), col("nrm"), col("bucket"))
+
+  /** Grow the index by an ingest batch — idempotent at vec_id
+    * granularity (one row per vector = one row per file slot, so unlike
+    * the band index there is no sub-row torn-append shape to repair).
+    */
+  def appendBatch(wh: Warehouse, batchEmb: DataFrame, bits: Int = Lsh.Bits): Unit = {
+    val fresh = batchEmb.join(
+      coded(wh).select(col("vec_id")), Seq("vec_id"), "left_anti")
+    wh.appendLive(TableName,
+      codedOf(fresh, bits).withColumn("corpus_stamp", lit("append")),
+      partitionBy = Seq("bucket"))
+  }
+
+  /** Cosine near-dup pairs of an ingest batch against the persisted
+    * index — every pair (vec_a < vec_b, cosine ≥ τ) with AT LEAST ONE
+    * endpoint in the batch, identical to [[TextOps.t15CosineNearDupOf]]
+    * over (index ∪ batch) restricted to the batch's neighborhood
+    * (spec-pinned, cap applied on the UNION's per-bucket counts with
+    * t15's keep-the-members semantics).
+    *
+    * Work shape: the batch is coded (batch-sized compute); the probed
+    * bucket set — batch codes × Hamming masks, ≤ 2^bits values — lands
+    * as a static partition filter on the index scan; per-bucket
+    * candidate work is bounded by the cap exactly as in t15.
+    */
+  def incrementCosinePairs(wh: Warehouse, batchEmb: DataFrame,
+                           bits: Int = Lsh.Bits, radius: Int = TextOps.PairRadius,
+                           maxBucket: Int = TextOps.EmbBucketCap): DataFrame =
+    incrementCosinePairsOf(coded(wh), codedOf(batchEmb, bits), bits, radius, maxBucket)
+
+  /** The probed slice — split out (like [[BandIndex.probedSlice]]) so
+    * the partition-pruning claim is asserted against the plan that
+    * actually reads the table.
+    */
+  private[graft] def probedSlice(index: DataFrame, probeBuckets: Array[Long]): DataFrame =
+    index.filter(col("bucket").isin(probeBuckets.toSeq: _*))
+
+  private[graft] def incrementCosinePairsOf(index: DataFrame, batchCoded: DataFrame,
+                                            bits: Int, radius: Int,
+                                            maxBucket: Int): DataFrame = {
+    def cut(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    val bc = cut(batchCoded)
+    val masks = Lsh.masksWithin(radius, bits)
+    // every bucket a batch vector probes OR lives in (mask 0 is in the
+    // set, so own buckets are covered): ≤ 2^bits values, collected from
+    // the batch-sized frame — a STATIC partition filter, like BandIndex
+    val codes = bc.select(col("bucket")).distinct().collect().map(_.getLong(0))
+    val probeBuckets = codes.flatMap(c => masks.map(c ^ _)).distinct
+    val probed = cut(probedSlice(index, probeBuckets))
+
+    // the t15 skew cap on the UNION's occupancy. Counts must cover every
+    // probed bucket (a corpus vector there may pair with a batch probe),
+    // not only the batch's own codes — hence the full-outer combine.
+    val oversized = probed.groupBy(col("bucket")).agg(count(lit(1)).as("n_idx"))
+      .join(bc.groupBy(col("bucket")).agg(count(lit(1)).as("n_new")),
+        Seq("bucket"), "full_outer")
+      .filter(coalesce(col("n_idx"), lit(0L)) + coalesce(col("n_new"), lit(0L)) > maxBucket)
+      .select(col("bucket"))
+    val corpus = probed.unionByName(bc)
+      .join(broadcast(oversized), Seq("bucket"), "left_anti")
+    val batchCapped = bc.join(broadcast(oversized), Seq("bucket"), "left_anti")
+
+    val probes = batchCapped.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"),
+      col("nrm").as("nrm_a"),
+      explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+    corpus.join(probes, Seq("bucket"))
+      .filter(col("vec_a") =!= col("vec_id"))
+      .select(least(col("vec_a"), col("vec_id")).as("pair_a"),
+        greatest(col("vec_a"), col("vec_id")).as("pair_b"),
+        // cosine is symmetric, so orientation normalization cannot change
+        // it — same halfUp(dot/(|a||b|), 6) with the zero-norm guard t15
+        // rounds with, bit-identical to the full pipeline's value
+        R.halfUp(when(col("nrm_a") === 0.0 || col("nrm") === 0.0, 0.0)
+          .otherwise(V.dot(col("emb_a"), col("emb")) / (col("nrm_a") * col("nrm"))), 6)
+          .as("cosine"))
+      .filter(col("cosine") >= TextOps.CosTau)
+      // batch-batch pairs arrive once per direction; the cosine is equal
+      // on both, so max == distinct
+      .groupBy(col("pair_a"), col("pair_b"))
+      .agg(max(col("cosine")).as("cosine"))
+      .select(col("pair_a").as("vec_a"), col("pair_b").as("vec_b"), col("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.etl.Warehouse
+import graft.pipelines.ClusterState
+import graft.queries.{EmbIndex, Lsh, TextOps}
+
+/** The persisted embedding bucket index — BandIndex's vector-side twin:
+  * equivalence of the index-probed cosine pairs against the full t15
+  * pipeline, the union-count cap, partition-pruned probes, idempotent
+  * growth, and the t40 end-to-end claim.
+  */
+class EmbIndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmpWh(): Warehouse =
+    Warehouse(spark, java.nio.file.Files.createTempDirectory("graft_embidx_").toString)
+
+  private def pairSet(df: DataFrame): Set[(Long, Long, Double)] =
+    df.select("vec_a", "vec_b", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  private val embAll = graft.core.Tables.embeddings(spark, sf())
+  private val partA = embAll.filter(TextOps.splitBucket(col("vec_id")) < 50)
+  private val partB = embAll.filter(TextOps.splitBucket(col("vec_id")) >= 50)
+
+  test("index-probed cosine pairs == full t15 pairs restricted to the batch's neighborhood") {
+    val wh = tmpWh()
+    EmbIndex.seed(wh, partA)
+    val inc = pairSet(EmbIndex.incrementCosinePairs(wh, partB))
+    val bIds = partB.select("vec_id").collect().map(_.getLong(0)).toSet
+    val full = pairSet(TextOps.t15CosineNearDupOf(embAll))
+      .filter { case (a, b, _) => bIds(a) || bIds(b) }
+    assert(inc === full)
+    assert(inc.nonEmpty, "split produced no cross/batch pairs — the assertion checked nothing")
+    assert(inc.forall { case (a, b, _) => bIds(a) || bIds(b) })
+  }
+
+  test("the union-count cap matches t15 semantics: members of oversized codes pair with nothing") {
+    // four identical vectors share one sign code: 2 settled + 2 in the batch
+    val v = Array.fill(Lsh.Dim)(0.25f)
+    def frame(ids: Long*) = ids.map(i => (i, v)).toDF("vec_id", "embedding")
+    val idx = EmbIndex.codedOf(frame(1L, 2L))
+    val bat = EmbIndex.codedOf(frame(3L, 4L))
+    def inc(cap: Int) = pairSet(EmbIndex.incrementCosinePairsOf(
+      idx, bat, Lsh.Bits, TextOps.PairRadius, maxBucket = cap))
+    // cap 4: union occupancy is exactly 4 — all batch-neighborhood pairs,
+    // and they match the full pipeline at the same cap
+    val full4 = pairSet(TextOps.t15CosineNearDupOf(frame(1L, 2L, 3L, 4L), maxBucket = 4))
+      .filter { case (a, b, _) => a >= 3L || b >= 3L }
+    assert(inc(4) === full4)
+    assert(inc(4).map { case (a, b, _) => (a, b) } ===
+      Set((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+    // cap 3: each side alone is under; the union is over — excluded,
+    // exactly as the full pipeline would
+    assert(inc(3) === Set.empty)
+  }
+
+  test("the probe's index scan is partition-pruned to the probed sign codes") {
+    val wh = tmpWh()
+    EmbIndex.seed(wh, partA)
+    val someBuckets = Array(0L, 1L, 2L)
+    val plan = EmbIndex.probedSlice(EmbIndex.coded(wh), someBuckets)
+      .queryExecution.sparkPlan
+    val scans = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains(EmbIndex.TableName)) => s
+    }
+    assert(scans.nonEmpty, "probe does not scan the persisted embedding index")
+    assert(scans.forall(_.partitionFilters.nonEmpty),
+      "index scan carries no partition filters — the probe reads every sign code")
+    val readFiles = scans.flatMap(_.selectedPartitions.toPartitionArray
+      .map(_.filePath.toString))
+    assert(readFiles.nonEmpty)
+    assert(readFiles.forall(p => someBuckets.exists(b => p.contains(s"bucket=$b/"))),
+      s"scan read partitions outside the probe's bucket set: $readFiles")
+  }
+
+  test("appendBatch is replay-idempotent; grown index probes like a reseeded one") {
+    val wh = tmpWh()
+    EmbIndex.seed(wh, partA)
+    EmbIndex.appendBatch(wh, partB)
+    val n = EmbIndex.coded(wh).count()
+    assert(n === embAll.count())
+    EmbIndex.appendBatch(wh, partB) // replay
+    assert(EmbIndex.coded(wh).count() === n)
+    // the grown index serves a LATER batch exactly like a fresh seed of
+    // the union would (empty batch here — sanity no-pair path)
+    assert(EmbIndex.incrementCosinePairs(wh,
+      embAll.filter(lit(false))).isEmpty)
+  }
+
+  test("t40 end-to-end == t34 full recluster rows") {
+    def rows(df: DataFrame) = df.collect().map(_.toSeq).toSeq
+    assert(rows(ClusterState.t40EmbedClusterIncrement(spark, sf())) ===
+      rows(TextOps.t34EmbedDedupClusters(spark, sf())))
+  }
+}
