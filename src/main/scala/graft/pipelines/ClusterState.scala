@@ -143,6 +143,36 @@ object ClusterState {
       read(wh), batchDocs.select(col("doc_id")), pairs, validateEndpoints = false))
   }
 
+  /** [[seedCorpus]]/[[ingestBatch]] for the EMBEDDING signal: same
+    * state table, the [[EmbIndex]] as the pair feed. A deployment
+    * maintaining BOTH signals uses two warehouses (or lets Curation
+    * union the pair feeds into one state via `extraPairs`).
+    */
+  def seedEmbeddings(wh: Warehouse, embSrc: DataFrame,
+                     bits: Int = graft.queries.Lsh.Bits,
+                     radius: Int = TextOps.PairRadius,
+                     maxBucket: Int = TextOps.EmbBucketCap): Unit = {
+    EmbIndex.seed(wh, embSrc, bits)
+    seed(wh, embSrc.select(col("vec_id").as("doc_id")),
+      TextOps.t15CosineNearDupOf(embSrc, bits, radius, maxBucket = maxBucket)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+  }
+
+  /** One embedding ingest batch: code only the batch, probe the
+    * persisted sign-code index, advance, append — the same replay-safe
+    * crash points as [[ingestBatch]].
+    */
+  def ingestEmbeddingBatch(wh: Warehouse, batchEmb: DataFrame,
+                           bits: Int = graft.queries.Lsh.Bits,
+                           radius: Int = TextOps.PairRadius,
+                           maxBucket: Int = TextOps.EmbBucketCap): Unit = {
+    val pairs = EmbIndex.incrementCosinePairs(wh, batchEmb, bits, radius, maxBucket)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    wh.rewrite(TableName, TextOps.dedupClustersIncrement(
+      read(wh), batchEmb.select(col("vec_id").as("doc_id")), pairs, validateEndpoints = false))
+    EmbIndex.appendBatch(wh, batchEmb, bits)
+  }
+
   // ---------------------------------------------------------------- t40
   /** t37's EMBEDDING twin: incremental SEMANTIC dedup through the
     * persisted [[graft.queries.EmbIndex]] — split the embeddings by the

@@ -92,6 +92,23 @@ class EmbIndexSpec extends SparkTestBase {
       embAll.filter(lit(false))).isEmpty)
   }
 
+  test("seedEmbeddings + ingestEmbeddingBatch == full t34-style recluster; replay no-op") {
+    val wh = tmpWh()
+    ClusterState.seedEmbeddings(wh, partA)
+    ClusterState.ingestEmbeddingBatch(wh, partB)
+    def rows(df: DataFrame) = df.collect().map(_.toSeq).toSeq
+    val expect = rows(TextOps.dedupClustersOf(
+      embAll.select(col("vec_id").as("doc_id")).distinct(),
+      TextOps.t15CosineNearDupOf(embAll)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))))
+    assert(rows(ClusterState.clusters(wh)) === expect)
+    val idxN = EmbIndex.coded(wh).count()
+    assert(idxN === embAll.count())
+    ClusterState.ingestEmbeddingBatch(wh, partB) // crash-replay
+    assert(rows(ClusterState.clusters(wh)) === expect)
+    assert(EmbIndex.coded(wh).count() === idxN)
+  }
+
   test("t40 end-to-end == t34 full recluster rows") {
     def rows(df: DataFrame) = df.collect().map(_.toSeq).toSeq
     assert(rows(ClusterState.t40EmbedClusterIncrement(spark, sf())) ===
