@@ -143,6 +143,27 @@ object ClusterState {
       read(wh), batchDocs.select(col("doc_id")), pairs, validateEndpoints = false))
   }
 
+  /** Structured-Streaming front end over [[ingestBatch]]: maintain the
+    * persisted cluster state from a STREAM of documents — each
+    * micro-batch bands itself, probes the band index, advances the
+    * state and appends its bands, exactly the batch lifecycle.
+    * foreachBatch delivers at-least-once; the lifecycle is replay-safe
+    * at every crash point (idempotent advance + (doc_id, band)-granular
+    * append), so a redelivered micro-batch is a no-op and the pipeline
+    * is EFFECTIVELY exactly-once — the same posture as
+    * [[graft.streaming.StreamingIngest]], applied to dedup state.
+    * Caller owns the trigger/checkpoint options on `docs`'s source;
+    * spec drives it with MemoryStream across multiple batches and pins
+    * streamed == full-recluster clusters.
+    */
+  def maintainFromStream(wh: Warehouse, docs: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        ingestBatch(wh, batch.toDF())
+      }
+      .start()
+
   /** [[seedCorpus]]/[[ingestBatch]] for the EMBEDDING signal: same
     * state table, the [[EmbIndex]] as the pair feed. A deployment
     * maintaining BOTH signals uses two warehouses (or lets Curation

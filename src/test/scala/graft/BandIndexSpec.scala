@@ -126,6 +126,29 @@ class BandIndexSpec extends SparkTestBase {
       expect.select("doc_id", "band", "band_key").collect().map(_.toSeq).toSet)
   }
 
+  test("streamed cluster maintenance == full recluster (micro-batches through ingestBatch)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val wh = tmpWh()
+    ClusterState.seedCorpus(wh, partA)
+    // part B arrives as TWO micro-batches of (doc_id, text)
+    val bRows = partB.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val (b1, b2) = bRows.splitAt(bRows.length / 2)
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val q = ClusterState.maintainFromStream(wh, ms.toDF().toDF("doc_id", "text"))
+    try {
+      ms.addData(b1: _*); q.processAllAvailable()
+      ms.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: DataFrame) = df.collect().map(_.toSeq).toSeq
+    assert(rows(ClusterState.clusters(wh)) ===
+      rows(TextOps.dedupClustersOf(
+        docsAll.select(col("doc_id")).distinct(), TextOps.minhashPairsOf(docsAll))))
+    // the index grew to the whole corpus, once each
+    assert(BandIndex.banded(wh).select("doc_id").distinct().count() === docsAll.count())
+  }
+
   test("ensure(dir): content-stamped index in the per-corpus scratch warehouse, memoized repeat") {
     val tmpRoot = java.nio.file.Files.createTempDirectory("graft_bands_root_").toString
     System.setProperty("graft.index.dir", tmpRoot)
