@@ -77,7 +77,7 @@ object ClusterState {
     * re-shingles or re-bands the settled corpus; the only full passes
     * left are one column-pruned read of the prior assignment (the
     * composition join inside the increment) and the append's idempotency
-    * anti-join on the index's doc_id column.
+    * anti-join on the index's (doc_id, band) columns.
     *
     * Replay-safe at every crash point: pairs are recomputed
     * deterministically, a re-run advance is a no-op (the increment drops
@@ -126,7 +126,8 @@ object ClusterState {
     val wh = Warehouse(s, new java.io.File(
       IvfModel.warehouseFor(s, dir).dir, "t37_increment").toString)
     BandIndex.ensureFor(wh, partA,
-      s"bands-partA50\n$dir\n${graft.core.Tables.contentStamp(s, s"$dir/documents.parquet")}")
+      s"bands-partA50\n$dir\nbk=${BandIndex.BkBuckets}\n" +
+        graft.core.Tables.contentStamp(s, s"$dir/documents.parquet"))
     seed(wh, partA.select(col("doc_id")), TextOps.minhashPairsOf(partA))
     ingestBatchNoAppend(wh, partB)
     clusters(wh)
