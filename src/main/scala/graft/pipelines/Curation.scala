@@ -52,8 +52,36 @@ object Curation {
     */
   final class CurationHandle private[pipelines] (
       val curated: DataFrame, val audit: DataFrame,
-      private[graft] val signals: DataFrame) extends AutoCloseable {
+      private[graft] val signals: DataFrame,
+      private[graft] val tagged: DataFrame) extends AutoCloseable {
     def close(): Unit = signals.unpersist(false)
+  }
+
+  /** The single-scan per-doc signal stage (token/stopword/repetition
+    * metrics, content hash, shingle hashes) WITH the quality verdict —
+    * shared verbatim by the full pipeline and
+    * [[IncrementalCuration.ingest]], so the two can never disagree on
+    * stage-1 semantics. The repetition signal rides the shingle array
+    * that the near-dup stage needs anyway: 1 − distinct/total trigrams
+    * is the Gopher-style looping-text catch (repetitive docs would
+    * otherwise sail through the stopword test and flood the near-dup
+    * buckets downstream).
+    */
+  private[pipelines] def withSignals(docs: DataFrame, t: Thresholds): DataFrame = {
+    val base = docs
+      .withColumn("toks", TF.tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_stop", TF.stopwordCount(col("toks"), Seq("the", "a")))
+      .withColumn("stop_ratio",
+        when(col("n_tokens") > 0, col("n_stop").cast("double") / col("n_tokens")).otherwise(1.0))
+      .withColumn("content_hash", md5(col("text")))
+      .withColumn("sh", NT.md5ShingleHashes(col("text"), 3))
+      .drop("toks", "n_stop")
+    val repRatio = when(col("n_tokens") >= 3,
+      lit(1.0) - size(col("sh")).cast("double") / (col("n_tokens") - 2))
+      .otherwise(0.0)
+    base.withColumn("q_ok", col("n_tokens") >= t.minTokens &&
+      col("stop_ratio") <= t.maxStopwordRatio && repRatio <= t.maxRepRatio)
   }
 
   /** One lineage, no intermediate actions: every row is tagged with the
@@ -102,34 +130,14 @@ object Curation {
                    t: Thresholds = Thresholds(),
                    useClusters: Boolean = false,
                    extraPairs: Option[DataFrame] = None): CurationHandle = {
-    // single scan: every per-doc signal at once
-    val signals = docs
-      .withColumn("toks", TF.tokens(col("text")))
-      .withColumn("n_tokens", size(col("toks")))
-      .withColumn("n_stop", TF.stopwordCount(col("toks"), Seq("the", "a")))
-      .withColumn("stop_ratio",
-        when(col("n_tokens") > 0, col("n_stop").cast("double") / col("n_tokens")).otherwise(1.0))
-      .withColumn("content_hash", md5(col("text")))
-      .withColumn("sh", NT.md5ShingleHashes(col("text"), 3))
-      .drop("toks", "n_stop")
-      .cache()
-
-    // stage 1: quality — length/stopword rules plus the t25 repetition
-    // signal, free here: the shingle array is already computed for the
-    // near-dup stage, and 1 − distinct/total trigrams is the Gopher-style
-    // looping-text catch (repetitive docs would otherwise sail through the
-    // stopword test and flood the near-dup buckets downstream)
-    val repRatio = when(col("n_tokens") >= 3,
-      lit(1.0) - size(col("sh")).cast("double") / (col("n_tokens") - 2))
-      .otherwise(0.0)
-    val qOk = col("n_tokens") >= t.minTokens &&
-      col("stop_ratio") <= t.maxStopwordRatio && repRatio <= t.maxRepRatio
+    // single scan: every per-doc signal at once (stage 1 — quality —
+    // rides along as the q_ok column; see withSignals)
+    val signals = withSignals(docs, t).cache()
 
     // stage 2: exact dedup — min doc_id among quality survivors per hash
-    val keepId = min(when(qOk, col("doc_id")))
+    val keepId = min(when(col("q_ok"), col("doc_id")))
       .over(org.apache.spark.sql.expressions.Window.partitionBy(col("content_hash")))
     val staged = signals
-      .withColumn("q_ok", qOk)
       .withColumn("exact_ok", col("q_ok") && col("doc_id") === keepId)
 
     // stage 3: near-dup — MinHash-LSH candidates above the jaccard
@@ -194,7 +202,7 @@ object Curation {
       count(when(col("stage") === "exact_dup", 1)).as("dropped_exact_dup"),
       count(when(col("stage") === "near_dup", 1)).as("dropped_near_dup"),
       count(when(col("stage") === "kept", 1)).as("curated_docs"))
-    new CurationHandle(curated, audit, signals)
+    new CurationHandle(curated, audit, signals, tagged)
   }
 
   /** The multi-signal wiring: map embedding-space near-dup pairs (t15's

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.etl.Warehouse
+import graft.pipelines.{Curation, IncrementalCuration}
+import graft.queries.BandIndex
+
+/** Incremental curation against persisted state: batch tags equal the
+  * full pipeline's (append-only ids), replay is a no-op, and the
+  * first-won drop semantics against settled survivors.
+  */
+class IncrementalCurationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmpWh(): Warehouse =
+    Warehouse(spark, java.nio.file.Files.createTempDirectory("graft_inccur_").toString)
+
+  private val docsAll = graft.core.Tables.documents(spark, sf())
+  // plain id-threshold split: the append-only shape (batch ids > settled
+  // ids) under which incremental == full EXACTLY
+  private val partA = docsAll.filter(col("doc_id") < 250)
+  private val partB = docsAll.filter(col("doc_id") >= 250)
+
+  private def ids(df: DataFrame): Set[Long] =
+    df.select("doc_id").collect().map(_.getLong(0)).toSet
+
+  test("seed(A) + ingest(B) == full curate(A ∪ B): exact survivors and kept set per-doc") {
+    val wh = tmpWh()
+    IncrementalCuration.seed(wh, partA)
+    val (curB, audB) = IncrementalCuration.ingest(wh, partB)
+    val run = Curation.curateHandle(docsAll)
+    try {
+      val fullTags = run.tagged.select("doc_id", "stage").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val bIds = ids(partB)
+      // per-doc parity, assembled from three complete pins:
+      // (1) the kept set — the batch's curated ids == full kept ∩ B
+      assert(ids(curB) === fullTags.collect { case (id, "kept") if bIds(id) => id }.toSet)
+      // (2) the exact-survivor set — after ingest, the band index holds
+      // exactly the union's exact survivors (near_dup ∪ kept), so the
+      // exact stage agreed doc-by-doc
+      assert(ids(BandIndex.banded(wh)) ===
+        fullTags.collect { case (id, s) if s == "near_dup" || s == "kept" => id }.toSet)
+      // (3) the audit counters over B match the full pipeline's B slice
+      val audit = audB.collect().head
+      def fullCount(stage: String) = fullTags.count { case (id, s) => bIds(id) && s == stage }
+      assert(audit.getAs[Long]("input_docs") === bIds.size.toLong)
+      assert(audit.getAs[Long]("dropped_quality") === fullCount("quality").toLong)
+      assert(audit.getAs[Long]("dropped_exact_dup") === fullCount("exact_dup").toLong)
+      assert(audit.getAs[Long]("dropped_near_dup") === fullCount("near_dup").toLong)
+      assert(audit.getAs[Long]("curated_docs") === fullCount("kept").toLong)
+    } finally run.close()
+  }
+
+  test("replayed ingest is a no-op: same tags and audit, zero state growth") {
+    val wh = tmpWh()
+    IncrementalCuration.seed(wh, partA)
+    val (c1, a1) = IncrementalCuration.ingest(wh, partB)
+    val hashN = wh.read(IncrementalCuration.HashTable, IncrementalCuration.HashSchema).count()
+    val bandN = BandIndex.banded(wh).count()
+    val (c2, a2) = IncrementalCuration.ingest(wh, partB)
+    assert(ids(c2) === ids(c1))
+    assert(a2.collect().head.toSeq === a1.collect().head.toSeq)
+    assert(wh.read(IncrementalCuration.HashTable, IncrementalCuration.HashSchema).count() === hashN)
+    assert(BandIndex.banded(wh).count() === bandN)
+  }
+
+  test("first-won against settled state: exact and near duplicates of settled survivors drop") {
+    val wh = tmpWh()
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val variant = base.replace(" mu", " nu") // near-dup: 9 of 11 shingles shared
+    def frame(rows: (Long, String)*) =
+      rows.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    IncrementalCuration.seed(wh, frame(1L -> base))
+    val (cur, aud) = IncrementalCuration.ingest(wh,
+      frame(10L -> base, 11L -> variant, 12L -> "unrelated words entirely distinct tokens here for quality pass today ok"))
+    val a = aud.collect().head
+    assert(a.getAs[Long]("dropped_exact_dup") === 1L, "settled hash did not catch the exact copy")
+    assert(a.getAs[Long]("dropped_near_dup") === 1L, "settled band index did not catch the near-dup")
+    assert(ids(cur) === Set(12L))
+    // the settled survivor still stands — state holds exactly {1, 12}
+    // as exact survivors plus near-dup members of the batch
+    assert(ids(BandIndex.banded(wh)) === Set(1L, 11L, 12L))
+  }
+}
