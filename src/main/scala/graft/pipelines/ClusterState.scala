@@ -134,9 +134,11 @@ object ClusterState {
   }
 
   /** [[ingestBatch]] minus the index append — t37 must leave the index at
-    * exactly part A so every driver invocation replays the same probe
-    * (an appended index would double-count B in the union bucket caps on
-    * the next run).
+    * exactly part A: [[BandIndex.ensureFor]] stamp-guards the table as
+    * part-A content, and an append would grow it under the same stamp,
+    * serving A ∪ B to any later caller trusting that stamp. (The probe
+    * itself is replay-exact either way — it anti-joins the current
+    * batch's ids out of the index side — but the stamp must not lie.)
     */
   private def ingestBatchNoAppend(wh: Warehouse, batchDocs: DataFrame): Unit = {
     val pairs = BandIndex.incrementCandidatePairs(wh, batchDocs)

@@ -192,8 +192,17 @@ object BandIndex {
     // reference re-reads the pruned partitions and re-runs the semi-join
     // (the formatted plan showed 4 index scans). Bounded by
     // |batch keys| × union bucket occupancy — probe-sized, not
-    // corpus-sized.
-    val probed = cut(probedSlice(index, bb, buckets))
+    // corpus-sized. The anti-join on doc_id makes the probe REPLAY-EXACT:
+    // a batch whose bands already landed in the index (crash after
+    // [[appendBatch]], orchestrator redelivers) would otherwise appear on
+    // BOTH union sides — its rows double-counted into the cap occupancy,
+    // flipping a boundary bucket to oversized only on the replay and
+    // yielding different pairs than the first run. Excluding the batch's
+    // own ids from the index side makes a replayed probe read exactly the
+    // settled-minus-batch corpus, so replay == first run bit-for-bit,
+    // cap decisions included (spec-pinned at a biting cap).
+    val probed = cut(probedSlice(index, bb, buckets)
+      .join(bb.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti"))
 
     // the skew cap over the UNION's bucket counts — exactly what
     // capBuckets computes on a full recluster of (index ∪ batch). Keys

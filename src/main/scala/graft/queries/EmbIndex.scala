@@ -122,7 +122,12 @@ object EmbIndex {
     // the batch-sized frame — a STATIC partition filter, like BandIndex
     val codes = bc.select(col("bucket")).distinct().collect().map(_.getLong(0))
     val probeBuckets = codes.flatMap(c => masks.map(c ^ _)).distinct
-    val probed = cut(probedSlice(index, probeBuckets))
+    // anti-join on vec_id = the replay-exactness guard (same reasoning as
+    // [[BandIndex.incrementPairsOf]]): a batch already appended by a
+    // crashed run must not count twice into the union cap occupancy nor
+    // ride the corpus side of the pair join
+    val probed = cut(probedSlice(index, probeBuckets)
+      .join(bc.select(col("vec_id")), Seq("vec_id"), "left_anti"))
 
     // the t15 skew cap on the UNION's occupancy. Counts must cover every
     // probed bucket (a corpus vector there may pair with a batch probe),

@@ -61,6 +61,25 @@ class BandIndexSpec extends SparkTestBase {
     assert(pairSet(BandIndex.incrementPairsOf(idx, bat, maxBucket = 3)) === Set.empty)
   }
 
+  test("the probe is replay-exact at a biting cap: a batch already in the index counts once") {
+    // the crash shape: appendBatch committed, the orchestrator redelivers
+    // the batch — its rows are now on BOTH sides of the probe. Four
+    // identical docs at cap 4: union occupancy is exactly 4 on the first
+    // run (pairs survive). Double-counting the replayed batch would read
+    // 4 + 2 = 6 > 4 and flip the bucket to oversized, silently dropping
+    // every pair the first run emitted.
+    val text = "alpha beta gamma delta epsilon zeta"
+    val idx = BandIndex.bandedOf(Seq((1L, text), (2L, text)).toDF("doc_id", "text"))
+    val bat = BandIndex.bandedOf(Seq((3L, text), (4L, text)).toDF("doc_id", "text"))
+    val idxAfterAppend = BandIndex.bandedOf(
+      Seq((1L, text), (2L, text), (3L, text), (4L, text)).toDF("doc_id", "text"))
+    val first = pairSet(BandIndex.incrementPairsOf(idx, bat, maxBucket = 4))
+    val replay = pairSet(BandIndex.incrementPairsOf(idxAfterAppend, bat, maxBucket = 4))
+    assert(first.nonEmpty, "cap-4 first run emitted nothing — the replay assert checks nothing")
+    assert(replay === first,
+      "replayed probe (batch already appended) diverged from the first run")
+  }
+
   test("the probe's index scan is partition-pruned (static bk_bucket filter)") {
     val wh = tmpWh()
     BandIndex.seed(wh, partA)

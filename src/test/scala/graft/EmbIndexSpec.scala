@@ -58,6 +58,24 @@ class EmbIndexSpec extends SparkTestBase {
     assert(inc(3) === Set.empty)
   }
 
+  test("the probe is replay-exact at a biting cap: a batch already in the index counts once") {
+    // same crash shape as the BandIndex twin: appendBatch committed, the
+    // batch redelivered. At cap 4 the first run's union occupancy is
+    // exactly 4; double-counting the replayed batch would read 6 > 4 and
+    // drop every pair the first run emitted.
+    val v = Array.fill(Lsh.Dim)(0.25f)
+    def frame(ids: Long*) = ids.map(i => (i, v)).toDF("vec_id", "embedding")
+    val idx = EmbIndex.codedOf(frame(1L, 2L))
+    val bat = EmbIndex.codedOf(frame(3L, 4L))
+    val idxAfterAppend = EmbIndex.codedOf(frame(1L, 2L, 3L, 4L))
+    def inc(i: DataFrame) = pairSet(EmbIndex.incrementCosinePairsOf(
+      i, bat, Lsh.Bits, TextOps.PairRadius, maxBucket = 4))
+    val first = inc(idx)
+    assert(first.nonEmpty, "cap-4 first run emitted nothing — the replay assert checks nothing")
+    assert(inc(idxAfterAppend) === first,
+      "replayed probe (batch already appended) diverged from the first run")
+  }
+
   test("the probe's index scan is partition-pruned to the probed sign codes") {
     val wh = tmpWh()
     EmbIndex.seed(wh, partA)
