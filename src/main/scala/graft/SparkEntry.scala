@@ -28,7 +28,9 @@ object SparkEntry {
       ("t40_embed_cluster_increment" -> ((s: SparkSession, d: String) =>
         graft.pipelines.ClusterState.t40EmbedClusterIncrement(s, d,
           TextOps.DialBits,
-          TextOps.DialRadius.getOrElse(TextOps.PairRadius), TextOps.DialEmbCap)))
+          TextOps.DialRadius.getOrElse(TextOps.PairRadius), TextOps.DialEmbCap))) +
+      ("t41_incremental_curation" ->
+        (graft.pipelines.IncrementalCuration.t41IncrementalCuration _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for hash-seed-dependent ops (MinHash/
@@ -54,5 +56,8 @@ object SparkEntry {
       ("t38_curation_multisignal" -> graft.pipelines.Curation.t38Sql) +
       // t40's claim is t37's on the embedding side: increment == full
       // recluster, so the oracle is t34's whole-corpus closure
-      ("t40_embed_cluster_increment" -> TextOps.t34Sql)
+      ("t40_embed_cluster_increment" -> TextOps.t34Sql) +
+      // t41's claim is "one batch through persisted state tags exactly
+      // like the full pipeline": full t35 staging, batch-slice counters
+      ("t41_incremental_curation" -> graft.pipelines.IncrementalCuration.t41Sql)
 }

@@ -243,17 +243,14 @@ object Curation {
   def t35CurationAudit(s: SparkSession, dir: String): DataFrame =
     curate(s, graft.core.Tables.documents(s, dir))._2
 
-  /** DuckDB replay of the full staging: the t06 family's shingle/sig/pair
-    * CTE fragments (same md5 base hash, MinHash constants, band cap)
-    * restricted to the exact-stage survivors, plus the quality rules and
-    * the min-per-content-hash exact stage, aggregated to the same five
-    * counters. Thresholds are inlined from the same [[Thresholds]]
-    * defaults the query runs at.
+  /** The staging CTE block shared verbatim by t35/t41's oracles —
+    * per-doc quality signals, the min-per-hash exact stage, and the
+    * survivor-restricted shingle feed for the near-dup chain. Mirrors
+    * [[withSignals]] + the exact stage of [[curate]] one-to-one.
     */
-  lazy val t35Sql: String = {
-    val t = Thresholds()
+  private[pipelines] def stagingSqlCtes(t: Thresholds): String = {
     val T = graft.queries.TextOps
-    s"""WITH ${T.shingleCtes},
+    s"""${T.shingleCtes},
        |q AS (
        |  SELECT d.doc_id,
        |    len(t.toks) AS n_tokens,
@@ -287,14 +284,29 @@ object Curation {
        |         WHEN NOT s.exact_ok THEN 'exact_dup'
        |         WHEN d.doc_id IS NOT NULL THEN 'near_dup'
        |         ELSE 'kept' END AS stage
-       |  FROM staged2 s LEFT JOIN drops d ON s.doc_id = d.doc_id)
-       |SELECT count(*) AS input_docs,
+       |  FROM staged2 s LEFT JOIN drops d ON s.doc_id = d.doc_id)""".stripMargin
+  }
+
+  /** The five audit counters over `tagged`, optionally restricted — the
+    * shared tail of the curation oracles.
+    */
+  private[pipelines] def auditSelectSql(where: String = ""): String =
+    s"""SELECT count(*) AS input_docs,
        |  count(CASE WHEN stage = 'quality' THEN 1 END) AS dropped_quality,
        |  count(CASE WHEN stage = 'exact_dup' THEN 1 END) AS dropped_exact_dup,
        |  count(CASE WHEN stage = 'near_dup' THEN 1 END) AS dropped_near_dup,
        |  count(CASE WHEN stage = 'kept' THEN 1 END) AS curated_docs
-       |FROM tagged""".stripMargin
-  }
+       |FROM tagged$where""".stripMargin
+
+  /** DuckDB replay of the full staging: the t06 family's shingle/sig/pair
+    * CTE fragments (same md5 base hash, MinHash constants, band cap)
+    * restricted to the exact-stage survivors, plus the quality rules and
+    * the min-per-content-hash exact stage, aggregated to the same five
+    * counters. Thresholds are inlined from the same [[Thresholds]]
+    * defaults the query runs at.
+    */
+  lazy val t35Sql: String =
+    s"WITH ${stagingSqlCtes(Thresholds())}\n${auditSelectSql()}"
 
   // ---------------------------------------------------------------- t38
   /** MULTI-SIGNAL curation with TRANSITIVE clustering as a registered,

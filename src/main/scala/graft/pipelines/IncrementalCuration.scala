@@ -1,6 +1,6 @@
 package graft.pipelines
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -137,4 +137,40 @@ object IncrementalCuration {
       staged2.filter(col("exact_ok")).select(col("doc_id"), col("text")))
     (curatedOut, auditOut)
   }
+
+  // ---------------------------------------------------------------- t41
+  /** The incremental lifecycle as a registered, ORACLE-CHECKED query:
+    * [[seed]] on the low-id half of the corpus (ids ≤ max/2 — the
+    * append-only shape, under which incremental == full EXACTLY), then
+    * [[ingest]] of the high-id half against the persisted hash table and
+    * band index, returning the batch's audit row. The oracle replays the
+    * FULL t35 staging over the whole corpus in DuckDB and counts only
+    * the batch slice — "one batch through persisted state tags exactly
+    * like the full pipeline" IS the claim, proved per driver round
+    * through the warehouse + hash-compare, not only in specs
+    * (IncrementalCurationSpec pins the same parity per-doc).
+    *
+    * Each invocation re-seeds both artifacts (versioned rewrites — fresh
+    * generations, so repeat Verify/Bench runs replay identically and a
+    * previous invocation's appends never leak into the seed). The 1-row
+    * max-id read is the only driver-side value, used to derive the same
+    * split the oracle computes with a scalar subquery.
+    */
+  def t41IncrementalCuration(s: SparkSession, dir: String): DataFrame = {
+    import graft.queries.IvfModel
+    val docs = graft.core.Tables.documents(s, dir)
+    val splitId = docs.agg(max(col("doc_id"))).head.getLong(0) / 2
+    val wh = Warehouse(s, new java.io.File(
+      IvfModel.warehouseFor(s, dir).dir, "t41_inccur").toString)
+    seed(wh, docs.filter(col("doc_id") <= splitId))
+    ingest(wh, docs.filter(col("doc_id") > splitId))._2
+  }
+
+  /** t35's staging over the WHOLE corpus, counters over the batch slice
+    * only — the full-pipeline tags the incremental run must reproduce.
+    */
+  lazy val t41Sql: String =
+    s"WITH ${Curation.stagingSqlCtes(Curation.Thresholds())}\n" +
+      Curation.auditSelectSql(
+        "\nWHERE doc_id > (SELECT CAST(floor(max(doc_id) / 2) AS BIGINT) FROM documents)")
 }
