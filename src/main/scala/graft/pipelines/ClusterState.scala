@@ -146,6 +146,43 @@ object ClusterState {
       read(wh), batchDocs.select(col("doc_id")), pairs, validateEndpoints = false))
   }
 
+  // ------------------------------------------------------ reconciliation
+  /** Periodic reconciliation — the CODED answer to the union-cap-crossing
+    * caveat, not just a documented posture: rebuild both artifacts from
+    * the full corpus ([[seedCorpus]] — segment-merge style) and return
+    * how far the incremental state had drifted: the number of docs whose
+    * canonical cluster label the rebuild changed (including docs the
+    * state was missing entirely, and stale docs the rebuild no longer
+    * knows). Zero when no bucket ever crossed the cap only in the union —
+    * the normal case, so a deployment alerts on the returned count and
+    * tunes its reconciliation cadence by the measured drift, exactly the
+    * reference's full-resync-after-N-increments posture
+    * (etl_sync.py:356-385 re-pulls a full window on schedule).
+    */
+  def reconcile(wh: Warehouse, docs: DataFrame): Long =
+    reconcileWith(wh) { seedCorpus(wh, docs) }
+
+  /** [[reconcile]] for the embedding signal: full [[seedEmbeddings]]
+    * rebuild, same drift measure.
+    */
+  def reconcileEmbeddings(wh: Warehouse, embSrc: DataFrame,
+                          bits: Int = graft.queries.Lsh.Bits,
+                          radius: Int = TextOps.PairRadius,
+                          maxBucket: Int = TextOps.EmbBucketCap): Long =
+    reconcileWith(wh) { seedEmbeddings(wh, embSrc, bits, radius, maxBucket) }
+
+  private def reconcileWith(wh: Warehouse)(rebuild: => Unit): Long = {
+    // materialize the pre-rebuild assignment EAGERLY: the rebuild commits
+    // a new generation, and a lazy frame would race the retention window
+    val before = read(wh)
+      .withColumnRenamed("cluster", "cluster_before").localCheckpoint()
+    rebuild
+    read(wh).join(before, Seq("doc_id"), "full_outer")
+      .filter(col("cluster").isNull || col("cluster_before").isNull ||
+        col("cluster") =!= col("cluster_before"))
+      .count()
+  }
+
   /** Structured-Streaming front end over [[ingestBatch]]: maintain the
     * persisted cluster state from a STREAM of documents — each
     * micro-batch bands itself, probes the band index, advances the

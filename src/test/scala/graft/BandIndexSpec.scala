@@ -125,6 +125,18 @@ class BandIndexSpec extends SparkTestBase {
     assert(BandIndex.banded(wh).count() === idxRows)
   }
 
+  test("reconcile after an honest ingest reports zero drift and leaves full-recluster state") {
+    val wh = tmpWh()
+    ClusterState.seedCorpus(wh, partA)
+    ClusterState.ingestBatch(wh, partB)
+    // no bucket crosses the cap at this scale: increment == full, so the
+    // full rebuild changes nothing and the measured drift is exactly 0
+    assert(ClusterState.reconcile(wh, docsAll) === 0L)
+    def rows(df: DataFrame) = df.collect().map(_.toSeq).toSeq
+    assert(rows(ClusterState.clusters(wh)) === rows(TextOps.dedupClustersOf(
+      docsAll.select(col("doc_id")).distinct(), TextOps.minhashPairsOf(docsAll))))
+  }
+
   test("a torn append repairs at (doc_id, band) granularity — missing bands complete, nothing duplicates") {
     val wh = tmpWh()
     BandIndex.seed(wh, partA)

@@ -96,6 +96,26 @@ class EmbIndexSpec extends SparkTestBase {
       s"scan read partitions outside the probe's bucket set: $readFiles")
   }
 
+  test("reconcileEmbeddings repairs a cap-crossed state and reports the measured drift") {
+    // the t40 caveat, synthesized: at cap 3 the seed sees occupancy 2 and
+    // clusters (1,2); the union occupancy 4 crosses the cap only at
+    // ingest time, so the increment keeps that stale pair while the full
+    // pipeline at cap 3 drops the bucket and keeps everyone apart
+    val wh = tmpWh()
+    val v = Array.fill(Lsh.Dim)(0.25f)
+    def frame(ids: Long*) = ids.map(i => (i, v)).toDF("vec_id", "embedding")
+    ClusterState.seedEmbeddings(wh, frame(1L, 2L), maxBucket = 3)
+    ClusterState.ingestEmbeddingBatch(wh, frame(3L, 4L), maxBucket = 3)
+    // one cluster of size 2 presents one row per member
+    assert(ClusterState.clusters(wh).count() === 2L, "seed did not cluster (1,2)")
+    assert(TextOps.t15CosineNearDupOf(frame(1L, 2L, 3L, 4L), maxBucket = 3).count() === 0L,
+      "fixture broken: the full pipeline at cap 3 should emit no pairs")
+    // rebuild measures exactly the one stale label (doc 2 reverts 1 → 2)
+    // and leaves the state equal to the full recluster: all singletons
+    assert(ClusterState.reconcileEmbeddings(wh, frame(1L, 2L, 3L, 4L), maxBucket = 3) === 1L)
+    assert(ClusterState.clusters(wh).count() === 0L)
+  }
+
   test("appendBatch is replay-idempotent; grown index probes like a reseeded one") {
     val wh = tmpWh()
     EmbIndex.seed(wh, partA)
