@@ -310,6 +310,31 @@ case class Warehouse(spark: SparkSession, dir: String) {
   def appendLive(name: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit =
     df.write.mode("append").partitionBy(partitionBy: _*).parquet(resolve(name).toString)
 
+  /** Compact a table grown by [[appendLive]]: re-commit the live rows as
+    * ONE fresh generation with the per-batch file litter coalesced — at
+    * scale every append leaves ≥ 1 file per touched partition per batch,
+    * and a year of daily batches turns each partition directory into
+    * hundreds of small files whose open/footer overhead dominates the
+    * probe reads this layout exists to keep cheap. Rows (ALL columns,
+    * including any stamp column) are preserved verbatim; partitioned
+    * tables are shuffled onto their partition columns so each `col=value`
+    * directory lands as one task's output (a directory larger than one
+    * task's budget wants `spark.sql.files.maxRecordsPerFile` on top),
+    * unpartitioned tables coalesce to `numFiles`. Readers are never
+    * torn: this is the same pointer-flip commit as [[rewrite]] — the
+    * appended generation keeps serving until the compacted one commits,
+    * and a crash mid-compact leaves it live (the reference's posture of
+    * VACUUM-equivalents never blocking reads).
+    */
+  def compact(name: String, schema: StructType, partitionBy: Seq[String] = Nil,
+              numFiles: Int = 1): Unit = {
+    val df = read(name, schema)
+    val packed =
+      if (partitionBy.nonEmpty) df.repartition(partitionBy.map(df.col): _*)
+      else df.repartition(numFiles)
+    rewrite(name, packed, partitionBy)
+  }
+
   /** Small control/dimension tables are rewritten atomically per run
     * (checkpoints, sync_log rollups, periodos after a transition): write a
     * new version directory, flip the pointer, GC superseded versions.

@@ -133,6 +133,15 @@ object BandIndex {
       partitionBy = Seq("bk_bucket"))
   }
 
+  /** Coalesce the per-batch append litter — one file per bk_bucket
+    * directory, rows (stamps included) verbatim, pointer-flip commit.
+    * Schedule with the same cadence thinking as
+    * [[graft.pipelines.ClusterState.reconcile]]; the two compose (a
+    * reconcile's full rewrite is itself compact).
+    */
+  def compact(wh: Warehouse): Unit =
+    wh.compact(TableName, Schema, partitionBy = Seq("bk_bucket"))
+
   /** Candidate pairs of an ingest batch against the persisted index —
     * every pair (doc_a < doc_b, est_jaccard ≥ 0.5) with AT LEAST ONE
     * endpoint in the batch, identical to a full-corpus

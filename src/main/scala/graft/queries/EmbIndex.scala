@@ -85,6 +85,13 @@ object EmbIndex {
       partitionBy = Seq("bucket"))
   }
 
+  /** Coalesce the per-batch append litter — one file per sign-code
+    * directory, rows verbatim, pointer-flip commit (see
+    * [[BandIndex.compact]]).
+    */
+  def compact(wh: Warehouse): Unit =
+    wh.compact(TableName, Schema, partitionBy = Seq("bucket"))
+
   /** Cosine near-dup pairs of an ingest batch against the persisted
     * index — every pair (vec_a < vec_b, cosine ≥ τ) with AT LEAST ONE
     * endpoint in the batch, identical to [[TextOps.t15CosineNearDupOf]]

@@ -125,6 +125,30 @@ class BandIndexSpec extends SparkTestBase {
     assert(BandIndex.banded(wh).count() === idxRows)
   }
 
+  test("compact coalesces append litter: rows and stamps verbatim, fewer files, probe unchanged") {
+    val wh = tmpWh()
+    BandIndex.seed(wh, partA)
+    // two separate appends: every touched bk_bucket dir accrues one file
+    // per batch on top of the seed's — the small-files growth compact
+    // exists to reverse
+    BandIndex.appendBatch(wh, partB.filter(col("doc_id") % 2 === 0))
+    BandIndex.appendBatch(wh, partB.filter(col("doc_id") % 2 === 1))
+    def raw() = wh.read(BandIndex.TableName, BandIndex.Schema)
+    def rowSet() = raw().collect().map(_.toSeq).toSet
+    val (rowsBefore, nBefore) = (rowSet(), raw().count())
+    val filesBefore = raw().inputFiles.length
+    val pairsBefore = pairSet(BandIndex.incrementCandidatePairs(wh, partB))
+    BandIndex.compact(wh)
+    assert(raw().count() === nBefore)
+    assert(rowSet() === rowsBefore, "compact changed row content")
+    val filesAfter = raw().inputFiles.length
+    assert(filesAfter < filesBefore,
+      s"compact did not reduce files ($filesBefore -> $filesAfter)")
+    // one file per partition directory
+    assert(filesAfter === raw().select("bk_bucket").distinct().count().toInt)
+    assert(pairSet(BandIndex.incrementCandidatePairs(wh, partB)) === pairsBefore)
+  }
+
   test("reconcile after an honest ingest reports zero drift and leaves full-recluster state") {
     val wh = tmpWh()
     ClusterState.seedCorpus(wh, partA)
