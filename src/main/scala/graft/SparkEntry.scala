@@ -30,7 +30,9 @@ object SparkEntry {
           TextOps.DialBits,
           TextOps.DialRadius.getOrElse(TextOps.PairRadius), TextOps.DialEmbCap))) +
       ("t41_incremental_curation" ->
-        (graft.pipelines.IncrementalCuration.t41IncrementalCuration _))
+        (graft.pipelines.IncrementalCuration.t41IncrementalCuration _)) +
+      ("t42_incremental_multisignal" ->
+        (graft.pipelines.IncrementalCuration.t42IncrementalMultiSignal _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for hash-seed-dependent ops (MinHash/
@@ -59,5 +61,8 @@ object SparkEntry {
       ("t40_embed_cluster_increment" -> TextOps.t34Sql) +
       // t41's claim is "one batch through persisted state tags exactly
       // like the full pipeline": full t35 staging, batch-slice counters
-      ("t41_incremental_curation" -> graft.pipelines.IncrementalCuration.t41Sql)
+      ("t41_incremental_curation" -> graft.pipelines.IncrementalCuration.t41Sql) +
+      // t42 = t41 with both signals: t15 chain unioned into the pairwise
+      // drop set, survivor-gated, batch-slice counters
+      ("t42_incremental_multisignal" -> graft.pipelines.IncrementalCuration.t42Sql)
 }

@@ -248,7 +248,8 @@ object Curation {
     * survivor-restricted shingle feed for the near-dup chain. Mirrors
     * [[withSignals]] + the exact stage of [[curate]] one-to-one.
     */
-  private[pipelines] def stagingSqlCtes(t: Thresholds): String = {
+  private[pipelines] def stagingSqlCtes(t: Thresholds, extraPairSql: String = "",
+                                        preDropsCtes: String = ""): String = {
     val T = graft.queries.TextOps
     s"""${T.shingleCtes},
        |q AS (
@@ -275,9 +276,10 @@ object Curation {
        |  SELECT hs.doc_id, hs.hs FROM hs JOIN staged2 USING (doc_id)
        |  WHERE staged2.exact_ok),
        |${T.sigCteFrom("hs_surv")},
-       |${T.candPairCtes},
-       |drops AS (SELECT DISTINCT doc_b AS doc_id FROM est
-       |          WHERE est_jaccard >= ${t.nearDupJaccard}),
+       |${T.candPairCtes},$preDropsCtes
+       |drops AS (SELECT DISTINCT doc_b AS doc_id FROM (
+       |  SELECT doc_a, doc_b FROM est
+       |  WHERE est_jaccard >= ${t.nearDupJaccard}$extraPairSql)),
        |tagged AS (
        |  SELECT s.doc_id,
        |    CASE WHEN NOT s.q_ok THEN 'quality'

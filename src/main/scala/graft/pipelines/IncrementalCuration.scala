@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 import graft.etl.Warehouse
-import graft.queries.BandIndex
+import graft.queries.{BandIndex, EmbIndex, TextOps}
 
 /** INCREMENTAL curation — the flagship composition (quality → exact dedup
   * → near-dup removal, [[Curation]]) applied per ingest batch WITHOUT
@@ -46,6 +46,37 @@ object IncrementalCuration {
   val HashSchema: StructType = StructType(Seq(
     StructField("content_hash", StringType), StructField("keep_id", LongType)))
 
+  /** The OPTIONAL embedding signal, making the incremental pipeline
+    * multi-signal like the full one (t38's shape): `embSrc` is the
+    * (vec_id, embedding) frame of the corpus slice at hand — the settled
+    * corpus in [[seed]], ONE batch in [[ingest]] — `vecToDoc` maps vector
+    * ids onto document ids (identity when a document's vector shares its
+    * id, the common case), and the dials are t15's. The persisted twin
+    * artifact is the [[EmbIndex]] over ALL settled vectors (not only
+    * survivors — the full pipeline computes t15 over the whole vector
+    * table and gates afterwards, so the incremental probe must see the
+    * same bucket occupancies to cap identically); survivor gating happens
+    * on the mapped doc pairs, exactly where [[Curation.curateHandle]]
+    * gates `extraPairs`.
+    */
+  final case class EmbeddingSignal(embSrc: DataFrame,
+                                   vecToDoc: Option[DataFrame] = None,
+                                   bits: Int = graft.queries.Lsh.Bits,
+                                   radius: Int = TextOps.PairRadius,
+                                   maxBucket: Int = TextOps.EmbBucketCap) {
+    /** Vector pairs → doc pairs. `vecToDoc = None` means a document's
+      * vector SHARES its id — a plain rename, no join. An explicit
+      * mapping MUST cover every vector a probe can return, i.e. the
+      * settled corpus's vectors as well as this slice's: the probe pairs
+      * one batch endpoint with one settled endpoint, and a mapping built
+      * from the batch alone would silently drop every cross pair in the
+      * inner join (the bug the multi-signal parity spec pins).
+      */
+    private[pipelines] def docPairsOf(vPairs: DataFrame): DataFrame =
+      vecToDoc.map(m => Curation.embeddingDocPairs(vPairs, m))
+        .getOrElse(vPairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+  }
+
   private def cut(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
     else df.localCheckpoint()
@@ -56,13 +87,25 @@ object IncrementalCuration {
     * MATERIALIZED (the handle's cache pin is released before returning).
     */
   def seed(wh: Warehouse, docs: DataFrame,
-           t: Curation.Thresholds = Curation.Thresholds()): (DataFrame, DataFrame) = {
-    val run = Curation.curateHandle(docs, t)
+           t: Curation.Thresholds = Curation.Thresholds(),
+           emb: Option[EmbeddingSignal] = None): (DataFrame, DataFrame) = {
+    // the settled corpus's own embedding pairs go through the FULL
+    // pipeline's extraPairs hook (survivor gating included); they affect
+    // only the near_dup/kept split of the returned outputs, never the
+    // persisted state — both artifacts hold EXACT survivors, which no
+    // near-dup signal can change
+    val extras = emb.map { e =>
+      e.docPairsOf(
+        TextOps.t15CosineNearDupOf(e.embSrc, e.bits, e.radius, maxBucket = e.maxBucket)
+          .select(col("vec_a"), col("vec_b")))
+    }
+    val run = Curation.curateHandle(docs, t, extraPairs = extras)
     try {
       val surv = run.tagged.filter(col("stage").isin("near_dup", "kept"))
       wh.rewrite(HashTable,
         surv.select(col("content_hash"), col("doc_id").as("keep_id")))
       BandIndex.seed(wh, surv.select(col("doc_id"), col("text")))
+      emb.foreach(e => EmbIndex.seed(wh, e.embSrc, e.bits))
       (cut(run.curated), cut(run.audit))
     } finally run.close()
   }
@@ -75,7 +118,8 @@ object IncrementalCuration {
     * with the same columns and stage semantics as [[Curation.curate]].
     */
   def ingest(wh: Warehouse, batchDocs: DataFrame,
-             t: Curation.Thresholds = Curation.Thresholds()): (DataFrame, DataFrame) = {
+             t: Curation.Thresholds = Curation.Thresholds(),
+             emb: Option[EmbeddingSignal] = None): (DataFrame, DataFrame) = {
     val settled = wh.read(HashTable, HashSchema)
     // batch-sized and referenced by every stage below: one eager cut
     val staged = cut(Curation.withSignals(batchDocs, t)
@@ -103,9 +147,30 @@ object IncrementalCuration {
       BandIndex.bandedOf(surv.select(col("doc_id"), col("text"))),
       t.maxBandBucket)
       .filter(col("est_jaccard") >= t.nearDupJaccard)
+    // the embedding signal, index-probed: batch vectors code themselves
+    // and probe the persisted sign-code index (replay-exact, union-cap
+    // identical to a full t15 over settled ∪ batch); mapped doc pairs
+    // are survivor-gated on BOTH endpoints — settled survivors are the
+    // hash table's keep_ids, batch survivors the exact stage above —
+    // exactly where the full pipeline gates extraPairs
+    val embDropIds = emb.map { e =>
+      val vPairs = EmbIndex.incrementCosinePairs(wh, e.embSrc, e.bits, e.radius, e.maxBucket)
+      val docPairs = e.docPairsOf(vPairs.select(col("vec_a"), col("vec_b")))
+      val survIds = settled.select(col("keep_id").as("doc_id"))
+        .unionByName(surv.select(col("doc_id"))).distinct()
+      docPairs
+        .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+          greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+        .filter(col("doc_a") =!= col("doc_b"))
+        .join(survIds.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
+        .join(survIds.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi")
+        .select(col("doc_b").as("doc_id"))
+    }
     // first-won: only BATCH members drop (a pair whose larger id is a
     // settled doc is ignored — the settled survivor stands)
-    val toDrop = pairs.select(col("doc_b").as("doc_id")).distinct()
+    val toDrop = embDropIds
+      .foldLeft(pairs.select(col("doc_b").as("doc_id")))(_ unionByName _)
+      .distinct()
       .join(surv.select(col("doc_id")), Seq("doc_id"), "left_semi")
       .withColumn("near_dup", lit(true))
 
@@ -135,6 +200,7 @@ object IncrementalCuration {
         .select(col("content_hash"), col("doc_id").as("keep_id")))
     BandIndex.appendBatch(wh,
       staged2.filter(col("exact_ok")).select(col("doc_id"), col("text")))
+    emb.foreach(e => EmbIndex.appendBatch(wh, e.embSrc, e.bits))
     (curatedOut, auditOut)
   }
 
@@ -173,4 +239,52 @@ object IncrementalCuration {
     s"WITH ${Curation.stagingSqlCtes(Curation.Thresholds())}\n" +
       Curation.auditSelectSql(
         "\nWHERE doc_id > (SELECT CAST(floor(max(doc_id) / 2) AS BIGINT) FROM documents)")
+
+  // ---------------------------------------------------------------- t42
+  /** t41 with BOTH signals: the same seed-half / ingest-half lifecycle
+    * run multi-signal — the settled half's embedding pairs through the
+    * full pipeline's extraPairs hook at seed time, the batch's through
+    * the persisted [[EmbIndex]] probe at ingest time (vec ids ARE doc
+    * ids on this corpus, so `vecToDoc = None`). The oracle replays the
+    * full t35 staging with the t15 candidate chain unioned into the
+    * pairwise drop set (survivor-gated on both endpoints, exactly where
+    * `curateHandle` gates extras) and counts the batch slice — so the
+    * incremental multi-signal posture is driver-verified end to end,
+    * pairwise-mode complement to t38's clustered full-corpus run. Same
+    * dial contract (bits/radius/cap reach query and oracle).
+    */
+  def t42IncrementalMultiSignal(s: SparkSession, dir: String): DataFrame = {
+    import graft.queries.IvfModel
+    val docs = graft.core.Tables.documents(s, dir)
+    val embAll = graft.core.Tables.embeddings(s, dir)
+    val splitId = docs.agg(max(col("doc_id"))).head.getLong(0) / 2
+    def sig(embSlice: DataFrame) = Some(EmbeddingSignal(embSlice,
+      bits = TextOps.DialBits,
+      radius = TextOps.DialRadius.getOrElse(TextOps.PairRadius),
+      maxBucket = TextOps.DialEmbCap))
+    val wh = Warehouse(s, new java.io.File(
+      IvfModel.warehouseFor(s, dir).dir, "t42_inccur").toString)
+    seed(wh, docs.filter(col("doc_id") <= splitId),
+      emb = sig(embAll.filter(col("vec_id") <= splitId)))
+    ingest(wh, docs.filter(col("doc_id") > splitId),
+      emb = sig(embAll.filter(col("vec_id") > splitId)))._2
+  }
+
+  /** Full staging + the t15 chain; emb pairs join the pairwise drop set
+    * survivor-gated, counters over the batch slice.
+    */
+  def t42Sql: String = {
+    val T = graft.queries.TextOps
+    val embPairs = s"""
+       |  UNION ALL
+       |  SELECT c.vec_a AS doc_a, c.vec_b AS doc_b
+       |  FROM cand c
+       |  JOIN staged2 sa ON sa.doc_id = c.vec_a AND sa.exact_ok
+       |  JOIN staged2 sb ON sb.doc_id = c.vec_b AND sb.exact_ok
+       |  WHERE c.cosine >= ${T.CosTau}""".stripMargin
+    s"WITH ${Curation.stagingSqlCtes(Curation.Thresholds(), embPairs,
+        preDropsCtes = s"\n${T.t15CandCtes},")}\n" +
+      Curation.auditSelectSql(
+        "\nWHERE doc_id > (SELECT CAST(floor(max(doc_id) / 2) AS BIGINT) FROM documents)")
+  }
 }

@@ -67,6 +67,47 @@ class IncrementalCurationSpec extends SparkTestBase {
     assert(BandIndex.banded(wh).count() === bandN)
   }
 
+  test("multi-signal seed(A) + ingest(B) == full multi-signal pipeline: kept set and audit on B") {
+    import graft.pipelines.IncrementalCuration.EmbeddingSignal
+    import graft.queries.{EmbIndex, TextOps}
+    val wh = tmpWh()
+    val embAll = graft.core.Tables.embeddings(spark, sf())
+    val embA = embAll.filter(col("vec_id") < 250)
+    val embB = embAll.filter(col("vec_id") >= 250)
+    IncrementalCuration.seed(wh, partA, emb = Some(EmbeddingSignal(embA)))
+    val (curB, audB) = IncrementalCuration.ingest(wh, partB, emb = Some(EmbeddingSignal(embB)))
+    // the full pipeline's multi-signal shape: t15 over ALL vectors,
+    // mapped to doc ids, gated inside curate (pairwise mode)
+    val extras = Curation.embeddingDocPairs(
+      TextOps.t15CosineNearDupOf(embAll).select(col("vec_a"), col("vec_b")),
+      embAll.select(col("vec_id"), col("vec_id").as("doc_id")))
+    val run = Curation.curateHandle(docsAll, extraPairs = Some(extras))
+    try {
+      val fullTags = run.tagged.select("doc_id", "stage").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val bIds = ids(partB)
+      assert(ids(curB) === fullTags.collect { case (id, "kept") if bIds(id) => id }.toSet)
+      val audit = audB.collect().head
+      def fullCount(stage: String) = fullTags.count { case (id, s) => bIds(id) && s == stage }
+      assert(audit.getAs[Long]("dropped_near_dup") === fullCount("near_dup").toLong)
+      assert(audit.getAs[Long]("curated_docs") === fullCount("kept").toLong)
+      // the embedding signal actually contributed beyond the text LSH:
+      // rerunning the batch WITHOUT it must drop fewer near-dups, else
+      // this parity assert proved nothing multi-signal
+      val wh2 = tmpWh()
+      IncrementalCuration.seed(wh2, partA)
+      val (_, audPlain) = IncrementalCuration.ingest(wh2, partB)
+      assert(audPlain.collect().head.getAs[Long]("dropped_near_dup") <
+        audit.getAs[Long]("dropped_near_dup"),
+        "embedding signal added no drops — fixture does not exercise multi-signal")
+      // replayed multi-signal ingest is a no-op (vectors already appended)
+      val (c2, a2) = IncrementalCuration.ingest(wh, partB, emb = Some(EmbeddingSignal(embB)))
+      assert(ids(c2) === ids(curB))
+      assert(a2.collect().head.toSeq === audit.toSeq)
+      assert(EmbIndex.coded(wh).count() === embAll.count(), "vector index grew on replay")
+    } finally run.close()
+  }
+
   test("first-won against settled state: exact and near duplicates of settled survivors drop") {
     val wh = tmpWh()
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
