@@ -197,6 +197,12 @@ class PropertySpec extends SparkTestBase {
       val full = pset(TextOps.minhashPairsOf(all, maxBucket = cap))
         .filter { case (a, b, _) => a >= cut || b >= cut }
       assert(inc === full, s"cut=$cut cap=$cap texts=$texts")
+      // replay-exactness on the same draw: probing an index that already
+      // absorbed the batch (crash after append, batch redelivered) must
+      // reproduce the first run bit-for-bit, cap decisions included
+      val replay = pset(BandIndex.incrementPairsOf(
+        BandIndex.bandedOf(all), BandIndex.bandedOf(bat), maxBucket = cap))
+      assert(replay === inc, s"replay diverged: cut=$cut cap=$cap texts=$texts")
     }
   }
 
