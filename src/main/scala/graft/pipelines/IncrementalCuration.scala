@@ -94,10 +94,15 @@ object IncrementalCuration {
     // only the near_dup/kept split of the returned outputs, never the
     // persisted state — both artifacts hold EXACT survivors, which no
     // near-dup signal can change
+    // eager cut: curateHandle's outputs are materialized several times
+    // below (curated + audit + the survivor rewrite/seed), and each one
+    // re-derives the drop set — without the cut, the settled slice's
+    // cosine self-join re-runs per materialization (~4× the pair cost;
+    // observed doubling the registered t42's bench time)
     val extras = emb.map { e =>
-      e.docPairsOf(
+      cut(e.docPairsOf(
         TextOps.t15CosineNearDupOf(e.embSrc, e.bits, e.radius, maxBucket = e.maxBucket)
-          .select(col("vec_a"), col("vec_b")))
+          .select(col("vec_a"), col("vec_b"))))
     }
     val run = Curation.curateHandle(docs, t, extraPairs = extras)
     try {
@@ -167,12 +172,15 @@ object IncrementalCuration {
         .select(col("doc_b").as("doc_id"))
     }
     // first-won: only BATCH members drop (a pair whose larger id is a
-    // settled doc is ignored — the settled survivor stands)
-    val toDrop = embDropIds
+    // settled doc is ignored — the settled survivor stands). Eager cut:
+    // the tagged frame is materialized twice (curated + audit), and the
+    // drop set is the expensive branch (both index-probe pair joins);
+    // it is batch-survivor-bounded, so the cut is small
+    val toDrop = cut(embDropIds
       .foldLeft(pairs.select(col("doc_b").as("doc_id")))(_ unionByName _)
       .distinct()
       .join(surv.select(col("doc_id")), Seq("doc_id"), "left_semi")
-      .withColumn("near_dup", lit(true))
+      .withColumn("near_dup", lit(true)))
 
     val tagged = staged2
       .join(toDrop, Seq("doc_id"), "left")
