@@ -433,6 +433,16 @@ object IvfModel {
       partitionBy = Seq("cluster"))
   }
 
+  /** Coalesce the inverted-list table's append litter ([[appendLists]]
+    * leaves ≥ 1 file per touched cluster partition per batch) — rows and
+    * their mixed stamps verbatim, one file per `cluster=` directory,
+    * pointer-flip commit. Pairs with [[appendLists]] in the append-only
+    * lifecycle the same way [[graft.queries.BandIndex.compact]] pairs
+    * with its appendBatch.
+    */
+  def compactLists(s: SparkSession, dir: String): Unit =
+    warehouseFor(s, dir).compact(ListsTable, ListsSchema, partitionBy = Seq("cluster"))
+
   /** The live centroid directory for the DuckDB oracle. Oracle SQL is
     * generated without a Spark session, and DuckDB is a local single-node
     * tool, so this resolves the warehouse pointer with plain java.io —

@@ -524,9 +524,17 @@ class AnnSpec extends SparkTestBase {
       // replay (crash mid-append, orchestrator re-runs): idempotent
       IvfModel.appendLists(spark, corpus)
       assert(IvfModel.lists(spark, corpus).count() === 500)
+      // compact the append litter: rows verbatim, one file per cluster dir
+      val filesBefore = IvfModel.lists(spark, corpus).inputFiles.length
+      IvfModel.compactLists(spark, corpus)
+      assert(asn(IvfModel.lists(spark, corpus)) === expect, "compact changed assignments")
+      val filesAfter = IvfModel.lists(spark, corpus).inputFiles.length
+      assert(filesAfter < filesBefore, s"compact did not reduce files ($filesBefore -> $filesAfter)")
+      assert(filesAfter ===
+        IvfModel.lists(spark, corpus).select("cluster").distinct().count().toInt)
       // a quantizer dial change is a REBUILD event: full fit-and-rewrite
       IvfModel.appendLists(spark, corpus, k = 16)
-      assert(versions(IvfModel.ListsTable) === lv + 1, "dial change must re-materialize")
+      assert(versions(IvfModel.ListsTable) === lv + 2, "dial change must re-materialize")
       assert(IvfModel.lists(spark, corpus).count() === 500)
       assert(IvfModel.lists(spark, corpus).select("cluster").distinct().count() <= 16)
     } finally {
