@@ -1214,6 +1214,30 @@ object TextOps {
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager)
     else df.localCheckpoint(eager)
 
+  /** Rebuild `df` (a just-checkpointed frame) as a plain scan of its own
+    * RDD, dropping the statistics the checkpoint carried over.
+    *
+    * `Dataset.checkpoint` rewrites the SOURCE plan's statistics onto the
+    * checkpointed node (`LogicalRDD.rewriteStatsAndConstraints`), so a
+    * loop that re-checkpoints a self-join of its previous output — the
+    * path-halving round below — multiplies the carried sizeInBytes into
+    * itself every round: the BigInt's digit count grows geometrically,
+    * and once the seed lineage is deep (t43 chains the whole clustered
+    * curation tree into [[propagateLabels]]) a SINGLE stats walk
+    * (`SizeInBytesOnlyStatsPlanVisitor`) burns minutes of driver CPU
+    * inside `BigInteger.multiply` before any job starts — observed live
+    * at sf0.1, stuck in round ~15 with million-digit sizes. The rebuilt
+    * frame reports the conservative default sizeInBytes instead, which is
+    * what the astronomical carried number already meant operationally
+    * (nothing that large ever broadcasts), so no join strategy changes —
+    * but every subsequent stats walk is constant-cost. The Row round-trip
+    * is lazy and per-action costs one extra ser/de pass over a
+    * label-width (two/three long columns) frame — noise next to the
+    * round's shuffle.
+    */
+  private def dropCarriedStats(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(df.rdd, df.schema)
+
   /** Same clustering over an explicit node set — the reusable form
     * (Curation's transitive near-dup stage feeds its own survivor set).
     */
@@ -1247,7 +1271,8 @@ object TextOps {
       edges.select(col("doc_a").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
 
     val MaxIters = 32
-    var labels = cutLineage(participating.withColumn("cluster", col("doc_id")), eager = true)
+    var labels = dropCarriedStats(
+      cutLineage(participating.withColumn("cluster", col("doc_id")), eager = true))
     var iter = 0
     var converged = false
     while (iter < MaxIters && !converged) {
@@ -1278,10 +1303,14 @@ object TextOps {
       // self-lookup is total (left join + coalesce only guards the
       // converged fixpoint where L(x) = x).
       val byNode = stepped.select(col("doc_id").as("cluster"), col("cluster").as("hop"))
-      val joined = cutLineage(stepped.join(byNode, Seq("cluster"), "left")
+      // dropCarriedStats here is load-bearing: without it the round's
+      // rewritten statistics compound through `labels` round over round
+      // (see the helper's doc) — the cut bounds the LINEAGE, this bounds
+      // the STATS
+      val joined = dropCarriedStats(cutLineage(stepped.join(byNode, Seq("cluster"), "left")
         .select(col("doc_id"), col("prev"),
           least(col("cluster"), coalesce(col("hop"), col("cluster"))).as("cluster")),
-        eager = false)
+        eager = false))
       // one job per round: both lazy checkpoints materialize under the
       // change-count action (old and new label side by side), so the
       // convergence check costs no second pass over the lineage
