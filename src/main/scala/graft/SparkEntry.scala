@@ -32,7 +32,9 @@ object SparkEntry {
       ("t41_incremental_curation" ->
         (graft.pipelines.IncrementalCuration.t41IncrementalCuration _)) +
       ("t42_incremental_multisignal" ->
-        (graft.pipelines.IncrementalCuration.t42IncrementalMultiSignal _))
+        (graft.pipelines.IncrementalCuration.t42IncrementalMultiSignal _)) +
+      ("t43_incremental_clustered" ->
+        (graft.pipelines.IncrementalCuration.t43IncrementalClustered _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for hash-seed-dependent ops (MinHash/
@@ -64,5 +66,7 @@ object SparkEntry {
       ("t41_incremental_curation" -> graft.pipelines.IncrementalCuration.t41Sql) +
       // t42 = t41 with both signals: t15 chain unioned into the pairwise
       // drop set, survivor-gated, batch-slice counters
-      ("t42_incremental_multisignal" -> graft.pipelines.IncrementalCuration.t42Sql)
+      ("t42_incremental_multisignal" -> graft.pipelines.IncrementalCuration.t42Sql) +
+      // t43 = the clustered multi-signal corner: t38's closure, batch slice
+      ("t43_incremental_clustered" -> graft.pipelines.IncrementalCuration.t43Sql)
 }

@@ -344,10 +344,16 @@ object Curation {
     * the UNION of both edge sets — non-canonical component members are
     * the drop set. Same five audit counters.
     */
-  lazy val t38Sql: String = {
+  lazy val t38Sql: String =
+    s"WITH RECURSIVE $t38Ctes\n${auditSelectSql()}"
+
+  /** t38's CTE body (clustered multi-signal staging through the recursive
+    * transitive closure) — shared with t43's batch-slice oracle.
+    */
+  private[pipelines] lazy val t38Ctes: String = {
     val t = Thresholds()
     val T = graft.queries.TextOps
-    s"""WITH RECURSIVE ${T.shingleCtes},
+    s"""${T.shingleCtes},
        |q AS (
        |  SELECT d.doc_id,
        |    len(t.toks) AS n_tokens,
@@ -406,12 +412,6 @@ object Curation {
        |         WHEN NOT s.exact_ok THEN 'exact_dup'
        |         WHEN d.doc_id IS NOT NULL THEN 'near_dup'
        |         ELSE 'kept' END AS stage
-       |  FROM staged2 s LEFT JOIN drops d ON s.doc_id = d.doc_id)
-       |SELECT count(*) AS input_docs,
-       |  count(CASE WHEN stage = 'quality' THEN 1 END) AS dropped_quality,
-       |  count(CASE WHEN stage = 'exact_dup' THEN 1 END) AS dropped_exact_dup,
-       |  count(CASE WHEN stage = 'near_dup' THEN 1 END) AS dropped_near_dup,
-       |  count(CASE WHEN stage = 'kept' THEN 1 END) AS curated_docs
-       |FROM tagged""".stripMargin
+       |  FROM staged2 s LEFT JOIN drops d ON s.doc_id = d.doc_id)""".stripMargin
   }
 }

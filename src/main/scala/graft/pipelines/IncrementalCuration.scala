@@ -88,7 +88,8 @@ object IncrementalCuration {
     */
   def seed(wh: Warehouse, docs: DataFrame,
            t: Curation.Thresholds = Curation.Thresholds(),
-           emb: Option[EmbeddingSignal] = None): (DataFrame, DataFrame) = {
+           emb: Option[EmbeddingSignal] = None,
+           clustered: Boolean = false): (DataFrame, DataFrame) = {
     // the settled corpus's own embedding pairs go through the FULL
     // pipeline's extraPairs hook (survivor gating included); they affect
     // only the near_dup/kept split of the returned outputs, never the
@@ -104,13 +105,42 @@ object IncrementalCuration {
         TextOps.t15CosineNearDupOf(e.embSrc, e.bits, e.radius, maxBucket = e.maxBucket)
           .select(col("vec_a"), col("vec_b"))))
     }
-    val run = Curation.curateHandle(docs, t, extraPairs = extras)
+    val run = Curation.curateHandle(docs, t, useClusters = clustered, extraPairs = extras)
     try {
       val surv = run.tagged.filter(col("stage").isin("near_dup", "kept"))
       wh.rewrite(HashTable,
         surv.select(col("content_hash"), col("doc_id").as("keep_id")))
       BandIndex.seed(wh, surv.select(col("doc_id"), col("text")))
       emb.foreach(e => EmbIndex.seed(wh, e.embSrc, e.bits))
+      // clustered mode persists a FOURTH artifact: the cluster assignment
+      // over the settled survivors, built from exactly the pair sets
+      // curateHandle just clustered (its internal candidate join ==
+      // minhashPairsOf over the survivors' texts at the same cap and
+      // threshold; the extras gated the same way), advanced per batch by
+      // [[ingest]]'s contracted increment
+      if (clustered) {
+        // eager cut BEFORE the pair build: the survivor frame's lineage is
+        // the whole clustered curation tree, and the banding SELF-JOIN on
+        // top of it sends Catalyst's stats walk through the shared DAG as
+        // an exponential tree — sizeInBytes becomes a million-digit
+        // BigInt product and the driver spins in BigInteger.multiply for
+        // MINUTES before the first job (observed at sf0.1; jstack showed
+        // propagateLabels' persist stuck under SizeInBytesOnlyStatsPlanVisitor)
+        val survCut = cut(surv.select(col("doc_id"), col("text")))
+        val survIds = survCut.select(col("doc_id"))
+        val textPairs = TextOps.minhashPairsOf(survCut, t.maxBandBucket)
+          .filter(col("est_jaccard") >= t.nearDupJaccard)
+          .select(col("doc_a"), col("doc_b"))
+        val extraGated = extras.map { p =>
+          p.select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+              greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+            .filter(col("doc_a") =!= col("doc_b"))
+            .join(survIds.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
+            .join(survIds.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi")
+        }
+        ClusterState.seed(wh, survIds,
+          extraGated.foldLeft(textPairs)(_ unionByName _))
+      }
       (cut(run.curated), cut(run.audit))
     } finally run.close()
   }
@@ -124,7 +154,8 @@ object IncrementalCuration {
     */
   def ingest(wh: Warehouse, batchDocs: DataFrame,
              t: Curation.Thresholds = Curation.Thresholds(),
-             emb: Option[EmbeddingSignal] = None): (DataFrame, DataFrame) = {
+             emb: Option[EmbeddingSignal] = None,
+             clustered: Boolean = false): (DataFrame, DataFrame) = {
     val settled = wh.read(HashTable, HashSchema)
     // batch-sized and referenced by every stage below: one eager cut
     val staged = cut(Curation.withSignals(batchDocs, t)
@@ -158,7 +189,7 @@ object IncrementalCuration {
     // are survivor-gated on BOTH endpoints — settled survivors are the
     // hash table's keep_ids, batch survivors the exact stage above —
     // exactly where the full pipeline gates extraPairs
-    val embDropIds = emb.map { e =>
+    val embPairsGated = emb.map { e =>
       val vPairs = EmbIndex.incrementCosinePairs(wh, e.embSrc, e.bits, e.radius, e.maxBucket)
       val docPairs = e.docPairsOf(vPairs.select(col("vec_a"), col("vec_b")))
       val survIds = settled.select(col("keep_id").as("doc_id"))
@@ -169,16 +200,35 @@ object IncrementalCuration {
         .filter(col("doc_a") =!= col("doc_b"))
         .join(survIds.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
         .join(survIds.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi")
-        .select(col("doc_b").as("doc_id"))
     }
-    // first-won: only BATCH members drop (a pair whose larger id is a
-    // settled doc is ignored — the settled survivor stands). Eager cut:
-    // the tagged frame is materialized twice (curated + audit), and the
-    // drop set is the expensive branch (both index-probe pair joins);
-    // it is batch-survivor-bounded, so the cut is small
-    val toDrop = cut(embDropIds
-      .foldLeft(pairs.select(col("doc_b").as("doc_id")))(_ unionByName _)
-      .distinct()
+    val allPairs = embPairsGated
+      .foldLeft(pairs.select(col("doc_a"), col("doc_b")))(_ unionByName _)
+    // the drop decision. Pairwise (default): only BATCH members drop,
+    // first-won (a pair whose larger id is a settled doc is ignored — the
+    // settled survivor stands). Clustered: the batch's survivor-gated
+    // pairs ADVANCE the persisted cluster state (contracted increment —
+    // rewrite commits a fresh generation, replay-safe: redelivered
+    // newNodes anti-join out), and the non-canonical BATCH members of the
+    // advanced state drop — the full `useClusters` pipeline's transitive
+    // rule, batch slice. Settled tags never change either way (the
+    // first-won posture; a settled canonical losing its minimum to a
+    // LATER batch cannot happen under append-only ids).
+    // Eager cut either way: the tagged frame is materialized twice
+    // (curated + audit) and the drop set is the expensive branch (both
+    // index-probe pair joins); it is batch-survivor-bounded, so the cut
+    // is small.
+    val toDrop = cut({
+      if (clustered) {
+        wh.rewrite(ClusterState.TableName, TextOps.dedupClustersIncrement(
+          ClusterState.read(wh), surv.select(col("doc_id")), allPairs,
+          validateEndpoints = false))
+        ClusterState.read(wh)
+          .filter(col("doc_id") =!= col("cluster"))
+          .select(col("doc_id"))
+      } else {
+        allPairs.select(col("doc_b").as("doc_id")).distinct()
+      }
+    }
       .join(surv.select(col("doc_id")), Seq("doc_id"), "left_semi")
       .withColumn("near_dup", lit(true)))
 
@@ -323,4 +373,41 @@ object IncrementalCuration {
       Curation.auditSelectSql(
         "\nWHERE doc_id > (SELECT CAST(floor(max(doc_id) / 2) AS BIGINT) FROM documents)")
   }
+
+  // ---------------------------------------------------------------- t43
+  /** The last corner of the curation matrix: incremental × CLUSTERED ×
+    * multi-signal. Same split lifecycle as t42, `clustered = true`: the
+    * seed persists the cluster assignment over the settled survivors,
+    * the ingest advances it through the contracted increment with the
+    * batch's survivor-gated (text ∪ embedding) pairs, and the batch's
+    * non-canonical members drop — the full `useClusters` pipeline's
+    * transitive rule, proved through the persisted warehouse. Oracle =
+    * t38's clustered multi-signal closure counted over the batch slice
+    * (batch tags match the full run exactly under append-only ids: a
+    * batch doc is non-canonical iff its component holds a smaller id,
+    * and the increment composes components exactly — the spec-pinned
+    * increment == full claim).
+    */
+  def t43IncrementalClustered(s: SparkSession, dir: String): DataFrame = {
+    import graft.queries.IvfModel
+    val docs = graft.core.Tables.documents(s, dir)
+    val embAll = graft.core.Tables.embeddings(s, dir)
+    val splitId = docs.agg(max(col("doc_id"))).head.getLong(0) / 2
+    def sig(embSlice: DataFrame) = Some(EmbeddingSignal(embSlice,
+      bits = TextOps.DialBits,
+      radius = TextOps.DialRadius.getOrElse(TextOps.PairRadius),
+      maxBucket = TextOps.DialEmbCap))
+    val wh = Warehouse(s, new java.io.File(
+      IvfModel.warehouseFor(s, dir).dir, "t43_inccur").toString)
+    seed(wh, docs.filter(col("doc_id") <= splitId),
+      emb = sig(embAll.filter(col("vec_id") <= splitId)), clustered = true)
+    ingest(wh, docs.filter(col("doc_id") > splitId),
+      emb = sig(embAll.filter(col("vec_id") > splitId)), clustered = true)._2
+  }
+
+  /** t38's clustered multi-signal staging, batch-slice counters. */
+  def t43Sql: String =
+    s"WITH RECURSIVE ${Curation.t38Ctes}\n" +
+      Curation.auditSelectSql(
+        "\nWHERE doc_id > (SELECT CAST(floor(max(doc_id) / 2) AS BIGINT) FROM documents)")
 }

@@ -108,6 +108,46 @@ class IncrementalCurationSpec extends SparkTestBase {
     } finally run.close()
   }
 
+  test("clustered multi-signal seed(A) + ingest(B) == full useClusters pipeline on B; replay no-op") {
+    import graft.pipelines.IncrementalCuration.EmbeddingSignal
+    import graft.queries.TextOps
+    val wh = tmpWh()
+    val embAll = graft.core.Tables.embeddings(spark, sf())
+    val embA = embAll.filter(col("vec_id") < 250)
+    val embB = embAll.filter(col("vec_id") >= 250)
+    IncrementalCuration.seed(wh, partA, emb = Some(EmbeddingSignal(embA)), clustered = true)
+    val (curB, audB) = IncrementalCuration.ingest(wh, partB,
+      emb = Some(EmbeddingSignal(embB)), clustered = true)
+    val extras = Curation.embeddingDocPairs(
+      TextOps.t15CosineNearDupOf(embAll).select(col("vec_a"), col("vec_b")),
+      embAll.select(col("vec_id"), col("vec_id").as("doc_id")))
+    val run = Curation.curateHandle(docsAll, useClusters = true, extraPairs = Some(extras))
+    try {
+      val fullTags = run.tagged.select("doc_id", "stage").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val bIds = ids(partB)
+      assert(ids(curB) === fullTags.collect { case (id, "kept") if bIds(id) => id }.toSet)
+      val audit = audB.collect().head
+      def fullCount(stage: String) = fullTags.count { case (id, s) => bIds(id) && s == stage }
+      assert(audit.getAs[Long]("dropped_near_dup") === fullCount("near_dup").toLong)
+      assert(audit.getAs[Long]("curated_docs") === fullCount("kept").toLong)
+      // the transitive rule actually decided something the pairwise rule
+      // would not — else the clustered mode proved nothing here
+      val whP = tmpWh()
+      IncrementalCuration.seed(whP, partA, emb = Some(EmbeddingSignal(embA)))
+      val (_, audPair) = IncrementalCuration.ingest(whP, partB, emb = Some(EmbeddingSignal(embB)))
+      assert(audPair.collect().head.getAs[Long]("dropped_near_dup") !==
+        audit.getAs[Long]("dropped_near_dup"),
+        "clustered and pairwise agree on this fixture — the mode assert is vacuous")
+      // replay: redelivered batch re-advances the already-advanced state
+      // (anti-joined no-op), same tags, same audit
+      val (c2, a2) = IncrementalCuration.ingest(wh, partB,
+        emb = Some(EmbeddingSignal(embB)), clustered = true)
+      assert(ids(c2) === ids(curB))
+      assert(a2.collect().head.toSeq === audit.toSeq)
+    } finally run.close()
+  }
+
   test("streamed curation == full pipeline: two micro-batches through curateFromStream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
