@@ -47,6 +47,13 @@ object ClusterState {
   def seed(wh: Warehouse, nodes: DataFrame, pairs: DataFrame): Unit =
     wh.rewrite(TableName, TextOps.clusterAssignmentOf(nodes, pairs))
 
+  /** Seed from an assignment ALREADY computed elsewhere (Curation's
+    * clustered near-dup stage exposes the one its drop decision used) —
+    * no re-banding, no second label propagation.
+    */
+  def seedAssignment(wh: Warehouse, assignment: DataFrame): Unit =
+    wh.rewrite(TableName, assignment.select(col("doc_id"), col("cluster")))
+
   /** Advance the state by one ingest batch: contracted increment over
     * the batch's edge neighborhood, committed as a fresh generation.
     */

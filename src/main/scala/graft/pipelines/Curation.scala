@@ -53,7 +53,15 @@ object Curation {
   final class CurationHandle private[pipelines] (
       val curated: DataFrame, val audit: DataFrame,
       private[graft] val signals: DataFrame,
-      private[graft] val tagged: DataFrame) extends AutoCloseable {
+      private[graft] val tagged: DataFrame,
+      /** The FULL (doc_id, cluster) assignment over the exact-stage
+        * survivors when `useClusters = true` (singletons self-labeled) —
+        * the exact frame the near-dup drop decision was derived from.
+        * [[IncrementalCuration.seed]] persists it as the initial
+        * [[ClusterState]] instead of re-banding the survivors and
+        * re-propagating labels from scratch.
+        */
+      private[pipelines] val assignment: Option[DataFrame]) extends AutoCloseable {
     def close(): Unit = signals.unpersist(false)
   }
 
@@ -177,14 +185,21 @@ object Curation {
         .join(survivors.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi")
     }
     val allPairs = extra.foldLeft(candPairs.select(col("doc_a"), col("doc_b")))(_ unionByName _)
-    val toDrop = (if (useClusters) {
-      graft.queries.TextOps
-        .dedupClustersOf(survivors, allPairs)
-        .filter(!col("is_canonical"))
-        .select(col("doc_id"))
-    } else {
-      allPairs.select(col("doc_b").as("doc_id")).distinct()
-    }).withColumn("near_dup", lit(true))
+    // clustered mode keeps the FULL assignment (not just the drop slice):
+    // a node is dropped iff its label is another doc's id, which is
+    // exactly presentClusters' !is_canonical set (a non-canonical node's
+    // component necessarily has ≥ 2 members, so the size filter excludes
+    // nothing), and the assignment itself is what the incremental seed
+    // persists as ClusterState — computing it once here saves that caller
+    // a second banding + propagation over the same survivors
+    val clusterAssignment =
+      if (useClusters)
+        Some(graft.queries.TextOps.clusterAssignmentOf(survivors, allPairs))
+      else None
+    val toDrop = clusterAssignment
+      .map(_.filter(col("doc_id") =!= col("cluster")).select(col("doc_id")))
+      .getOrElse(allPairs.select(col("doc_b").as("doc_id")).distinct())
+      .withColumn("near_dup", lit(true))
 
     val tagged = staged
       .join(toDrop, Seq("doc_id"), "left")
@@ -196,14 +211,20 @@ object Curation {
       .drop("q_ok", "exact_ok", "near_dup")
 
     val curated = tagged.filter(col("stage") === "kept").drop("stage", "sh")
-    val audit = tagged.agg(
-      count(lit(1)).as("input_docs"),
-      count(when(col("stage") === "quality", 1)).as("dropped_quality"),
-      count(when(col("stage") === "exact_dup", 1)).as("dropped_exact_dup"),
-      count(when(col("stage") === "near_dup", 1)).as("dropped_near_dup"),
-      count(when(col("stage") === "kept", 1)).as("curated_docs"))
-    new CurationHandle(curated, audit, signals, tagged)
+    new CurationHandle(curated, auditOf(tagged), signals, tagged, clusterAssignment)
   }
+
+  /** The five audit counters over any stage-tagged frame — shared by the
+    * full pipeline and [[IncrementalCuration]] so the audit row can be
+    * re-derived from a materialized tagged frame without re-running the
+    * pipeline that tagged it.
+    */
+  private[pipelines] def auditOf(tagged: DataFrame): DataFrame = tagged.agg(
+    count(lit(1)).as("input_docs"),
+    count(when(col("stage") === "quality", 1)).as("dropped_quality"),
+    count(when(col("stage") === "exact_dup", 1)).as("dropped_exact_dup"),
+    count(when(col("stage") === "near_dup", 1)).as("dropped_near_dup"),
+    count(when(col("stage") === "kept", 1)).as("curated_docs"))
 
   /** The multi-signal wiring: map embedding-space near-dup pairs (t15's
     * (vec_a, vec_b) output) onto document ids, ready for [[curate]]'s

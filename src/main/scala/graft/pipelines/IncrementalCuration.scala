@@ -107,41 +107,31 @@ object IncrementalCuration {
     }
     val run = Curation.curateHandle(docs, t, useClusters = clustered, extraPairs = extras)
     try {
-      val surv = run.tagged.filter(col("stage").isin("near_dup", "kept"))
+      // ONE materialization of the whole curation tree: every consumer
+      // below (hash-table rewrite, band-index seed, curated, audit) used
+      // to re-run the exact-window + drop-set join per action — under the
+      // pairwise default that re-ran the banding self-join up to 4× per
+      // seed. The shingle arrays are the widest column and no consumer
+      // needs them (BandIndex re-shingles from text for the index build),
+      // so they are dropped before the cut.
+      val taggedCut = cut(run.tagged.drop("sh"))
+      val surv = taggedCut.filter(col("stage").isin("near_dup", "kept"))
       wh.rewrite(HashTable,
         surv.select(col("content_hash"), col("doc_id").as("keep_id")))
       BandIndex.seed(wh, surv.select(col("doc_id"), col("text")))
       emb.foreach(e => EmbIndex.seed(wh, e.embSrc, e.bits))
       // clustered mode persists a FOURTH artifact: the cluster assignment
-      // over the settled survivors, built from exactly the pair sets
-      // curateHandle just clustered (its internal candidate join ==
-      // minhashPairsOf over the survivors' texts at the same cap and
-      // threshold; the extras gated the same way), advanced per batch by
-      // [[ingest]]'s contracted increment
-      if (clustered) {
-        // eager cut BEFORE the pair build: the survivor frame's lineage is
-        // the whole clustered curation tree, and the banding SELF-JOIN on
-        // top of it sends Catalyst's stats walk through the shared DAG as
-        // an exponential tree — sizeInBytes becomes a million-digit
-        // BigInt product and the driver spins in BigInteger.multiply for
-        // MINUTES before the first job (observed at sf0.1; jstack showed
-        // propagateLabels' persist stuck under SizeInBytesOnlyStatsPlanVisitor)
-        val survCut = cut(surv.select(col("doc_id"), col("text")))
-        val survIds = survCut.select(col("doc_id"))
-        val textPairs = TextOps.minhashPairsOf(survCut, t.maxBandBucket)
-          .filter(col("est_jaccard") >= t.nearDupJaccard)
-          .select(col("doc_a"), col("doc_b"))
-        val extraGated = extras.map { p =>
-          p.select(least(col("doc_a"), col("doc_b")).as("doc_a"),
-              greatest(col("doc_a"), col("doc_b")).as("doc_b"))
-            .filter(col("doc_a") =!= col("doc_b"))
-            .join(survIds.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
-            .join(survIds.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi")
-        }
-        ClusterState.seed(wh, survIds,
-          extraGated.foldLeft(textPairs)(_ unionByName _))
-      }
-      (cut(run.curated), cut(run.audit))
+      // over the settled survivors — the EXACT frame curateHandle's own
+      // near-dup stage derived its drop decision from (exposed on the
+      // handle), advanced per batch by [[ingest]]'s contracted increment.
+      // Persisting it directly (instead of re-banding the survivors and
+      // re-propagating labels) both guarantees state == pipeline decision
+      // by construction and halves the seed's clustering work.
+      if (clustered) ClusterState.seedAssignment(wh, run.assignment.get)
+      // both outputs are cheap projections of the materialized cut —
+      // valid after close() releases the signals pin
+      (taggedCut.filter(col("stage") === "kept").drop("stage"),
+        Curation.auditOf(taggedCut))
     } finally run.close()
   }
 
