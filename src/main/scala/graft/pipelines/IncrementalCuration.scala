@@ -147,9 +147,20 @@ object IncrementalCuration {
              emb: Option[EmbeddingSignal] = None,
              clustered: Boolean = false): (DataFrame, DataFrame) = {
     val settled = wh.read(HashTable, HashSchema)
-    // batch-sized and referenced by every stage below: one eager cut
-    val staged = cut(Curation.withSignals(batchDocs, t)
-      .join(settled.withColumnRenamed("keep_id", "settled_keep"),
+    // batch-sized and referenced by every stage below: one eager cut.
+    // The exact-stage lookup is probe-shaped: a left join can only
+    // broadcast its RIGHT side — the corpus-scale hash table — so joined
+    // naively every ingest batch would SHUFFLE the settled corpus. One
+    // column-pruned scan of the table probes a broadcast of the batch's
+    // hashes instead (left-semi, batch-bounded hit set), and only that
+    // hit set (re-broadcast) enters the left join: the settled corpus is
+    // scanned once per ingest and never shuffled.
+    val batchSig = Curation.withSignals(batchDocs, t)
+    val settledHits = broadcast(settled
+      .join(broadcast(batchSig.select(col("content_hash")).distinct()),
+        Seq("content_hash"), "left_semi"))
+    val staged = cut(batchSig
+      .join(settledHits.withColumnRenamed("keep_id", "settled_keep"),
         Seq("content_hash"), "left"))
 
     // exact stage against state: a settled hash wins outright (unless it
@@ -182,14 +193,26 @@ object IncrementalCuration {
     val embPairsGated = emb.map { e =>
       val vPairs = EmbIndex.incrementCosinePairs(wh, e.embSrc, e.bits, e.radius, e.maxBucket)
       val docPairs = e.docPairsOf(vPairs.select(col("vec_a"), col("vec_b")))
-      val survIds = settled.select(col("keep_id").as("doc_id"))
-        .unionByName(surv.select(col("doc_id"))).distinct()
-      docPairs
+      // probe-shaped like the exact stage above: the survivor universe
+      // (settled keep_ids ∪ batch survivors) is corpus-scale, so instead
+      // of semi-joining the pairs against it (which would shuffle it,
+      // twice), it is scanned once against a broadcast of the pairs'
+      // endpoint ids — probe pairs are batch-bounded (every pair has a
+      // batch endpoint), so the hit set is too, and the gating semi-joins
+      // run against its broadcast
+      val normPairs = cut(docPairs
         .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
           greatest(col("doc_a"), col("doc_b")).as("doc_b"))
-        .filter(col("doc_a") =!= col("doc_b"))
-        .join(survIds.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
-        .join(survIds.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi")
+        .filter(col("doc_a") =!= col("doc_b")))
+      val endpointIds = normPairs.select(col("doc_a").as("doc_id"))
+        .unionByName(normPairs.select(col("doc_b").as("doc_id"))).distinct()
+      val survHit = broadcast(settled.select(col("keep_id").as("doc_id"))
+        .unionByName(surv.select(col("doc_id")))
+        .join(broadcast(endpointIds), Seq("doc_id"), "left_semi")
+        .distinct())
+      normPairs
+        .join(survHit.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
+        .join(survHit.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi")
     }
     val allPairs = embPairsGated
       .foldLeft(pairs.select(col("doc_a"), col("doc_b")))(_ unionByName _)
@@ -219,7 +242,10 @@ object IncrementalCuration {
         allPairs.select(col("doc_b").as("doc_id")).distinct()
       }
     }
-      .join(surv.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      // batch survivors broadcast (batch-bounded by contract): in the
+      // clustered branch the left side is the corpus-scale state read —
+      // scan + map-side probe, no state shuffle
+      .join(broadcast(surv.select(col("doc_id"))), Seq("doc_id"), "left_semi")
       .withColumn("near_dup", lit(true)))
 
     val tagged = staged2

@@ -1356,8 +1356,23 @@ object TextOps {
     */
   private[graft] def contractedGraph(prior: DataFrame, newNodes: DataFrame,
                                      incPairs: DataFrame): (DataFrame, DataFrame) = {
-    val pa = prior.select(col("doc_id"), col("cluster"))
-    val repped = cutLineage(incPairs
+    // A left join's broadcast candidate is its RIGHT side, and here that
+    // is the corpus-scale prior assignment — written naively, every
+    // ingest batch SHUFFLES the prior corpus (twice: once per endpoint
+    // key). Probe pattern instead: one column-pruned scan of the prior
+    // assignment, semi-joined against a broadcast of the batch pairs'
+    // endpoint ids (batch-bounded by the increment contract), yields the
+    // batch-touched slice — and only that slice (re-broadcast, it is
+    // ≤ 2× the pair count) enters the endpoint left joins. The prior
+    // corpus is scanned once and never shuffled.
+    // the pair feed is referenced three times below (both endpoint-id
+    // branches + the rep joins) — materialize it once, batch-bounded
+    val inc = cutLineage(incPairs.select(col("doc_a"), col("doc_b")), eager = true)
+    val endpoints = inc.select(col("doc_a").as("doc_id"))
+      .unionByName(inc.select(col("doc_b").as("doc_id"))).distinct()
+    val pa = broadcast(prior.select(col("doc_id"), col("cluster"))
+      .join(broadcast(endpoints), Seq("doc_id"), "left_semi"))
+    val repped = cutLineage(inc
       .join(pa.withColumnsRenamed(Map("doc_id" -> "doc_a", "cluster" -> "rep_a")),
         Seq("doc_a"), "left")
       .join(pa.withColumnsRenamed(Map("doc_id" -> "doc_b", "cluster" -> "rep_b")),
@@ -1427,12 +1442,17 @@ object TextOps {
                              incPairs: DataFrame,
                              validateEndpoints: Boolean = true): DataFrame = {
     if (validateEndpoints) {
-      val known = prior.select(col("doc_id"))
-        .unionByName(newNodes.select(col("doc_id")))
-      val foreign = incPairs
+      // same probe shape as the hot path below: the corpus-scale node set
+      // is scanned against a broadcast of the batch's endpoint ids, never
+      // shuffled — the guard costs one prior pass even in debug mode
+      val pairIds = incPairs
         .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
         .distinct()
-        .join(known, Seq("doc_id"), "left_anti")
+      val knownHit = broadcast(prior.select(col("doc_id"))
+        .unionByName(newNodes.select(col("doc_id")))
+        .join(broadcast(pairIds), Seq("doc_id"), "left_semi"))
+      val foreign = pairIds
+        .join(knownHit, Seq("doc_id"), "left_anti")
         .limit(5).collect().map(_.get(0))
       if (foreign.nonEmpty)
         throw new IllegalArgumentException(
@@ -1441,14 +1461,28 @@ object TextOps {
             "full recluster keeps apart; fix the pair feed (or pre-filter the pairs)")
     }
     // replay guard: ids the prior assignment already governs are not new.
-    // Cut eagerly — the anti-join reads the prior corpus, and freshNodes
-    // is referenced twice (contraction + newFinal); the cut result is
-    // batch-sized, so this halves the increment's prior passes
-    val freshNodes = cutLineage(newNodes.select(col("doc_id"))
-      .join(prior.select(col("doc_id")), Seq("doc_id"), "left_anti"), eager = true)
+    // A left-anti join can only broadcast its RIGHT side — the corpus-
+    // scale prior — so written directly it would shuffle the prior per
+    // batch. Probe pattern: the prior's batch-overlap slice (one scan of
+    // the prior probing a broadcast of the batch ids, batch-bounded
+    // result) is what the batch anti-joins against, re-broadcast. Cut
+    // eagerly — freshNodes is referenced twice (contraction + newFinal)
+    val batchIds = newNodes.select(col("doc_id"))
+    val replayed = broadcast(prior.select(col("doc_id"))
+      .join(broadcast(batchIds), Seq("doc_id"), "left_semi"))
+    val freshNodes = cutLineage(
+      batchIds.join(replayed, Seq("doc_id"), "left_anti"), eager = true)
     val (touched, repped) = contractedGraph(prior, freshNodes, incPairs)
-    val merged = propagateLabels(touched, repped)
-      .select(col("doc_id").as("rep"), col("cluster").as("merged"))
+    // merged is the contracted increment's relabeling — bounded by the
+    // batch's edge neighborhood, so it BROADCASTS: the composition join
+    // over the prior corpus is a scan + map-side hash probe, zero prior
+    // shuffle. This is the join the increment's scale contract hinges on
+    // ("the prior corpus is touched exactly once") — the hint makes the
+    // map-side claim physically true instead of leaving the planner to
+    // sort-merge two sides whose stats it cannot see through the
+    // propagation loop's checkpoints.
+    val merged = broadcast(propagateLabels(touched, repped)
+      .select(col("doc_id").as("rep"), col("cluster").as("merged")))
     val oldFinal = prior.select(col("doc_id"), col("cluster"))
       .join(merged, col("cluster") === col("rep"), "left")
       .select(col("doc_id"), coalesce(col("merged"), col("cluster")).as("cluster"))
