@@ -21,13 +21,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = read(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = read(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = read(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects by
-    * default; read it as a long (nanos since epoch). Set per-read so this
-    * works under any session (driver-owned or ours).
+  /** events with `ts` normalized to LONG NANOS since epoch — the column
+    * contract every consumer (sessionization gaps, q38's range frame,
+    * as-of arithmetic) is written against. The driver's generator has
+    * emitted two physical types across rounds: parquet TIMESTAMP(NANOS)
+    * (read as a long via `nanosAsLong` — Spark's reader rejects it
+    * otherwise; set per-read so this works under any session) and plain
+    * TIMESTAMP_NTZ micros. Dispatch on the OBSERVED schema, not the
+    * round: the NTZ form is cast through TimestampType (sessions run
+    * UTC, so the wall-instant is preserved) and scaled to nanos. The
+    * DuckDB oracle needs no twin switch — `epoch_ns(ts)` accepts either
+    * physical type.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(s, d, "events")
+    val df = read(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ =>
+        import org.apache.spark.sql.functions._
+        df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
+    }
   }
 
   /** events with ts converted to a proper TimestampType column (micros).
