@@ -28,10 +28,13 @@ object Tables {
     * (read as a long via `nanosAsLong` — Spark's reader rejects it
     * otherwise; set per-read so this works under any session) and plain
     * TIMESTAMP_NTZ micros. Dispatch on the OBSERVED schema, not the
-    * round: the NTZ form is cast through TimestampType (sessions run
-    * UTC, so the wall-instant is preserved) and scaled to nanos. The
-    * DuckDB oracle needs no twin switch — `epoch_ns(ts)` accepts either
-    * physical type.
+    * round: the NTZ form is cast through TimestampType and scaled to
+    * nanos. cast(NTZ → timestamp) interprets the wall-clock in the
+    * SESSION time zone, so the zone is pinned to UTC per-read alongside
+    * nanosAsLong — the DuckDB oracle's `epoch_ns(ts)` treats naive
+    * timestamps as UTC, and a driver-owned non-UTC session would
+    * otherwise shift every ts by the zone offset. The oracle needs no
+    * twin switch — `epoch_ns(ts)` accepts either physical type.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -40,6 +43,7 @@ object Tables {
       case org.apache.spark.sql.types.LongType => df
       case _ =>
         import org.apache.spark.sql.functions._
+        s.conf.set("spark.sql.session.timeZone", "UTC")
         df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
     }
   }

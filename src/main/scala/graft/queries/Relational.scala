@@ -808,8 +808,17 @@ object Relational {
     * column counts discovered from the schemas themselves, not hardcoded.
     */
   def q32Catalog(s: SparkSession, dir: String): DataFrame = {
-    val names = Seq("customer", "documents", "embeddings", "events", "lineitem",
-      "nation", "orders", "part", "region", "supplier")
+    // DISCOVERED, not hardcoded — the reference reads
+    // information_schema.tables (app.py:1298-1301); the parquet analog is
+    // the corpus dir's listing. Plan-time metadata only (one directory
+    // LIST + per-table footer schema reads), no Spark job per table.
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    val names = fs.listStatus(p).toSeq
+      .map(_.getPath.getName)
+      .filter(_.endsWith(".parquet"))
+      .map(_.stripSuffix(".parquet"))
+      .sorted
     val rows = names.map(t => (t, Tables.read(s, dir, t).schema.fields.length))
     import s.implicits._
     rows.toDF("table_name", "n_columns").orderBy(col("table_name"))

@@ -1271,6 +1271,24 @@ object TextOps {
       edges.select(col("doc_a").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
 
     val MaxIters = 32
+    // PATH HALVING (pointer jumping) is GATED on round count: rounds
+    // before [[HalvingStart]] run plain neighbor-min (ONE join + groupBy
+    // per round), later rounds also adopt the label's own label,
+    // L''(x) = min(L'(x), L'(L'(x))) — a second self-join per round.
+    // Rationale, measured both ways: neighbor-min alone converges in
+    // O(diameter) rounds (17 on the t34 embedding graph at sf0.1 —
+    // cosine chains run deep; DedupClusterSpec's 40-edge chain cannot
+    // converge inside MaxIters at all), while halving makes distances
+    // shrink geometrically → O(log diameter). But round 8 ran halving
+    // from round 0 and t13 DOUBLED (4.2-5.3 s vs its 2.18 s baseline):
+    // typical near-dup graphs are near-cliques that converge in ≤ 5
+    // plain rounds, so the unconditional second self-join cost more per
+    // round than the saved rounds returned. Gating recovers the plain
+    // loop for shallow graphs and keeps the geometric bound for deep
+    // ones: a chain of diameter d ≤ HalvingStart pays no halving at all;
+    // past the gate the remaining distance collapses in O(log d) halved
+    // rounds, so worst-case rounds ≈ HalvingStart + log2(d) ≪ MaxIters.
+    val HalvingStart = 6
     var labels = dropCarriedStats(
       cutLineage(participating.withColumn("cluster", col("doc_id")), eager = true))
     var iter = 0
@@ -1280,42 +1298,48 @@ object TextOps {
         .join(labels.select(col("doc_id").as("doc_b"), col("cluster").as("nb_cluster")), Seq("doc_b"))
         .groupBy(col("doc_a")).agg(min(col("nb_cluster")).as("min_nb"))
         .select(col("doc_a").as("doc_id"), col("min_nb"))
-      // stepped is PERSISTED before the halving self-join references it
-      // twice — without it, both join sides embed the labels⋈neighborMin
-      // plan and only its exchanges dedupe via ReuseExchange, so the
-      // post-shuffle work would run twice per round. persist (not a
-      // checkpoint: joined's cut below already bounds lineage) computes
-      // it once under this round's single action; released after the
-      // round so at most one round's cache is ever held.
-      val stepped = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("cluster").as("prev"),
-          least(col("cluster"), coalesce(col("min_nb"), col("cluster"))).as("cluster"))
-        .persist()
-      // PATH HALVING (pointer jumping): also adopt the label's own label,
-      // L''(x) = min(L'(x), L'(L'(x))). Neighbor-min alone converges in
-      // O(diameter) rounds, and at one Spark job per round that is the
-      // scale hazard — measured 17 rounds on the t34 embedding graph at
-      // sf0.1 (cosine chains run deep), uncomfortably close to the budget
-      // a bigger corpus would blow (DedupClusterSpec pins a 40-edge chain,
-      // which CANNOT converge inside the budget without halving). Halving
-      // makes label distances shrink geometrically → O(log diameter)
-      // rounds; labels are always node ids of `participating`, so the
-      // self-lookup is total (left join + coalesce only guards the
-      // converged fixpoint where L(x) = x).
-      val byNode = stepped.select(col("doc_id").as("cluster"), col("cluster").as("hop"))
-      // dropCarriedStats here is load-bearing: without it the round's
-      // rewritten statistics compound through `labels` round over round
-      // (see the helper's doc) — the cut bounds the LINEAGE, this bounds
-      // the STATS
-      val joined = dropCarriedStats(cutLineage(stepped.join(byNode, Seq("cluster"), "left")
-        .select(col("doc_id"), col("prev"),
-          least(col("cluster"), coalesce(col("hop"), col("cluster"))).as("cluster")),
-        eager = false))
-      // one job per round: both lazy checkpoints materialize under the
-      // change-count action (old and new label side by side), so the
-      // convergence check costs no second pass over the lineage
-      converged = joined.filter(col("cluster") =!= col("prev")).isEmpty
-      stepped.unpersist(false) // joined is materialized; the round's cache is done
+      // one job per round either way: the lazy checkpoint materializes
+      // under the change-count action (old and new label side by side),
+      // so the convergence check costs no second pass over the lineage
+      val joined = if (iter < HalvingStart) {
+        // plain round: one join, lazy cut
+        val j = dropCarriedStats(cutLineage(labels.join(neighborMin, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("cluster").as("prev"),
+            least(col("cluster"), coalesce(col("min_nb"), col("cluster"))).as("cluster")),
+          eager = false))
+        converged = j.filter(col("cluster") =!= col("prev")).isEmpty
+        j
+      } else {
+        // halving round. stepped is PERSISTED before the self-join
+        // references it twice — without it, both join sides embed the
+        // labels⋈neighborMin plan and only its exchanges dedupe via
+        // ReuseExchange, so the post-shuffle work would run twice per
+        // round. persist (not a checkpoint: the cut below already bounds
+        // lineage) computes it once under this round's single action;
+        // released after the round so at most one round's cache is held.
+        val stepped = labels.join(neighborMin, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("cluster").as("prev"),
+            least(col("cluster"), coalesce(col("min_nb"), col("cluster"))).as("cluster"))
+          .persist()
+        // labels are always node ids of `participating`, so the
+        // self-lookup is total (left join + coalesce only guards the
+        // converged fixpoint where L(x) = x).
+        val byNode = stepped.select(col("doc_id").as("cluster"), col("cluster").as("hop"))
+        // dropCarriedStats here is load-bearing: without it the round's
+        // rewritten statistics compound through `labels` round over round
+        // (see the helper's doc) — the cut bounds the LINEAGE, this
+        // bounds the STATS
+        val j = dropCarriedStats(cutLineage(stepped.join(byNode, Seq("cluster"), "left")
+          .select(col("doc_id"), col("prev"),
+            least(col("cluster"), coalesce(col("hop"), col("cluster"))).as("cluster")),
+          eager = false))
+        // materialize under the convergence action BEFORE dropping the
+        // pin — unpersisting first would recompute stepped on both join
+        // sides, the exact double-run the persist exists to prevent
+        converged = j.filter(col("cluster") =!= col("prev")).isEmpty
+        stepped.unpersist(false)
+        j
+      }
       labels = joined.select(col("doc_id"), col("cluster"))
       iter += 1
     }
