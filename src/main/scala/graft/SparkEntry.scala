@@ -34,7 +34,8 @@ object SparkEntry {
       ("t42_incremental_multisignal" ->
         (graft.pipelines.IncrementalCuration.t42IncrementalMultiSignal _)) +
       ("t43_incremental_clustered" ->
-        (graft.pipelines.IncrementalCuration.t43IncrementalClustered _))
+        (graft.pipelines.IncrementalCuration.t43IncrementalClustered _)) +
+      ("t44_frame_sample" -> (graft.multimodal.BinaryAssets.t44FrameSample _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for hash-seed-dependent ops (MinHash/
@@ -68,5 +69,9 @@ object SparkEntry {
       // drop set, survivor-gated, batch-slice counters
       ("t42_incremental_multisignal" -> graft.pipelines.IncrementalCuration.t42Sql) +
       // t43 = the clustered multi-signal corner: t38's closure, batch slice
-      ("t43_incremental_clustered" -> graft.pipelines.IncrementalCuration.t43Sql)
+      ("t43_incremental_clustered" -> graft.pipelines.IncrementalCuration.t43Sql) +
+      // t44 reads binary payloads from the persisted asset parquet through
+      // the partition-batched codec path; the oracle reads the SAME
+      // parquet (blob lengths + the generator's header arithmetic)
+      ("t44_frame_sample" -> graft.multimodal.BinaryAssets.t44SqlFor(dir))
 }

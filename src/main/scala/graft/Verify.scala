@@ -15,6 +15,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // lifecycle queries (t37/t40/t41-t43) re-seed their persisted state on
+    // EVERY invocation here: the dumped hashes must replay the whole
+    // lifecycle deterministically from scratch, never depend on state a
+    // previous run advanced. Bench leaves this unset and seeds once in
+    // warmup — the measured region is the per-batch ingest.
+    sys.props("graft.lifecycle.reseed") = "true"
     // Dev aid mirroring Bench: SPARK_GRAFT_ONLY=t15_x,q01_y restricts the
     // dump; the driver leaves it unset and verifies everything.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)

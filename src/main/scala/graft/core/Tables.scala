@@ -59,6 +59,31 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
 
+  /** S1's alternative mapping (SURVEY §2.1): the reference reads live
+    * Postgres tables (app.py:24-27, etl_sync.py:87-88); the Spark-side
+    * analog is `spark.read.jdbc` behind the same schema contract as the
+    * parquet readers — swap the source, keep every query untouched. Thin
+    * by design: Spark's JDBC source already handles dialects, pushdown of
+    * filters/column pruning into the remote SQL, and fetch batching.
+    *
+    * `partition` = (column, lowerBound, upperBound, numPartitions) turns
+    * the read into numPartitions RANGE-SLICED parallel queries — the only
+    * way a JDBC scan scales past one connection. At warehouse scale the
+    * bounds come from a cheap min/max probe (or the table's id sequence),
+    * and numPartitions is sized to what the database endpoint tolerates,
+    * NOT to the cluster's core count: a 1000-executor cluster pointing
+    * 1000 connections at one Postgres is a denial of service, which is
+    * exactly why the reference syncs Postgres into a warehouse
+    * incrementally instead of querying it per request.
+    */
+  def readJdbc(s: SparkSession, url: String, table: String,
+               partition: Option[(String, Long, Long, Int)] = None,
+               props: java.util.Properties = new java.util.Properties()): DataFrame =
+    partition match {
+      case Some((column, lo, hi, n)) => s.read.jdbc(url, table, column, lo, hi, n, props)
+      case None                      => s.read.jdbc(url, table, props)
+    }
+
   /** Content stamp of a table path for cache invalidation: every data
     * file's name, length and mtime. Unlike a bare directory mtime this
     * changes whenever the listing or file contents-length change — and is

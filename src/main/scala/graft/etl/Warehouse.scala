@@ -426,6 +426,38 @@ case class Warehouse(spark: SparkSession, dir: String) {
     } catch { case _: java.io.IOException => () }
   }
 
+  /** Bounded-retention reclamation — [[vacuum]] for tables that keep
+    * being rewritten BETWEEN full quiesces (the lifecycle warehouses
+    * rewrite their state tables per batch, and routine rewrites only ever
+    * sweep strays, so generations otherwise accumulate until a quiescent
+    * moment that may never come). Keeps whatever [[resolve]] currently
+    * returns (in the crash window with no pointer, that is the newest
+    * complete version — a live target is NEVER deleted) plus the newest
+    * `retainLast` COMMITTED generations, so a still-unevaluated reader
+    * plan up to `retainLast` rewrites old keeps resolving. An unreadable
+    * history means the committed window is unknown: skip reclamation
+    * entirely rather than guess (deleting a still-referenced version is
+    * the one unrecoverable outcome). Like [[vacuum]], assumes no
+    * concurrent WRITER on this table (an uncommitted in-flight version
+    * dir reads as a stray and would be swept); readers are safe within
+    * the retention window. `retainLast <= 0` degrades to the full
+    * [[vacuum]].
+    */
+  def vacuum(name: String, retainLast: Int): Unit = {
+    if (retainLast <= 0) { vacuum(name); return }
+    val live = resolve(name).getName
+    val committed =
+      try history(name) catch { case _: java.io.IOException => return }
+    val keep = (committed.takeRight(retainLast) :+ live).toSet
+    listVersions(name).foreach { case (_, p) =>
+      if (!keep.contains(p.getName)) fs.delete(p, true) }
+    // the legacy flat dir is a generation like any other: reclaim it only
+    // when neither live nor the retention window still names it
+    val flat = new Path(dir, name)
+    if (!keep.contains(name) && fs.exists(flat) && fs.getFileStatus(flat).isDirectory)
+      fs.delete(flat, true)
+  }
+
   /** Materialize a computed increment before appending it to tables its
     * own lineage reads (anti-joins against the target): parquet round-trip
     * through a staging dir breaks the lazy re-read-after-write hazard.

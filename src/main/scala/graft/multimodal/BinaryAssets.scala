@@ -131,4 +131,94 @@ object BinaryAssets {
       .groupBy(col("kind"), col("dim"))
       .agg(round(avg(col("v")), 6).as("mean_v"))
       .orderBy(col("kind"), col("dim"))
+
+  // ---------------------------------------------------------------- t44
+  /** The PERSISTED asset table — [[syntheticAssets]] materialized to
+    * parquet in the corpus's index warehouse, stamped like every fitted
+    * artifact (one row per document in the corpus, so the table scales
+    * with the testdata contract and regenerated testdata re-materializes
+    * it). This is what stands in for the raw `binaryFile` ingest at the
+    * verification layer: the t44 query READS BINARY PAYLOADS FROM
+    * PARQUET and decodes them through the partition-batched codec path,
+    * while the DuckDB oracle reads the SAME parquet — payload sizes via
+    * `octet_length`, header fields via the generator's arithmetic — so a
+    * broken decode (wrong offsets, wrong endianness, payload truncation
+    * in the write path) hash-mismatches.
+    */
+  val TableName = "binary_assets"
+
+  val AssetSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("kind", StringType),
+      StructField("payload", BinaryType),
+      StructField("corpus_stamp", StringType)))
+  }
+
+  /** Frame-sampling stride of the registered t44 query (and its oracle). */
+  val StrideMs = 250L
+
+  def ensureAssets(spark: SparkSession, dir: String): Unit = {
+    import graft.queries.{IvfModel, StampedTable}
+    val wh = IvfModel.warehouseFor(spark, dir)
+    val stamp = s"assets-v1\n$dir\n" +
+      graft.core.Tables.contentStamp(spark, s"$dir/documents.parquet")
+    StampedTable.ensure(wh, TableName, AssetSchema, stamp) {
+      // one count at materialization time only (stamped thereafter)
+      val n = graft.core.Tables.documents(spark, dir).count().toInt
+      syntheticAssets(spark, n).toDF()
+    }
+  }
+
+  /** The persisted assets as the typed Dataset the operators take. */
+  def assets(spark: SparkSession, dir: String): Dataset[Asset] = {
+    import spark.implicits._
+    graft.queries.IvfModel.warehouseFor(spark, dir)
+      .read(TableName, AssetSchema)
+      .select(col("asset_id"), col("kind"), col("payload"))
+      .as[Asset]
+  }
+
+  /** Registered, oracle-checked frame sampling: decode every video
+    * asset's header THROUGH THE BINARY CODEC PATH (mapPartitions over
+    * the payload column) and expand it to sampled frame rows. The
+    * payload byte count rides along so the oracle cross-checks the
+    * binary write/read round-trip, not just the arithmetic.
+    */
+  def t44FrameSample(s: SparkSession, dir: String): DataFrame = {
+    ensureAssets(s, dir)
+    decodeMeta(assets(s, dir)).toDF()
+      .filter(col("kind") === "video")
+      .withColumn("frame_idx",
+        explode(sequence(lit(0L), expr(s"(duration_ms - 1) div $StrideMs"))))
+      .select(col("asset_id"), col("width"), col("height"), col("n_bytes"),
+        col("frame_idx"), (col("frame_idx") * StrideMs).as("frame_ts_ms"))
+      .orderBy(col("asset_id"), col("frame_idx"))
+  }
+
+  /** DuckDB replay over the SAME persisted parquet: payload length from
+    * the blob itself, header fields from the generator's arithmetic
+    * (width = 64 + (id % 4)·64, height = 64 + (id % 3)·64, duration_ms =
+    * 1000 + id·10 — the contract [[syntheticAssets]] writes and
+    * [[FakeCodec.decodeMeta]] must read back), frames = one row per
+    * stride start inside the duration.
+    */
+  def t44SqlFor(dir: String): String =
+    s"""WITH a AS (
+       |  SELECT asset_id, kind, CAST(octet_length(payload) AS INT) AS n_bytes
+       |  FROM read_parquet('${graft.queries.IvfModel.oraclePathFor(dir, TableName)}/*.parquet')),
+       |v AS (
+       |  SELECT asset_id, n_bytes,
+       |    CAST(64 + (asset_id % 4) * 64 AS INT) AS width,
+       |    CAST(64 + (asset_id % 3) * 64 AS INT) AS height,
+       |    1000 + asset_id * 10 AS duration_ms
+       |  FROM a WHERE kind = 'video'),
+       |f AS (
+       |  SELECT asset_id, width, height, n_bytes,
+       |    unnest(range(0, ((duration_ms - 1) // $StrideMs) + 1)) AS frame_idx
+       |  FROM v)
+       |SELECT asset_id, width, height, n_bytes, frame_idx,
+       |  frame_idx * $StrideMs AS frame_ts_ms
+       |FROM f ORDER BY asset_id, frame_idx""".stripMargin
 }

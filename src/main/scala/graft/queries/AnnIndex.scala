@@ -112,7 +112,7 @@ object Lsh {
   * JVM so repeat queries run zero setup jobs. One implementation so the
   * staleness protocol cannot drift between artifacts.
   */
-private[queries] object StampedTable {
+private[graft] object StampedTable {
 
   /** table-path → the stamp this JVM last verified or fitted there —
     * spares the per-call stamp-check read. Keyed by PATH with the stamp
@@ -153,6 +153,45 @@ private[queries] object StampedTable {
     }
     if (!current.contains(stamp))
       wh.rewrite(table, fit.withColumn("corpus_stamp", lit(stamp)), partitionBy)
+    verified.put(key, stamp)
+  }
+
+  /** [[ensure]] for MULTI-ARTIFACT seeds whose output is several warehouse
+    * tables, not one fitted frame: `doSeed` runs its rewrites itself, and a
+    * one-row MARKER table under `marker` records the stamp of the last
+    * COMPLETED seed. The marker commits strictly AFTER `doSeed` returns, so
+    * a crash mid-seed leaves the old marker (or none) and the next call
+    * re-seeds — each artifact's own versioned rewrite already guarantees no
+    * torn table inside the window. Memoized per JVM like [[ensure]]: a
+    * repeat call at the same stamp runs ZERO jobs.
+    *
+    * `graft.lifecycle.reseed=true` (system property, set by Verify) forces
+    * `doSeed` on every call regardless of the marker — the correctness dump
+    * replays the full lifecycle deterministically from scratch, while Bench
+    * and production deployments seed once and pay only the per-batch
+    * ingest, which is exactly what the bench should measure.
+    */
+  def ensureSeeded(wh: Warehouse, marker: String, stamp: String)(doSeed: => Unit): Unit = synchronized {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("corpus_stamp",
+        org.apache.spark.sql.types.StringType)))
+    val forced = sys.props.get("graft.lifecycle.reseed").contains("true")
+    val key = s"${wh.dir}/$marker"
+    if (!forced && verified.get(key).contains(stamp)) return
+    val current =
+      if (forced) None
+      else wh.read(marker, schema)
+        .select(col("corpus_stamp")).limit(1).collect().headOption.map(_.getString(0))
+    if (stamp.contains("unreadable:")) {
+      if (current.isEmpty)
+        throw new IllegalStateException(
+          s"cannot seed $marker: corpus listing failed and no completed seed exists")
+      return // serve the existing state; do not memoize, do not poison
+    }
+    if (forced || !current.contains(stamp)) {
+      doSeed
+      wh.rewrite(marker, wh.spark.range(1).select(lit(stamp).as("corpus_stamp")))
+    }
     verified.put(key, stamp)
   }
 }
@@ -449,13 +488,19 @@ object IvfModel {
     * mirroring `Warehouse.resolve` (pointer file, else newest complete
     * version) for the local-FS case.
     */
-  def oraclePath(dir: String): String = {
+  def oraclePath(dir: String): String = oraclePathFor(dir, TableName)
+
+  /** [[oraclePath]] for any versioned table of `dir`'s index warehouse —
+    * the DuckDB-side resolver other persisted-artifact oracles (the t44
+    * asset table) embed in their SQL.
+    */
+  def oraclePathFor(dir: String, table: String): String = {
     val root = rootFor(dir)
     def exists(f: java.io.File) = f.exists()
     val fromPointer =
       try {
         val t = java.nio.file.Files
-          .readString(java.nio.file.Paths.get(root, s"$TableName.__current")).trim
+          .readString(java.nio.file.Paths.get(root, s"$table.__current")).trim
         Some(new java.io.File(root, t)).filter(exists)
       } catch { case _: java.io.IOException => None }
     fromPointer.orElse {
@@ -463,10 +508,10 @@ object IvfModel {
       // exactly — lexicographic name order diverges from it once the
       // version counter outgrows the %06d zero-padding
       Option(new java.io.File(root).listFiles()).getOrElse(Array.empty[java.io.File])
-        .filter(f => f.getName.startsWith(s"$TableName.__v") &&
+        .filter(f => f.getName.startsWith(s"$table.__v") &&
           new java.io.File(f, "_SUCCESS").exists())
-        .flatMap(f => f.getName.stripPrefix(s"$TableName.__v").toLongOption.map(_ -> f))
+        .flatMap(f => f.getName.stripPrefix(s"$table.__v").toLongOption.map(_ -> f))
         .sortBy(_._1).lastOption.map(_._2)
-    }.getOrElse(new java.io.File(root, TableName)).toString
+    }.getOrElse(new java.io.File(root, table)).toString
   }
 }

@@ -201,4 +201,50 @@ class IncrementalCurationSpec extends SparkTestBase {
     // as exact survivors plus near-dup members of the batch
     assert(ids(BandIndex.banded(wh)) === Set(1L, 11L, 12L))
   }
+
+  test("stamped seed: skip on repeat, identical replay audit, forced reseed for Verify") {
+    val wh = tmpWh()
+    var seeds = 0
+    def ensure(): Unit =
+      graft.queries.StampedTable.ensureSeeded(wh, "t_seed", "stamp-A") {
+        seeds += 1; IncrementalCuration.seed(wh, partA)
+      }
+    ensure()
+    assert(seeds === 1)
+    val (c1, a1) = IncrementalCuration.ingest(wh, partB)
+    val audit1 = a1.collect().head.toSeq
+    val kept1 = ids(c1)
+    // repeat: marker + memo skip the seed entirely; the ingest replays
+    // over the ADVANCED state (its own appends present) and re-derives
+    // the exact same audit — the bench-pass-2 shape
+    ensure()
+    assert(seeds === 1, "stamped repeat re-ran the seed")
+    val (c2, a2) = IncrementalCuration.ingest(wh, partB)
+    assert(a2.collect().head.toSeq === audit1)
+    assert(ids(c2) === kept1)
+    // Verify's forced-reseed property bypasses marker AND memo — the
+    // from-scratch replay the correctness dump depends on
+    sys.props("graft.lifecycle.reseed") = "true"
+    try { ensure(); assert(seeds === 2, "forced mode did not re-seed") }
+    finally sys.props -= "graft.lifecycle.reseed"
+    val (c3, a3) = IncrementalCuration.ingest(wh, partB)
+    assert(a3.collect().head.toSeq === audit1)
+    assert(ids(c3) === kept1)
+  }
+
+  test("ingest releases its cut pins: no lingering checkpoint blocks past the two outputs") {
+    val wh = tmpWh()
+    IncrementalCuration.seed(wh, partA)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (cur, aud) = IncrementalCuration.ingest(wh, partB)
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    // the two returned outputs are themselves eager cuts the CALLER owns;
+    // every intermediate (staged slice, drop set, probe pair frames and
+    // the probes' internal batch/probed slices) is released before ingest
+    // returns — without the release sweep this set held 6+ entries
+    assert(added.size <= 2, s"lingering cut blocks: ${added.size}")
+    // ...and the outputs are still fully evaluable after the sweep
+    assert(aud.collect().head.getAs[Long]("input_docs") === ids(partB).size.toLong)
+    assert(cur.count() > 0)
+  }
 }

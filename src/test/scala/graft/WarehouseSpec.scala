@@ -38,6 +38,38 @@ class WarehouseSpec extends SparkTestBase {
     assert(names(wh) === Set("v5"))
   }
 
+  test("vacuum(retainLast): bounded retention keeps live + N committed generations") {
+    val wh = fresh()
+    (1 to 6).foreach(i => wh.rewrite("t", Seq((1L, s"v$i")).toDF("id", "name")))
+    val fs = new Path(wh.dir).getFileSystem(spark.sessionState.newHadoopConf())
+    // a reader plan resolved BEFORE the vacuum, one rewrite back
+    wh.vacuum("t", retainLast = 2)
+    // live (v6) is in the committed window, so exactly 2 dirs survive
+    assert(fs.globStatus(new Path(wh.dir, "t.__v*")).length === 2)
+    assert(names(wh) === Set("v6"))
+    // a lagging reader within the window still completes after the vacuum
+    wh.rewrite("t", Seq((1L, "v7")).toDF("id", "name"))
+    val lagging = wh.read("t", schema)
+    wh.rewrite("t", Seq((1L, "v8")).toDF("id", "name"))
+    wh.vacuum("t", retainLast = 2)
+    assert(lagging.collect().map(_.getString(1)).toSet === Set("v7"))
+    // retainLast <= 0 degrades to the full vacuum
+    wh.vacuum("t", retainLast = 0)
+    assert(fs.globStatus(new Path(wh.dir, "t.__v*")).length === 1)
+    assert(names(wh) === Set("v8"))
+  }
+
+  test("vacuum(retainLast) in the crash window (no pointer) keeps what resolve returns") {
+    val wh = fresh()
+    (1 to 3).foreach(i => wh.rewrite("t", Seq((1L, s"v$i")).toDF("id", "name")))
+    val fs = new Path(wh.dir).getFileSystem(spark.sessionState.newHadoopConf())
+    // crash between pointer delete and rename: no pointer on disk
+    fs.delete(new Path(wh.dir, "t.__current"), false)
+    wh.vacuum("t", retainLast = 1)
+    // the newest complete version was the live target — never deleted
+    assert(names(wh) === Set("v3"))
+  }
+
   test("a reader lagging TWO rewrites still completes (multi-generation window)") {
     val wh = fresh()
     wh.rewrite("t", Seq((1L, "gen1")).toDF("id", "name"))
