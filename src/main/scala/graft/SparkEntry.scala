@@ -35,7 +35,8 @@ object SparkEntry {
         (graft.pipelines.IncrementalCuration.t42IncrementalMultiSignal _)) +
       ("t43_incremental_clustered" ->
         (graft.pipelines.IncrementalCuration.t43IncrementalClustered _)) +
-      ("t44_frame_sample" -> (graft.multimodal.BinaryAssets.t44FrameSample _))
+      ("t44_frame_sample" -> (graft.multimodal.BinaryAssets.t44FrameSample _)) +
+      ("t45_asset_meta" -> (graft.multimodal.BinaryAssets.t45AssetMeta _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for hash-seed-dependent ops (MinHash/
@@ -73,5 +74,8 @@ object SparkEntry {
       // t44 reads binary payloads from the persisted asset parquet through
       // the partition-batched codec path; the oracle reads the SAME
       // parquet (blob lengths + the generator's header arithmetic)
-      ("t44_frame_sample" -> graft.multimodal.BinaryAssets.t44SqlFor(dir))
+      ("t44_frame_sample" -> graft.multimodal.BinaryAssets.t44SqlFor(dir)) +
+      // t45 = the decoded-metadata frame over ALL kinds (t44 covers only
+      // the video slice) — image/audio header decode + format mapping
+      ("t45_asset_meta" -> graft.multimodal.BinaryAssets.t45SqlFor(dir))
 }

@@ -197,6 +197,30 @@ object BinaryAssets {
       .orderBy(col("asset_id"), col("frame_idx"))
   }
 
+  /** t44's companion over ALL kinds: the full decoded-metadata frame —
+    * every asset through the codec path (t44 exercises only the video
+    * slice), so a decode regression on image/audio headers or the
+    * kind→format mapping is driver-caught too.
+    */
+  def t45AssetMeta(s: SparkSession, dir: String): DataFrame = {
+    ensureAssets(s, dir)
+    decodeMeta(assets(s, dir)).toDF()
+      .select(col("asset_id"), col("kind"), col("width"), col("height"),
+        col("duration_ms"), col("format"), col("n_bytes"))
+      .orderBy(col("asset_id"))
+  }
+
+  def t45SqlFor(dir: String): String =
+    s"""SELECT asset_id, kind,
+       |  CAST(64 + (asset_id % 4) * 64 AS INT) AS width,
+       |  CAST(64 + (asset_id % 3) * 64 AS INT) AS height,
+       |  1000 + asset_id * 10 AS duration_ms,
+       |  CASE kind WHEN 'image' THEN 'fake/png' WHEN 'audio' THEN 'fake/wav'
+       |       ELSE 'fake/mp4' END AS format,
+       |  CAST(octet_length(payload) AS INT) AS n_bytes
+       |FROM read_parquet('${graft.queries.IvfModel.oraclePathFor(dir, TableName)}/*.parquet')
+       |ORDER BY asset_id""".stripMargin
+
   /** DuckDB replay over the SAME persisted parquet: payload length from
     * the blob itself, header fields from the generator's arithmetic
     * (width = 64 + (id % 4)·64, height = 64 + (id % 3)·64, duration_ms =
