@@ -96,11 +96,18 @@ object ClusterState {
     * in the hot loop.
     */
   def ingestBatch(wh: Warehouse, batchDocs: DataFrame): Unit = {
-    val pairs = BandIndex.incrementCandidatePairs(wh, batchDocs)
+    // one banding pass (shingle + minhash — the batch's dominant compute)
+    // shared by the probe and the append
+    val bb = cut(BandIndex.bandedOf(batchDocs))
+    val pairs = BandIndex.incrementPairsOf(BandIndex.banded(wh), bb, TextOps.MaxBucket)
     wh.rewrite(TableName, TextOps.dedupClustersIncrement(
       read(wh), batchDocs.select(col("doc_id")), pairs, validateEndpoints = false))
-    BandIndex.appendBatch(wh, batchDocs)
+    BandIndex.appendBatchBanded(wh, bb)
   }
+
+  private def cut(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
 
   // ---------------------------------------------------------------- t37
   /** The incremental path as a registered, ORACLE-CHECKED query: split
@@ -246,11 +253,13 @@ object ClusterState {
                            bits: Int = graft.queries.Lsh.Bits,
                            radius: Int = TextOps.PairRadius,
                            maxBucket: Int = TextOps.EmbBucketCap): Unit = {
-    val pairs = EmbIndex.incrementCosinePairs(wh, batchEmb, bits, radius, maxBucket)
+    // one coding pass shared by probe and append, like [[ingestBatch]]
+    val bc = cut(EmbIndex.codedOf(batchEmb, bits))
+    val pairs = EmbIndex.incrementCosinePairsOf(EmbIndex.coded(wh), bc, bits, radius, maxBucket)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
     wh.rewrite(TableName, TextOps.dedupClustersIncrement(
       read(wh), batchEmb.select(col("vec_id").as("doc_id")), pairs, validateEndpoints = false))
-    EmbIndex.appendBatch(wh, batchEmb, bits)
+    EmbIndex.appendBatchCoded(wh, bc)
   }
 
   // ---------------------------------------------------------------- t40

@@ -240,15 +240,17 @@ object IncrementalCuration {
     // near-dup stage: batch survivors band THEMSELVES and probe the
     // settled-survivor index — union-capped batch-neighborhood pairs,
     // est-jaccard semantics identical to the full pipeline (k/16 is an
-    // exact binary fraction, so the probe's 4-digit rounding is identity)
+    // exact binary fraction, so the probe's 4-digit rounding is identity).
+    // The banding is materialized ONCE and shared by the probe and the
+    // index append below — shingle + minhash is the batch's dominant
+    // per-doc compute, and running it per consumer doubled it.
     val surv = staged2.filter(col("exact_ok"))
+    val bandedSurv = cutT(BandIndex.bandedOf(surv.select(col("doc_id"), col("text"))))
     val pairs = BandIndex.incrementPairsOf(
-      BandIndex.banded(wh),
-      BandIndex.bandedOf(surv.select(col("doc_id"), col("text"))),
-      t.maxBandBucket)
+      BandIndex.banded(wh), bandedSurv, t.maxBandBucket)
       .filter(col("est_jaccard") >= t.nearDupJaccard)
     // evaluated once (inside the drop-set cut); tracking it lets the
-    // final sweep release the probe's internal batch/probed-slice pins
+    // final sweep release the probe's internal probed-slice pin
     tracked += pairs
     // the embedding signal, index-probed: batch vectors code themselves
     // and probe the persisted sign-code index (replay-exact, union-cap
@@ -256,8 +258,11 @@ object IncrementalCuration {
     // are survivor-gated on BOTH endpoints — settled survivors are the
     // hash table's keep_ids, batch survivors the exact stage above —
     // exactly where the full pipeline gates extraPairs
+    // the batch coding is shared by probe and append the same way
+    val codedBatch = emb.map(e => cutT(EmbIndex.codedOf(e.embSrc, e.bits)))
     val embPairsGated = emb.map { e =>
-      val vPairs = EmbIndex.incrementCosinePairs(wh, e.embSrc, e.bits, e.radius, e.maxBucket)
+      val vPairs = EmbIndex.incrementCosinePairsOf(
+        EmbIndex.coded(wh), codedBatch.get, e.bits, e.radius, e.maxBucket)
       val docPairs = e.docPairsOf(vPairs.select(col("vec_a"), col("vec_b")))
       // probe-shaped like the exact stage above: the survivor universe
       // (settled keep_ids ∪ batch survivors) is corpus-scale, so instead
@@ -340,9 +345,8 @@ object IncrementalCuration {
     wh.appendLive(HashTable,
       staged2.filter(col("exact_ok") && col("settled_keep").isNull)
         .select(col("content_hash"), col("doc_id").as("keep_id")))
-    BandIndex.appendBatch(wh,
-      staged2.filter(col("exact_ok")).select(col("doc_id"), col("text")))
-    emb.foreach(e => EmbIndex.appendBatch(wh, e.embSrc, e.bits))
+    BandIndex.appendBatchBanded(wh, bandedSurv)
+    codedBatch.foreach(EmbIndex.appendBatchCoded(wh, _))
     // outputs are materialized and the appends have run — every consumer
     // of the intermediate cuts is done; release their pins so a long-lived
     // session (the bench JVM, a per-batch driver loop) holds only the two

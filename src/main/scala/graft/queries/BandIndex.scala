@@ -125,9 +125,28 @@ object BandIndex {
     * rewrite — the anti-join IS the repair path (spec-pinned against a
     * simulated torn append).
     */
-  def appendBatch(wh: Warehouse, batchDocs: DataFrame): Unit = {
-    val fresh = bandedOf(batchDocs)
-      .join(banded(wh).select(col("doc_id"), col("band")), Seq("doc_id", "band"), "left_anti")
+  def appendBatch(wh: Warehouse, batchDocs: DataFrame): Unit =
+    appendBatchBanded(wh, bandedOf(batchDocs))
+
+  /** [[appendBatch]] over an ALREADY-banded batch frame — the shape
+    * [[graft.pipelines.IncrementalCuration.ingest]] uses so the batch is
+    * shingled + minhashed ONCE per ingest (probe and append share the
+    * materialized banding) instead of once per consumer.
+    *
+    * The idempotency anti-join is PARTITION-PRUNED: an existing
+    * (doc_id, band) row for this batch necessarily lives in the same
+    * bk_bucket the fresh row would land in (the bucket is a pure hash of
+    * (band, band_key), and the key re-derives deterministically from the
+    * text), so only the batch's own buckets are read — at corpus scale
+    * the repair check costs O(batch neighborhood), not a full index scan
+    * per batch.
+    */
+  def appendBatchBanded(wh: Warehouse, batchBanded: DataFrame): Unit = {
+    val bb = batchBanded
+    val buckets = bb.select(col("bk_bucket")).distinct().collect().map(_.getInt(0))
+    val fresh = bb
+      .join(banded(wh).filter(col("bk_bucket").isin(buckets.toSeq: _*))
+        .select(col("doc_id"), col("band")), Seq("doc_id", "band"), "left_anti")
     wh.appendLive(TableName,
       fresh.withColumn("corpus_stamp", lit("append")),
       partitionBy = Seq("bk_bucket"))
@@ -189,7 +208,12 @@ object BandIndex {
     def cut(df: DataFrame): DataFrame =
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
       else df.localCheckpoint()
-    val bb = cut(batchBanded)
+    // an ALREADY-materialized batch frame (a caller sharing its banding
+    // across probe + append) is not copied again
+    val bb = batchBanded.queryExecution.analyzed match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => batchBanded
+      case _                                            => cut(batchBanded)
+    }
     // STATIC partition pruning: the batch's bucket set is ≤ BkBuckets
     // values, collected from the persisted batch frame — one batch-sized
     // job, and the index scan then carries a PartitionFilters entry

@@ -77,11 +77,23 @@ object EmbIndex {
     * granularity (one row per vector = one row per file slot, so unlike
     * the band index there is no sub-row torn-append shape to repair).
     */
-  def appendBatch(wh: Warehouse, batchEmb: DataFrame, bits: Int = Lsh.Bits): Unit = {
-    val fresh = batchEmb.join(
-      coded(wh).select(col("vec_id")), Seq("vec_id"), "left_anti")
+  def appendBatch(wh: Warehouse, batchEmb: DataFrame, bits: Int = Lsh.Bits): Unit =
+    appendBatchCoded(wh, codedOf(batchEmb, bits))
+
+  /** [[appendBatch]] over an ALREADY-coded batch frame (the ingest path
+    * shares one materialized coding across probe + append). The
+    * idempotency anti-join is PARTITION-PRUNED to the batch's own sign
+    * codes: an existing row for a batch vector necessarily sits in the
+    * bucket the deterministic re-coding derives, so the check reads
+    * O(batch buckets), never the full index.
+    */
+  def appendBatchCoded(wh: Warehouse, batchCoded: DataFrame): Unit = {
+    val codes = batchCoded.select(col("bucket")).distinct().collect().map(_.getLong(0))
+    val fresh = batchCoded.join(
+      coded(wh).filter(col("bucket").isin(codes.toSeq: _*)).select(col("vec_id")),
+      Seq("vec_id"), "left_anti")
     wh.appendLive(TableName,
-      codedOf(fresh, bits).withColumn("corpus_stamp", lit("append")),
+      fresh.withColumn("corpus_stamp", lit("append")),
       partitionBy = Seq("bucket"))
   }
 
@@ -122,7 +134,11 @@ object EmbIndex {
     def cut(df: DataFrame): DataFrame =
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
       else df.localCheckpoint()
-    val bc = cut(batchCoded)
+    // an already-materialized coded frame is not copied again
+    val bc = batchCoded.queryExecution.analyzed match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => batchCoded
+      case _                                            => cut(batchCoded)
+    }
     val masks = Lsh.masksWithin(radius, bits)
     // every bucket a batch vector probes OR lives in (mask 0 is in the
     // set, so own buckets are covered): ≤ 2^bits values, collected from
