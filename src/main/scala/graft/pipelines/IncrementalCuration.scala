@@ -202,6 +202,15 @@ object IncrementalCuration {
              t: Curation.Thresholds = Curation.Thresholds(),
              emb: Option[EmbeddingSignal] = None,
              clustered: Boolean = false): (DataFrame, DataFrame) = {
+    val (curated, audit) = ingestImpl(wh, batchDocs, t, emb, clustered, wantCurated = true)
+    (curated.get, audit)
+  }
+
+  private def ingestImpl(wh: Warehouse, batchDocs: DataFrame,
+                         t: Curation.Thresholds,
+                         emb: Option[EmbeddingSignal],
+                         clustered: Boolean,
+                         wantCurated: Boolean): (Option[DataFrame], DataFrame) = {
     val settled = wh.read(HashTable, HashSchema)
     // intermediate cuts (everything but the two returned outputs) are
     // tracked and released before returning — see [[releaseCut]]. The
@@ -338,7 +347,10 @@ object IncrementalCuration {
       count(when(col("stage") === "exact_dup", 1)).as("dropped_exact_dup"),
       count(when(col("stage") === "near_dup", 1)).as("dropped_near_dup"),
       count(when(col("stage") === "kept", 1)).as("curated_docs"))
-    val (curatedOut, auditOut) = (cut(curated), cut(audit))
+    // audit-only callers skip the curated materialization entirely — one
+    // fewer batch-sized job + pin per lifecycle invocation
+    val curatedOut = if (wantCurated) Some(cut(curated)) else None
+    val auditOut = cut(audit)
 
     // advance the state: hashes not yet settled (a replayed batch's own
     // entries are), bands at (doc_id, band) repair granularity
@@ -356,17 +368,14 @@ object IncrementalCuration {
   }
 
   /** [[ingest]] for callers that consume only the AUDIT row (the
-    * registered lifecycle queries): the curated batch's pin is released
-    * too, so per invocation only the one-row audit cut stays held.
+    * registered lifecycle queries): the curated batch is never
+    * materialized, so per invocation only the one-row audit cut is held.
     */
   private def ingestAudit(wh: Warehouse, batchDocs: DataFrame,
                           t: Curation.Thresholds = Curation.Thresholds(),
                           emb: Option[EmbeddingSignal] = None,
-                          clustered: Boolean = false): DataFrame = {
-    val (curated, audit) = ingest(wh, batchDocs, t, emb, clustered)
-    releaseCut(curated)
-    audit
-  }
+                          clustered: Boolean = false): DataFrame =
+    ingestImpl(wh, batchDocs, t, emb, clustered, wantCurated = false)._2
 
   /** Structured-Streaming front end over [[ingest]] —
     * [[ClusterState.maintainFromStream]]'s shape for the curation
@@ -432,12 +441,21 @@ object IncrementalCuration {
     Warehouse(s, new java.io.File(
       graft.queries.IvfModel.warehouseFor(s, dir).dir, name).toString)
 
-  private def halfSplit(docs: DataFrame): Long =
-    docs.agg(max(col("doc_id"))).head.getLong(0) / 2
+  /** The lifecycle queries' seed/batch split point (max doc_id / 2),
+    * memoized per (dir, corpus content): the 1-row max probe is a Spark
+    * job, and re-running it on every invocation of every lifecycle query
+    * is pure overhead — the stamp misses whenever the corpus is
+    * regenerated, exactly like [[graft.queries.StampedTable]]'s memo.
+    */
+  private val splitMemo = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private def halfSplit(s: SparkSession, dir: String, docs: DataFrame): Long =
+    splitMemo.getOrElseUpdate(
+      s"$dir\n${graft.core.Tables.contentStamp(s, s"$dir/documents.parquet")}",
+      docs.agg(max(col("doc_id"))).head.getLong(0) / 2)
 
   private[graft] def t41EnsureSeeded(s: SparkSession, dir: String): (Warehouse, Long) = {
     val docs = graft.core.Tables.documents(s, dir)
-    val splitId = halfSplit(docs)
+    val splitId = halfSplit(s, dir, docs)
     val wh = lifecycleWh(s, dir, "t41_inccur")
     // thresholds are part of the stamp: a code-level default change must
     // re-seed rather than silently ingest against state built under the
@@ -497,7 +515,7 @@ object IncrementalCuration {
                                       clustered: Boolean): (Warehouse, Long) = {
     val docs = graft.core.Tables.documents(s, dir)
     val embAll = graft.core.Tables.embeddings(s, dir)
-    val splitId = halfSplit(docs)
+    val splitId = halfSplit(s, dir, docs)
     val wh = lifecycleWh(s, dir, name)
     val stamp = s"$name-seed\n$dir\nclustered=$clustered\n${Curation.Thresholds()}\n$dialStamp\n" +
       graft.core.Tables.contentStamp(s, s"$dir/documents.parquet") + "\n" +

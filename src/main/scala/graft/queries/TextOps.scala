@@ -1270,6 +1270,29 @@ object TextOps {
     val participating = nodes.join(
       edges.select(col("doc_a").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
 
+    // BOUNDED LOCAL FALLBACK — the broadcast-join principle applied to
+    // connected components: when the edge-participating graph fits the
+    // driver comfortably (≤ [[LocalCCMaxEdges]] pairs ≈ 16 MB of longs,
+    // the same order as a broadcast join's small side), a driver-side
+    // union-find answers in TWO jobs (collect pairs + collect nodes)
+    // what the distributed loop answers in one job per round — at test
+    // scale the sliver is thousands of edges and the loop was pure
+    // job-scheduling overhead. The result is bit-identical: union-by-min
+    // makes every component's root its minimum id, which IS the
+    // converged min-label (order-independent, so partitioning-invariant
+    // like the loop). At 100 TB the FULL-corpus recluster exceeds the
+    // bound and runs the distributed loop unchanged — but the
+    // INCREMENT's contracted graph ([[dedupClustersIncrement]]) is
+    // batch-bounded by construction, so per-batch maintenance stays on
+    // the 2-job path at any corpus size, exactly like its merged
+    // relabeling already broadcasts. The pair count is one cheap job
+    // over the already-materialized cut. Dial:
+    // `graft.cc.localMaxEdges` (specs set 0 to force the loop).
+    val localMax = sys.props.get("graft.cc.localMaxEdges").map(_.toLong)
+      .getOrElse(LocalCCMaxEdges)
+    if (pairs.count() <= localMax)
+      return localComponents(participating, pairs)
+
     val MaxIters = 32
     // PATH HALVING (pointer jumping) is GATED on round count: rounds
     // before [[HalvingStart]] run plain neighbor-min (ONE join + groupBy
@@ -1348,6 +1371,42 @@ object TextOps {
         s"t13 label propagation did not converge after $MaxIters iterations — " +
           "component diameter exceeds the budget; raise MaxIters")
     labels
+  }
+
+  /** Edge-count bound for the driver-side union-find fallback (see the
+    * call site in [[propagateLabels]]): 1M (doc_a, doc_b) pairs ≈ 16 MB
+    * collected — a deliberate, documented driver budget, not a hidden
+    * collect (the distributed loop takes over beyond it).
+    */
+  private[graft] val LocalCCMaxEdges = 1000000L
+
+  /** Driver union-find over the edge-participating sliver. Edges whose
+    * endpoint falls OUTSIDE the node set connect nothing — the exact
+    * semantics of the distributed loop, where an unlabeled neighbor
+    * contributes no `min_nb`. Union-by-min keeps every root the
+    * component minimum, so `find(n)` is directly the converged label.
+    */
+  private def localComponents(participating: DataFrame, pairs: DataFrame): DataFrame = {
+    val s = participating.sparkSession
+    val nodeArr = participating.select(col("doc_id")).collect().map(_.getLong(0))
+    val parent = new java.util.HashMap[Long, Long](nodeArr.length * 2)
+    nodeArr.foreach(n => parent.put(n, n))
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (parent.get(c) != r) { val nx = parent.get(c); parent.put(c, r); c = nx }
+      r
+    }
+    pairs.select(col("doc_a"), col("doc_b")).collect().foreach { row =>
+      val a = row.getLong(0); val b = row.getLong(1)
+      if (parent.containsKey(a) && parent.containsKey(b)) {
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+      }
+    }
+    val labels = nodeArr.toSeq.map(n => (n, find(n)))
+    s.createDataFrame(labels).toDF("doc_id", "cluster")
   }
 
   /** Presentation over a converged (doc_id, cluster) assignment:

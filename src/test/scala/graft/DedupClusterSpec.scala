@@ -37,12 +37,20 @@ class DedupClusterSpec extends SparkTestBase {
     assert(got(5L) === 5L) // untouched singleton
   }
 
+  /** Force the distributed propagation loop (bypass the bounded local
+    * union-find) for tests whose subject IS the loop machinery.
+    */
+  private def forcingLoop[A](body: => A): A = {
+    sys.props("graft.cc.localMaxEdges") = "-1"
+    try body finally sys.props -= "graft.cc.localMaxEdges"
+  }
+
   test("with a checkpoint dir configured, clustering uses reliable checkpoints and agrees") {
     import graft.queries.TextOps
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
     val nodes = (1L to 8L).toDF("doc_id")
-    def result() = TextOps.dedupClustersOf(nodes, pairs)
-      .select("doc_id", "cluster").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def result() = forcingLoop(TextOps.dedupClustersOf(nodes, pairs)
+      .select("doc_id", "cluster").collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
     val viaLocal = result() // no checkpoint dir: localCheckpoint path
     val ckDir = java.nio.file.Files.createTempDirectory("graft_ck_").toString
     spark.sparkContext.setCheckpointDir(ckDir)
@@ -53,6 +61,25 @@ class DedupClusterSpec extends SparkTestBase {
     def count(dir: java.io.File): Int =
       Option(dir.listFiles()).map(_.map(f => if (f.isDirectory) count(f) else 1).sum).getOrElse(0)
     assert(count(new java.io.File(ckDir)) > 0, "no reliable checkpoint files written")
+  }
+
+  test("local union-find fallback == distributed loop, incl. foreign-endpoint exclusion") {
+    import graft.queries.TextOps
+    // chain + separate pair + an edge through a NON-node endpoint (99):
+    // the loop never labels 99, so 7 and 8 must NOT merge through it —
+    // the local path must replicate exactly that
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (7L, 99L), (99L, 8L)).toDF("doc_a", "doc_b")
+    val nodes = (1L to 12L).toDF("doc_id")
+    def assignment(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "cluster").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaLocal = assignment(TextOps.clusterAssignmentOf(nodes, pairs))
+    val viaLoop = forcingLoop(assignment(TextOps.clusterAssignmentOf(nodes, pairs)))
+    assert(viaLocal === viaLoop)
+    val got = viaLocal.toMap
+    assert(Seq(1L, 2L, 3L, 4L).map(got).distinct === Seq(1L))
+    assert(got(7L) === 7L && got(8L) === 8L, "merged through a non-node endpoint")
   }
 
   test("t13 over the corpus: canonical docs unique per cluster, sizes consistent") {
@@ -74,7 +101,7 @@ class DedupClusterSpec extends SparkTestBase {
     // with the non-convergence error instead of staying green.
     val edges = (0L until 40L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val nodes = (0L to 40L).toDF("doc_id")
-    val out = graft.queries.TextOps.dedupClustersOf(nodes, edges).collect()
+    val out = forcingLoop(graft.queries.TextOps.dedupClustersOf(nodes, edges).collect())
     assert(out.length === 41)
     assert(out.forall(_.getAs[Long]("cluster") === 0L))
     assert(out.forall(_.getAs[Long]("cluster_size") === 41L))
