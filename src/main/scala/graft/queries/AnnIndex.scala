@@ -472,6 +472,36 @@ object IvfModel {
       partitionBy = Seq("cluster"))
   }
 
+  /** Warehouse-scoped inverted lists over an EXPLICIT embedding frame —
+    * the t46 verification path (seed the lists on a settled slice,
+    * append batches against the same persisted quantizer, probe the
+    * maintained table): assignment against the given centroid frame,
+    * committed as a fresh `cluster`-partitioned generation.
+    */
+  def seedListsFrame(wh: Warehouse, emb: DataFrame, cents: DataFrame): Unit =
+    wh.rewrite(ListsTable,
+      assignClusters(emb, cents).withColumn("corpus_stamp", lit("seed")),
+      partitionBy = Seq("cluster"))
+
+  /** Grow a warehouse-scoped list table by one batch — replay-idempotent
+    * (anti-join on the lists' vec_id column; one row per vector = one
+    * file slot, so no sub-row torn shape). Assignment runs ONLY on the
+    * fresh rows, against the SAME centroid generation the seed used —
+    * the IVF append contract (quantizer refit is an explicit rebuild
+    * event, never a side effect of growth).
+    */
+  def appendListsFrame(wh: Warehouse, embBatch: DataFrame, cents: DataFrame): Unit = {
+    val fresh = embBatch.join(
+      wh.read(ListsTable, ListsSchema).select(col("vec_id")), Seq("vec_id"), "left_anti")
+    wh.appendLive(ListsTable,
+      assignClusters(fresh, cents).withColumn("corpus_stamp", lit("append")),
+      partitionBy = Seq("cluster"))
+  }
+
+  /** A warehouse-scoped list table (vec_id, emb, cluster). */
+  def listsOf(wh: Warehouse): DataFrame =
+    wh.read(ListsTable, ListsSchema).select(col("vec_id"), col("emb"), col("cluster"))
+
   /** Coalesce the inverted-list table's append litter ([[appendLists]]
     * leaves ≥ 1 file per touched cluster partition per batch) — rows and
     * their mixed stamps verbatim, one file per `cluster=` directory,

@@ -752,8 +752,14 @@ object TextOps {
   def t36AnnIvfLists(s: SparkSession, dir: String,
                      k: Int = IvfModel.K, nProbe: Int = IvfModel.NProbe): DataFrame = {
     IvfModel.ensureLists(s, dir, k = k)
-    val lists = IvfModel.lists(s, dir)
-    val centArr = IvfModel.centroids(s, dir)
+    ivfListsProbe(IvfModel.lists(s, dir), IvfModel.centroids(s, dir), nProbe)
+  }
+
+  /** The t36 probe body over explicit lists + centroids — shared with
+    * t46's incrementally-maintained list table so the two cannot drift.
+    */
+  private def ivfListsProbe(lists: DataFrame, centroids: DataFrame, nProbe: Int): DataFrame = {
+    val centArr = centroids
       .agg(sort_array(collect_list(struct(col("cid"), col("cvec")))).as("cents"))
     def scored = transform(col("cents"), c =>
       struct(
@@ -774,6 +780,48 @@ object TextOps {
       .withColumn("rk", row_number().over(wTop))
       .filter(col("rk") <= 5)
       .orderBy(col("query_id"), col("rk"))
+  }
+
+  // ---------------------------------------------------------------- t46
+  /** INCREMENTAL IVF as a registered, oracle-checked query — the last
+    * cell of the incremental matrix (text dedup t37, embedding dedup
+    * t40, curation t41-t43, ANN here): the inverted lists are SEEDED
+    * from the settled half of the corpus and GROWN by the batch half
+    * through [[IvfModel.appendListsFrame]] — batch-sized assignment
+    * against the SAME persisted quantizer, replay-idempotent append —
+    * then probed exactly like t36. Oracle = t14's SQL over the full
+    * corpus: assignment is per-vector deterministic given the centroid
+    * table, so increment == full re-materialization bit-for-bit (the
+    * claim AnnSpec pins in-memory, proved here through the warehouse).
+    * Same stamped-seed / forced-reseed protocol as the other lifecycle
+    * queries; Bench warms the seed, measures the append + probe.
+    */
+  def t46AnnIvfIncrement(s: SparkSession, dir: String,
+                         k: Int = IvfModel.K, nProbe: Int = IvfModel.NProbe): DataFrame = {
+    val wh = t46EnsureSeeded(s, dir, k)
+    val cents = IvfModel.centroids(s, dir)
+    val partB = embeddings(s, dir)
+      .select(col("vec_id"), graft.functions.VectorOps.toDouble(col("embedding")).as("emb"))
+      .filter(splitBucket(col("vec_id")) >= 50)
+    IvfModel.appendListsFrame(wh, partB, cents)
+    ivfListsProbe(IvfModel.listsOf(wh), cents, nProbe)
+  }
+
+  private[graft] def t46EnsureSeeded(s: SparkSession, dir: String, k: Int): graft.etl.Warehouse = {
+    // the quantizer is the FULL-corpus stamped artifact (same generation
+    // t14/t36 probe — and the one the oracle reads)
+    IvfModel.ensure(s, dir, k = k)
+    val wh = graft.etl.Warehouse(s, new java.io.File(
+      IvfModel.warehouseFor(s, dir).dir, "t46_increment").toString)
+    val stamp = s"t46-seed\n$dir\nk=$k\n" +
+      graft.core.Tables.contentStamp(s, s"$dir/embeddings.parquet")
+    StampedTable.ensureSeeded(wh, "t46_seed", stamp) {
+      val partA = embeddings(s, dir)
+        .select(col("vec_id"), graft.functions.VectorOps.toDouble(col("embedding")).as("emb"))
+        .filter(splitBucket(col("vec_id")) < 50)
+      IvfModel.seedListsFrame(wh, partA, IvfModel.centroids(s, dir))
+    }
+    wh
   }
 
   /** The centroid path derives from the corpus dir EXPLICITLY — the caller
@@ -1618,6 +1666,8 @@ object TextOps {
       t14AnnIvf(s, d, DialIvfK, DialIvfNProbe)),
     "t36_ann_ivf_lists"   -> ((s: SparkSession, d: String) =>
       t36AnnIvfLists(s, d, DialIvfK, DialIvfNProbe)),
+    "t46_ann_ivf_increment" -> ((s: SparkSession, d: String) =>
+      t46AnnIvfIncrement(s, d, DialIvfK, DialIvfNProbe)),
     "t15_cosine_near_dup" -> ((s: SparkSession, d: String) =>
       cosineCandidatePairs(s, d, DialBits, DialRadius.getOrElse(PairRadius), DialEmbCap)),
     "t16_token_bpe"       -> (t16TokenBpe _),
@@ -1657,6 +1707,9 @@ object TextOps {
     // replays the same SQL; a hash mismatch here means the materialized
     // assignment drifted from the computed one
     "t36_ann_ivf_lists"   -> t14Sql(dir),
+    // increment == full re-materialization given the same quantizer, so
+    // the incrementally-maintained lists answer t14's oracle exactly
+    "t46_ann_ivf_increment" -> t14Sql(dir),
     "t15_cosine_near_dup" -> t15Sql,
     "t16_token_bpe"       -> t16Sql,
     "t34_embed_dedup_clusters" -> t34Sql,
