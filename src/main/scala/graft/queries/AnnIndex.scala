@@ -502,6 +502,25 @@ object IvfModel {
   def listsOf(wh: Warehouse): DataFrame =
     wh.read(ListsTable, ListsSchema).select(col("vec_id"), col("emb"), col("cluster"))
 
+  /** Structured-Streaming maintenance of a warehouse-scoped list table —
+    * the [[graft.pipelines.ClusterState.maintainFromStream]] shape for
+    * the ANN artifact: each micro-batch of (vec_id, emb) assigns itself
+    * against the SAME persisted quantizer and appends into its cluster
+    * partitions. foreachBatch delivers at-least-once;
+    * [[appendListsFrame]]'s anti-join makes a redelivered micro-batch a
+    * no-op, so the maintained lists are effectively exactly-once — and
+    * identical to a batch re-materialization over the union (spec-pinned
+    * across micro-batches).
+    */
+  def maintainListsFromStream(wh: Warehouse, emb: DataFrame,
+                              cents: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+    emb.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        appendListsFrame(wh, batch.toDF(), cents)
+      }
+      .start()
+
   /** Coalesce the inverted-list table's append litter ([[appendLists]]
     * leaves ≥ 1 file per touched cluster partition per batch) — rows and
     * their mixed stamps verbatim, one file per `cluster=` directory,

@@ -547,4 +547,36 @@ class AnnSpec extends SparkTestBase {
       rm(new java.io.File(tmpRoot))
     }
   }
+
+  test("streamed list maintenance == batch re-materialization (micro-batches, replay-safe)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val wh = graft.etl.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft_ivf_stream_").toString)
+    val all = graft.core.Tables.embeddings(spark, sf())
+      .select(col("vec_id"), graft.functions.VectorOps.toDouble(col("embedding")).as("emb"))
+    // 4 "centroids" = the first 4 vectors (no KMeans needed: the claim
+    // under test is maintenance == re-materialization, not fit quality)
+    val centFrame = all.filter(col("vec_id") < 4)
+      .select(col("vec_id").cast("int").as("cid"), col("emb").as("cvec"))
+    IvfModel.seedListsFrame(wh, all.filter(col("vec_id") < 100), centFrame)
+    // the rest arrives as two micro-batches; the second REPLAYS rows of
+    // the first (at-least-once delivery) — the anti-join must drop them
+    val rows = all.filter(col("vec_id") >= 100).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, Seq[Double])]
+    val q = IvfModel.maintainListsFromStream(wh,
+      ms.toDF().toDF("vec_id", "emb"), centFrame)
+    try {
+      ms.addData(b1.toSeq: _*); q.processAllAvailable()
+      ms.addData((b2 ++ b1.take(5)).toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    def asn(df: org.apache.spark.sql.DataFrame) = df.select("vec_id", "cluster")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(asn(IvfModel.listsOf(wh)) === asn(IvfModel.assignClusters(all, centFrame)),
+      "streamed lists diverge from a batch re-materialization")
+    assert(IvfModel.listsOf(wh).count() === all.count(), "replayed rows duplicated")
+  }
 }
