@@ -232,6 +232,27 @@ class IncrementalCurationSpec extends SparkTestBase {
     assert(ids(c3) === kept1)
   }
 
+  test("ensureSeeded crash window: a failed seed leaves no marker, the next call re-seeds") {
+    val wh = tmpWh()
+    var attempts = 0
+    def ensure(fail: Boolean): Unit =
+      graft.queries.StampedTable.ensureSeeded(wh, "c_seed", "stamp-X") {
+        attempts += 1
+        if (fail) sys.error("crash mid-seed")
+        IncrementalCuration.seed(wh, partA)
+      }
+    intercept[RuntimeException](ensure(fail = true))
+    // the marker commits strictly AFTER doSeed returns — a crash inside
+    // the seed must not stamp a state that was never built
+    assert(wh.read(IncrementalCuration.HashTable, IncrementalCuration.HashSchema).isEmpty)
+    ensure(fail = false)
+    assert(attempts === 2, "crash did not trigger a re-seed")
+    assert(!wh.read(IncrementalCuration.HashTable, IncrementalCuration.HashSchema).isEmpty)
+    // ...and the completed seed IS stamped: third call skips
+    ensure(fail = false)
+    assert(attempts === 2)
+  }
+
   test("ingest releases its cut pins: no lingering checkpoint blocks past the two outputs") {
     val wh = tmpWh()
     IncrementalCuration.seed(wh, partA)
