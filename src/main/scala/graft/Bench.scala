@@ -55,6 +55,16 @@ object Bench {
     // t14/t36 above), so the measured region is the append + probe
     try { graft.queries.TextOps.t46EnsureSeeded(spark, sfDir, graft.queries.TextOps.DialIvfK) }
     catch { case _: Throwable => () }
+    // bounded-retention maintenance of the scratch warehouses (shared
+    // corpus scratch + each lifecycle sub-warehouse): generations from
+    // prior sessions' rewrites are reclaimed down to the reader window
+    // HERE, in warmup quiescence — never on a query path
+    try {
+      val root = graft.queries.IvfModel.warehouseFor(spark, sfDir)
+      val subs = Seq("t37_increment", "t40_increment", "t41_inccur", "t42_inccur", "t46_increment",
+        "t43_inccur").map(n => graft.etl.Warehouse(spark, new java.io.File(root.dir, n).toString))
+      (root +: subs).foreach(w => w.vacuumAll(w.RetainVersions))
+    } catch { case _: Throwable => () }
     // Per-query time = min over two FULL passes of the suite, not two
     // back-to-back runs of the same query. Round 3's driver run showed a
     // sustained external load spike near the end of the suite that inflated

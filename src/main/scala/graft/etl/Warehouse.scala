@@ -458,6 +458,28 @@ case class Warehouse(spark: SparkSession, dir: String) {
       fs.delete(flat, true)
   }
 
+  /** [[vacuum]](name, retainLast) for EVERY versioned table of this
+    * warehouse — names discovered from pointer files and version-dir
+    * prefixes (a table that lost its pointer mid-crash is still found
+    * and its newest complete version still kept). The bounded-retention
+    * maintenance pass a deployment schedules against a state warehouse;
+    * same quiescence contract as [[vacuum]].
+    */
+  def vacuumAll(retainLast: Int): Unit = {
+    def names(glob: String, strip: String => Option[String]): Seq[String] = {
+      val stats = try fs.globStatus(new Path(dir, glob))
+                  catch { case _: java.io.IOException => null }
+      Option(stats).map(_.toSeq).getOrElse(Nil)
+        .flatMap(st => strip(st.getPath.getName))
+    }
+    val fromPointers = names("*.__current", n => Some(n.stripSuffix(".__current")))
+    val fromVersions = names("*.__v*", { n =>
+      val i = n.lastIndexOf(".__v")
+      if (i > 0 && n.drop(i + 4).forall(_.isDigit)) Some(n.take(i)) else None
+    })
+    (fromPointers ++ fromVersions).distinct.foreach(vacuum(_, retainLast))
+  }
+
   /** Materialize a computed increment before appending it to tables its
     * own lineage reads (anti-joins against the target): parquet round-trip
     * through a staging dir breaks the lazy re-read-after-write hazard.

@@ -59,6 +59,20 @@ class WarehouseSpec extends SparkTestBase {
     assert(names(wh) === Set("v8"))
   }
 
+  test("vacuumAll: discovers every table (incl. pointer-less), bounded retention, live kept") {
+    val wh = fresh()
+    (1 to 5).foreach(i => wh.rewrite("a", Seq((1L, s"a$i")).toDF("id", "name")))
+    (1 to 5).foreach(i => wh.rewrite("b", Seq((1L, s"b$i")).toDF("id", "name")))
+    val fs = new Path(wh.dir).getFileSystem(spark.sessionState.newHadoopConf())
+    // b loses its pointer (crash window) — discovery must still find it
+    fs.delete(new Path(wh.dir, "b.__current"), false)
+    wh.vacuumAll(retainLast = 1)
+    assert(names(wh, "a") === Set("a5"))
+    assert(names(wh, "b") === Set("b5"))
+    assert(fs.globStatus(new Path(wh.dir, "a.__v*")).length === 1)
+    assert(fs.globStatus(new Path(wh.dir, "b.__v*")).length === 1)
+  }
+
   test("vacuum(retainLast) in the crash window (no pointer) keeps what resolve returns") {
     val wh = fresh()
     (1 to 3).foreach(i => wh.rewrite("t", Seq((1L, s"v$i")).toDF("id", "name")))
