@@ -322,6 +322,31 @@ object ClusterState {
     wh
   }
 
+  /** One scheduled MAINTENANCE pass over a dedup-state warehouse — the
+    * operational cadence between per-batch ingests and the (rarer)
+    * drift-driven [[reconcile]]:
+    *
+    *  1. compact the index append litter (each batch leaves ≥ 1 file per
+    *     touched partition; a year of daily batches turns every
+    *     partition directory into hundreds of small files whose
+    *     open/footer overhead dominates the probe reads) — band and/or
+    *     embedding index, whichever exists here;
+    *  2. bounded-retention vacuum of every versioned table (per-batch
+    *     state rewrites accumulate generations; the reader window is
+    *     kept).
+    *
+    * Same quiescence contract as [[graft.etl.Warehouse.vacuum]]: run it
+    * when no concurrent writer targets this warehouse (readers within
+    * the retention window are safe). Probe results are unchanged by
+    * construction — compact preserves rows verbatim and vacuum never
+    * touches the live generation (spec-pinned end to end).
+    */
+  def maintain(wh: Warehouse, retainLast: Int = 3): Unit = {
+    if (!wh.read(BandIndex.TableName, BandIndex.Schema).isEmpty) BandIndex.compact(wh)
+    if (!wh.read(EmbIndex.TableName, EmbIndex.Schema).isEmpty) EmbIndex.compact(wh)
+    wh.vacuumAll(retainLast)
+  }
+
   /** Seed both cluster-increment lifecycle queries' persisted state
     * (stamped — zero jobs on repeat); Bench warmup, next to the IVF list
     * build. Dials mirror the registry's t40 wiring exactly.

@@ -228,6 +228,34 @@ class BandIndexSpec extends SparkTestBase {
     assert(BandIndex.banded(wh).select("doc_id").distinct().count() === docsAll.count())
   }
 
+  test("maintain: compacts append litter, bounds generations, probe results unchanged") {
+    val wh = tmpWh()
+    ClusterState.seedCorpus(wh, partA)
+    // several small batches → per-batch file litter + state generations
+    val bRows = partB.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    import spark.implicits._
+    bRows.grouped(math.max(1, bRows.length / 3)).foreach { g =>
+      ClusterState.ingestBatch(wh, g.toDF("doc_id", "text"))
+    }
+    val before = ClusterState.clusters(wh).collect().map(_.toSeq).toSeq
+    val filesBefore = BandIndex.banded(wh).inputFiles.length
+    ClusterState.maintain(wh, retainLast = 1)
+    assert(BandIndex.banded(wh).inputFiles.length < filesBefore,
+      "maintain did not compact the band append litter")
+    // bounded generations: at most live + retainLast version dirs per table
+    val fs = new org.apache.hadoop.fs.Path(wh.dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val stateDirs = fs.globStatus(
+      new org.apache.hadoop.fs.Path(wh.dir, s"${ClusterState.TableName}.__v*")).length
+    assert(stateDirs <= 2, s"state generations not bounded: $stateDirs")
+    // results byte-identical through the maintenance pass
+    assert(ClusterState.clusters(wh).collect().map(_.toSeq).toSeq === before)
+    // ...and the NEXT increment still works against the compacted index
+    ClusterState.ingestBatch(wh, Seq((999999L, "maintenance pass sanity row")).toDF("doc_id", "text"))
+    assert(ClusterState.read(wh).filter(col("doc_id") === 999999L).count() === 1)
+  }
+
   test("ensure(dir): content-stamped index in the per-corpus scratch warehouse, memoized repeat") {
     val tmpRoot = java.nio.file.Files.createTempDirectory("graft_bands_root_").toString
     System.setProperty("graft.index.dir", tmpRoot)
