@@ -10,6 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // defense against a shared-JVM harness: Verify forces lifecycle
+    // re-seeds via this property — leaked into a bench it would put the
+    // seeds back inside the measured region (run/fork isolates the mains
+    // today; this keeps the contract explicit either way)
+    sys.props -= "graft.lifecycle.reseed"
     // Dev aid: SPARK_GRAFT_ONLY=q01_x,t06_y restricts the run; the driver
     // leaves it unset and benches everything.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
