@@ -131,10 +131,15 @@ class PropertySpec extends SparkTestBase {
 
       val pairs = edgesIn.toDF("doc_a", "doc_b")
       val nodes = nodeIds.toDF("doc_id")
-      val got = TextOps.dedupClustersOf(nodes, pairs).collect()
+      def run() = TextOps.dedupClustersOf(nodes, pairs).collect()
         .map(r => r.getAs[Long]("doc_id") ->
           (r.getAs[Long]("cluster"), r.getAs[Long]("cluster_size"))).toMap
-      assert(got === expected)
+      // BOTH execution paths must match the oracle: the default bounded
+      // local union-find AND the distributed propagation loop (forced)
+      assert(run() === expected)
+      sys.props("graft.cc.localMaxEdges") = "-1"
+      try assert(run() === expected, "distributed loop diverged")
+      finally sys.props -= "graft.cc.localMaxEdges"
     }
   }
 
