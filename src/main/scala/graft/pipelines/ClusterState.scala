@@ -271,9 +271,10 @@ object ClusterState {
     * closure over the WHOLE corpus (same dial contract: bits/radius/cap
     * reach both this query and the oracle SQL via the shared Dial*
     * values). Together t37 + t40 make the incremental posture
-    * oracle-proven on BOTH dedup signal types; the same caveats apply
-    * (per-invocation re-seed for determinism, union-cap crossing
-    * reconciled by periodic full reclusters). The crossing caveat is
+    * oracle-proven on BOTH dedup signal types; the same protocol applies
+    * (stamped seed warmed by Bench, Verify's forced re-seed for
+    * from-scratch determinism, union-cap crossing reconciled by periodic
+    * full reclusters). The crossing caveat is
     * MEASURABLE here, not hypothetical: at the deliberately-biting
     * `SPARK_GRAFT_EMB_CAP=8` dial the seed retains part-A pairs from
     * sign codes that only the union pushes over the cap, so the
