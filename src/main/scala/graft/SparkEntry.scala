@@ -52,6 +52,9 @@ object SparkEntry {
     */
   def oracleSqlFor(dir: String): Map[String, String] =
     Relational.oracles ++ TextOps.oraclesFor(dir) ++ QualityOps.oracles +
+      // q32's IN list is DISCOVERED from the same dir listing the Spark
+      // side reads — both sides shift together when the corpus grows
+      ("q32_catalog" -> Relational.q32SqlFor(dir)) +
       ("q28_sessionize" -> graft.streaming.Sessionize.oracleSql) +
       ("t35_curation_audit" -> graft.pipelines.Curation.t35Sql) +
       // t37's claim IS "increment == full recluster": the oracle replays

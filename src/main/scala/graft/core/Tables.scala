@@ -43,8 +43,21 @@ object Tables {
       case org.apache.spark.sql.types.LongType => df
       case _ =>
         import org.apache.spark.sql.functions._
+        // The pin is SCOPED, not session-global: cast(NTZ → timestamp)
+        // binds the session zone into the Cast at ANALYSIS time
+        // (ResolveTimeZone), and DataFrame construction analyzes eagerly,
+        // so setting UTC around the withColumn below fixes the
+        // interpretation permanently in the returned plan while the
+        // caller's zone is restored before returning — an embedding
+        // application with a deliberately non-UTC session keeps it
+        // (spec-pinned: zone preserved AND nanos identical).
+        val prior = s.conf.getOption("spark.sql.session.timeZone")
         s.conf.set("spark.sql.session.timeZone", "UTC")
-        df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
+        try df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
+        finally prior match {
+          case Some(z) => s.conf.set("spark.sql.session.timeZone", z)
+          case None    => s.conf.unset("spark.sql.session.timeZone")
+        }
     }
   }
 

@@ -433,8 +433,11 @@ case class Warehouse(spark: SparkSession, dir: String) {
     * moment that may never come). Keeps whatever [[resolve]] currently
     * returns (in the crash window with no pointer, that is the newest
     * complete version — a live target is NEVER deleted) plus the newest
-    * `retainLast` COMMITTED generations, so a still-unevaluated reader
-    * plan up to `retainLast` rewrites old keeps resolving. An unreadable
+    * `retainLast` COMMITTED generations BESIDES live (live-exclusive, so
+    * the window is not silently one narrower when live is itself the
+    * newest committed generation — the usual case), so a
+    * still-unevaluated reader plan up to `retainLast` rewrites old keeps
+    * resolving. An unreadable
     * history means the committed window is unknown: skip reclamation
     * entirely rather than guess (deleting a still-referenced version is
     * the one unrecoverable outcome). Like [[vacuum]], assumes no
@@ -448,7 +451,7 @@ case class Warehouse(spark: SparkSession, dir: String) {
     val live = resolve(name).getName
     val committed =
       try history(name) catch { case _: java.io.IOException => return }
-    val keep = (committed.takeRight(retainLast) :+ live).toSet
+    val keep = (committed.filterNot(_ == live).takeRight(retainLast) :+ live).toSet
     listVersions(name).foreach { case (_, p) =>
       if (!keep.contains(p.getName)) fs.delete(p, true) }
     // the legacy flat dir is a generation like any other: reclaim it only

@@ -131,7 +131,10 @@ object BandIndex {
   /** [[appendBatch]] over an ALREADY-banded batch frame — the shape
     * [[graft.pipelines.IncrementalCuration.ingest]] uses so the batch is
     * shingled + minhashed ONCE per ingest (probe and append share the
-    * materialized banding) instead of once per consumer.
+    * materialized banding) instead of once per consumer. An
+    * unmaterialized frame is lineage-cut here ([[Frames.cutIfPlain]]),
+    * so legacy [[appendBatch]] callers band once, not once per
+    * reference (threshold probe + anti-join + write).
     *
     * The idempotency anti-join is PARTITION-PRUNED: an existing
     * (doc_id, band) row for this batch necessarily lives in the same
@@ -139,13 +142,24 @@ object BandIndex {
     * (band, band_key), and the key re-derives deterministically from the
     * text), so only the batch's own buckets are read — at corpus scale
     * the repair check costs O(batch neighborhood), not a full index scan
-    * per batch.
+    * per batch. Giant batches fall back to a broadcast semi-join above
+    * [[BucketPrune.MaxInline]] distinct buckets (no driver-side list).
+    *
+    * PRECONDITION of the pruned check: document content is IMMUTABLE
+    * per doc_id. An already-indexed (doc_id, band) row is only visible
+    * to the anti-join because the same text re-derives the same
+    * band_key and therefore the same bk_bucket; re-ingesting a doc_id
+    * with CHANGED text hashes into different buckets, escapes the
+    * pruned anti-join, and duplicates that doc's rows. Replay /
+    * torn-append repair (the stated purpose — same bytes redelivered)
+    * is unaffected. A mutable corpus needs rewrite via [[seed]], not
+    * this append path.
     */
-  def appendBatchBanded(wh: Warehouse, batchBanded: DataFrame): Unit = {
-    val bb = batchBanded
-    val buckets = bb.select(col("bk_bucket")).distinct().collect().map(_.getInt(0))
+  def appendBatchBanded(wh: Warehouse, batchBanded: DataFrame,
+                        maxInline: Int = BucketPrune.MaxInline): Unit = {
+    val bb = Frames.cutIfPlain(batchBanded)
     val fresh = bb
-      .join(banded(wh).filter(col("bk_bucket").isin(buckets.toSeq: _*))
+      .join(BucketPrune.restrict(banded(wh), "bk_bucket", bb, maxInline)
         .select(col("doc_id"), col("band")), Seq("doc_id", "band"), "left_anti")
     wh.appendLive(TableName,
       fresh.withColumn("corpus_stamp", lit("append")),
@@ -188,7 +202,11 @@ object BandIndex {
     */
   private[graft] def probedSlice(index: DataFrame, batchBanded: DataFrame,
                                  buckets: Array[Int]): DataFrame =
-    index.filter(col("bk_bucket").isin(buckets.toSeq: _*))
+    probedSliceOf(index.filter(col("bk_bucket").isin(buckets.toIndexedSeq: _*)),
+      batchBanded)
+
+  private def probedSliceOf(prunedIndex: DataFrame, batchBanded: DataFrame): DataFrame =
+    prunedIndex
       .join(batchBanded.select(col("band"), col("band_key")).distinct(),
         Seq("band", "band_key"), "left_semi")
 
@@ -196,30 +214,23 @@ object BandIndex {
     * synthetic skew, equivalence against the full pipeline).
     */
   private[graft] def incrementPairsOf(index: DataFrame, batchBanded: DataFrame,
-                                      maxBucket: Int): DataFrame = {
-    // the batch side is referenced four times (bucket collect, counts,
+                                      maxBucket: Int,
+                                      maxInline: Int = BucketPrune.MaxInline): DataFrame = {
+    // the batch side is referenced four times (bucket probe, counts,
     // both pair-join sides) and is the expensive-to-recompute half
     // (shingle + minhash): materialize it ONCE with an eager lineage cut
-    // — reliable checkpoint when the session has a checkpoint dir (same
-    // contract as the clustering loop; storage reclaimed by the context
-    // cleaner), localCheckpoint otherwise. It is batch-sized by
-    // definition. A persist() would pin storage with no owner to release
-    // it after the returned plan escapes.
-    def cut(df: DataFrame): DataFrame =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-      else df.localCheckpoint()
-    // an ALREADY-materialized batch frame (a caller sharing its banding
-    // across probe + append) is not copied again
-    val bb = batchBanded.queryExecution.analyzed match {
-      case _: org.apache.spark.sql.execution.LogicalRDD => batchBanded
-      case _                                            => cut(batchBanded)
-    }
-    // STATIC partition pruning: the batch's bucket set is ≤ BkBuckets
-    // values, collected from the persisted batch frame — one batch-sized
-    // job, and the index scan then carries a PartitionFilters entry
-    // (plan-asserted in BandIndexSpec on [[probedSlice]], the plan that
-    // actually reads the table) independent of any DPP heuristic
-    val buckets = bb.select(col("bk_bucket")).distinct().collect().map(_.getInt(0))
+    // ([[Frames.cut]]); an ALREADY-materialized frame (a caller sharing
+    // its banding across probe + append) is not copied again. It is
+    // batch-sized by definition.
+    val cut = Frames.cut _
+    val bb = Frames.cutIfPlain(batchBanded)
+    // Partition pruning: STATIC (an inlined IN over the batch's bucket
+    // set, collected bounded from the persisted batch frame — the index
+    // scan then carries a PartitionFilters entry, plan-asserted in
+    // BandIndexSpec on [[probedSlice]]) up to [[BucketPrune.MaxInline]]
+    // distinct buckets; a broadcast semi-join beyond (no driver list —
+    // see BucketPrune's scaladoc for the giant-batch rationale).
+    val prunedIndex = BucketPrune.restrict(index, "bk_bucket", bb, maxInline)
     // ...and materialize the PROBED slice once too: it is referenced by
     // the count frame and both pair-join sides, and without the cut each
     // reference re-reads the pruned partitions and re-runs the semi-join
@@ -234,7 +245,7 @@ object BandIndex {
     // own ids from the index side makes a replayed probe read exactly the
     // settled-minus-batch corpus, so replay == first run bit-for-bit,
     // cap decisions included (spec-pinned at a biting cap).
-    val probed = cut(probedSlice(index, bb, buckets)
+    val probed = cut(probedSliceOf(prunedIndex, bb)
       .join(bb.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti"))
 
     // the skew cap over the UNION's bucket counts — exactly what

@@ -81,16 +81,27 @@ object EmbIndex {
     appendBatchCoded(wh, codedOf(batchEmb, bits))
 
   /** [[appendBatch]] over an ALREADY-coded batch frame (the ingest path
-    * shares one materialized coding across probe + append). The
-    * idempotency anti-join is PARTITION-PRUNED to the batch's own sign
-    * codes: an existing row for a batch vector necessarily sits in the
-    * bucket the deterministic re-coding derives, so the check reads
-    * O(batch buckets), never the full index.
+    * shares one materialized coding across probe + append; an
+    * unmaterialized frame is lineage-cut here, so legacy [[appendBatch]]
+    * callers code once, not once per reference). The idempotency
+    * anti-join is PARTITION-PRUNED to the batch's own sign codes: an
+    * existing row for a batch vector necessarily sits in the bucket the
+    * deterministic re-coding derives, so the check reads O(batch
+    * buckets), never the full index; giant batches fall back to a
+    * broadcast semi-join above [[BucketPrune.MaxInline]] distinct codes.
+    *
+    * PRECONDITION of the pruned check (same as
+    * [[BandIndex.appendBatchBanded]]): embeddings are IMMUTABLE per
+    * vec_id — a re-ingested vec_id with a CHANGED vector codes into a
+    * different bucket, escapes the pruned anti-join, and duplicates the
+    * row. Replay of identical bytes is unaffected; a mutable corpus
+    * needs rewrite via [[seed]].
     */
-  def appendBatchCoded(wh: Warehouse, batchCoded: DataFrame): Unit = {
-    val codes = batchCoded.select(col("bucket")).distinct().collect().map(_.getLong(0))
-    val fresh = batchCoded.join(
-      coded(wh).filter(col("bucket").isin(codes.toSeq: _*)).select(col("vec_id")),
+  def appendBatchCoded(wh: Warehouse, batchCoded: DataFrame,
+                       maxInline: Int = BucketPrune.MaxInline): Unit = {
+    val bc = Frames.cutIfPlain(batchCoded)
+    val fresh = bc.join(
+      BucketPrune.restrict(coded(wh), "bucket", bc, maxInline).select(col("vec_id")),
       Seq("vec_id"), "left_anti")
     wh.appendLive(TableName,
       fresh.withColumn("corpus_stamp", lit("append")),
@@ -130,26 +141,26 @@ object EmbIndex {
 
   private[graft] def incrementCosinePairsOf(index: DataFrame, batchCoded: DataFrame,
                                             bits: Int, radius: Int,
-                                            maxBucket: Int): DataFrame = {
-    def cut(df: DataFrame): DataFrame =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-      else df.localCheckpoint()
+                                            maxBucket: Int,
+                                            maxInline: Int = BucketPrune.MaxInline): DataFrame = {
+    val cut = Frames.cut _
     // an already-materialized coded frame is not copied again
-    val bc = batchCoded.queryExecution.analyzed match {
-      case _: org.apache.spark.sql.execution.LogicalRDD => batchCoded
-      case _                                            => cut(batchCoded)
-    }
+    val bc = Frames.cutIfPlain(batchCoded)
     val masks = Lsh.masksWithin(radius, bits)
     // every bucket a batch vector probes OR lives in (mask 0 is in the
-    // set, so own buckets are covered): ≤ 2^bits values, collected from
-    // the batch-sized frame — a STATIC partition filter, like BandIndex
-    val codes = bc.select(col("bucket")).distinct().collect().map(_.getLong(0))
-    val probeBuckets = codes.flatMap(c => masks.map(c ^ _)).distinct
+    // set, so own buckets are covered): ≤ 2^bits values, derived from the
+    // batch-sized frame. Up to [[BucketPrune.MaxInline]] distinct codes
+    // this lands as a STATIC partition filter like BandIndex; a giant
+    // batch × mask fan-out falls back to a broadcast semi-join instead
+    // of a driver-side list (see BucketPrune).
+    val probeBucketsDf = bc.select(
+      explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+    val prunedIndex = BucketPrune.restrict(index, "bucket", probeBucketsDf, maxInline)
     // anti-join on vec_id = the replay-exactness guard (same reasoning as
     // [[BandIndex.incrementPairsOf]]): a batch already appended by a
     // crashed run must not count twice into the union cap occupancy nor
     // ride the corpus side of the pair join
-    val probed = cut(probedSlice(index, probeBuckets)
+    val probed = cut(prunedIndex
       .join(bc.select(col("vec_id")), Seq("vec_id"), "left_anti"))
 
     // the t15 skew cap on the UNION's occupancy. Counts must cover every

@@ -824,13 +824,25 @@ object Relational {
     rows.toDF("table_name", "n_columns").orderBy(col("table_name"))
   }
 
-  val q32Sql: String =
-    """SELECT table_name, CAST(count(*) AS INT) AS n_columns
-      |FROM information_schema.columns
-      |WHERE table_name IN ('customer', 'documents', 'embeddings', 'events',
-      |  'lineitem', 'nation', 'orders', 'part', 'region', 'supplier')
-      |GROUP BY table_name
-      |ORDER BY table_name""".stripMargin
+  /** q32's oracle, with the IN list built from the SAME directory
+    * listing [[q32Catalog]] discovers its tables from — both sides now
+    * derive from the corpus dir, so an added corpus table (or a stray
+    * .parquet) shifts both identically instead of silently
+    * hash-mismatching against a hardcoded list.
+    */
+  def q32SqlFor(dir: String): String = {
+    val names = Option(new java.io.File(dir).listFiles()).toSeq.flatten
+      .map(_.getName)
+      .filter(_.endsWith(".parquet"))
+      .map(_.stripSuffix(".parquet"))
+      .sorted
+    val inList = names.map(n => s"'$n'").mkString(", ")
+    s"""SELECT table_name, CAST(count(*) AS INT) AS n_columns
+       |FROM information_schema.columns
+       |WHERE table_name IN ($inList)
+       |GROUP BY table_name
+       |ORDER BY table_name""".stripMargin
+  }
 
   // ---------------------------------------------------------------- q33
   /** Correlated scalar subquery through the SQL API: orders above their
@@ -1113,7 +1125,9 @@ object Relational {
     "q29_approx_distinct"    -> q29Sql,
     "q30_rollup"             -> q30Sql,
     "q31_asof_attribution"   -> q31Sql,
-    "q32_catalog"            -> q32Sql,
+    // q32_catalog is added in SparkEntry.oracleSqlFor via q32SqlFor(dir):
+    // its IN list derives from the corpus dir, mirroring q32Catalog's
+    // discovery
     "q33_correlated_subquery"-> q33Sql,
     "q34_set_ops"            -> q34Sql,
     "q35_percentiles"        -> q35Sql,

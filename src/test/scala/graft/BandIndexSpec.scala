@@ -297,4 +297,43 @@ class BandIndexSpec extends SparkTestBase {
     BandIndex.ensureFor(wh, partA, "stamp-b")
     assert(versions === v1 + 1, "a changed stamp must re-materialize")
   }
+
+  test("giant-batch fallback (maxInline crossed): identical pairs, identical append, NO IN-filter in the plan") {
+    val wh = tmpWh()
+    BandIndex.seed(wh, partA)
+    val bb = graft.queries.Frames.cut(BandIndex.bandedOf(partB))
+    // maxInline = 0 forces every batch over the threshold — the exact
+    // code path a 100 TB fan-out × giant batch takes, exercised at test
+    // scale. Pairs must be bit-identical to the inline path.
+    val inline = pairSet(BandIndex.incrementPairsOf(BandIndex.banded(wh), bb, TextOps.MaxBucket))
+    val fallback = pairSet(BandIndex.incrementPairsOf(BandIndex.banded(wh), bb, TextOps.MaxBucket,
+      maxInline = 0))
+    assert(inline.nonEmpty)
+    assert(fallback === inline, "broadcast-semi-join fallback diverged from the inline IN path")
+    // the fallback's pruned read compiles NO IN/InSet over the bucket
+    // column — the driver-side literal list is gone by construction
+    val pruned = graft.queries.BucketPrune.restrict(
+      BandIndex.banded(wh), "bk_bucket", bb, maxInline = 0)
+    val ins = pruned.queryExecution.sparkPlan.collect { case p => p.expressions }.flatten
+      .flatMap(_.collect {
+        case i: org.apache.spark.sql.catalyst.expressions.In    => i
+        case i: org.apache.spark.sql.catalyst.expressions.InSet => i
+      })
+    assert(ins.isEmpty, s"fallback plan still carries an IN-filter: $ins")
+    // ...and the scan is STILL partition-pruned — dynamic partition
+    // pruning turns the broadcast side into a runtime partition filter
+    // (asserted on the formatted plan, which traverses the AQE wrapper)
+    val formatted = pruned.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(formatted.contains("dynamicpruningexpression"),
+      s"fallback scan lost partition pruning (no dynamicpruning expression):\n$formatted")
+    // ...and the append stays complete + idempotent through the fallback
+    val before = BandIndex.banded(wh).count()
+    BandIndex.appendBatchBanded(wh, bb, maxInline = 0)
+    val afterOnce = BandIndex.banded(wh).count()
+    assert(afterOnce > before)
+    BandIndex.appendBatchBanded(wh, graft.queries.Frames.cut(BandIndex.bandedOf(partB)),
+      maxInline = 0)
+    assert(BandIndex.banded(wh).count() === afterOnce, "fallback replay duplicated rows")
+  }
 }

@@ -152,4 +152,36 @@ class EmbIndexSpec extends SparkTestBase {
     assert(rows(ClusterState.t40EmbedClusterIncrement(spark, sf())) ===
       rows(TextOps.t34EmbedDedupClusters(spark, sf())))
   }
+
+  test("giant-batch fallback (maxInline crossed): identical pairs, identical append, NO IN-filter in the plan") {
+    val wh = tmpWh()
+    EmbIndex.seed(wh, partA)
+    val bc = graft.queries.Frames.cut(EmbIndex.codedOf(partB))
+    val inline = pairSet(EmbIndex.incrementCosinePairsOf(
+      EmbIndex.coded(wh), bc, Lsh.Bits, TextOps.PairRadius, TextOps.EmbBucketCap))
+    val fallback = pairSet(EmbIndex.incrementCosinePairsOf(
+      EmbIndex.coded(wh), bc, Lsh.Bits, TextOps.PairRadius, TextOps.EmbBucketCap,
+      maxInline = 0))
+    assert(inline.nonEmpty)
+    assert(fallback === inline, "broadcast-semi-join fallback diverged from the inline IN path")
+    val pruned = graft.queries.BucketPrune.restrict(
+      EmbIndex.coded(wh), "bucket", bc, maxInline = 0)
+    val ins = pruned.queryExecution.sparkPlan.collect { case p => p.expressions }.flatten
+      .flatMap(_.collect {
+        case i: org.apache.spark.sql.catalyst.expressions.In    => i
+        case i: org.apache.spark.sql.catalyst.expressions.InSet => i
+      })
+    assert(ins.isEmpty, s"fallback plan still carries an IN-filter: $ins")
+    val formatted = pruned.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(formatted.contains("dynamicpruningexpression"),
+      s"fallback scan lost partition pruning (no dynamicpruning expression):\n$formatted")
+    val before = EmbIndex.coded(wh).count()
+    EmbIndex.appendBatchCoded(wh, bc, maxInline = 0)
+    val afterOnce = EmbIndex.coded(wh).count()
+    assert(afterOnce > before)
+    EmbIndex.appendBatchCoded(wh, graft.queries.Frames.cut(EmbIndex.codedOf(partB)),
+      maxInline = 0)
+    assert(EmbIndex.coded(wh).count() === afterOnce, "fallback replay duplicated rows")
+  }
 }

@@ -42,21 +42,26 @@ class WarehouseSpec extends SparkTestBase {
     val wh = fresh()
     (1 to 6).foreach(i => wh.rewrite("t", Seq((1L, s"v$i")).toDF("id", "name")))
     val fs = new Path(wh.dir).getFileSystem(spark.sessionState.newHadoopConf())
-    // a reader plan resolved BEFORE the vacuum, one rewrite back
     wh.vacuum("t", retainLast = 2)
-    // live (v6) is in the committed window, so exactly 2 dirs survive
-    assert(fs.globStatus(new Path(wh.dir, "t.__v*")).length === 2)
+    // live (v6) + the 2 newest committed generations BESIDES it — the
+    // keep is live-exclusive so the documented reader window holds even
+    // when live is itself the newest committed generation (the usual
+    // case): 3 dirs survive
+    assert(fs.globStatus(new Path(wh.dir, "t.__v*")).length === 3)
     assert(names(wh) === Set("v6"))
-    // a lagging reader within the window still completes after the vacuum
+    // a lagging reader EXACTLY retainLast rewrites old still completes
+    // after the vacuum — the documented window bound itself, not one
+    // inside it
     wh.rewrite("t", Seq((1L, "v7")).toDF("id", "name"))
-    val lagging = wh.read("t", schema)
+    val lagging = wh.read("t", schema) // resolves v7 NOW
     wh.rewrite("t", Seq((1L, "v8")).toDF("id", "name"))
+    wh.rewrite("t", Seq((1L, "v9")).toDF("id", "name")) // lagging is 2 back
     wh.vacuum("t", retainLast = 2)
     assert(lagging.collect().map(_.getString(1)).toSet === Set("v7"))
     // retainLast <= 0 degrades to the full vacuum
     wh.vacuum("t", retainLast = 0)
     assert(fs.globStatus(new Path(wh.dir, "t.__v*")).length === 1)
-    assert(names(wh) === Set("v8"))
+    assert(names(wh) === Set("v9"))
   }
 
   test("vacuumAll: discovers every table (incl. pointer-less), bounded retention, live kept") {
@@ -69,8 +74,9 @@ class WarehouseSpec extends SparkTestBase {
     wh.vacuumAll(retainLast = 1)
     assert(names(wh, "a") === Set("a5"))
     assert(names(wh, "b") === Set("b5"))
-    assert(fs.globStatus(new Path(wh.dir, "a.__v*")).length === 1)
-    assert(fs.globStatus(new Path(wh.dir, "b.__v*")).length === 1)
+    // live + 1 prior committed generation each (live-exclusive keep)
+    assert(fs.globStatus(new Path(wh.dir, "a.__v*")).length === 2)
+    assert(fs.globStatus(new Path(wh.dir, "b.__v*")).length === 2)
   }
 
   test("vacuum(retainLast) in the crash window (no pointer) keeps what resolve returns") {
