@@ -9,16 +9,22 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing is real — schemas, Dataset[T] encoders,
   * mapPartitions batch shape (one decoder instance per partition, streamed
-  * iterator, no per-row setup), partition sizing guidance — while the
-  * codec itself is a STUB: this container has no image/audio libraries, so
-  * `FakeCodec` decodes a deterministic synthetic header instead. Swapping
-  * in a real codec changes only the marked lines.
+  * iterator, no per-row setup), partition sizing guidance. The codec is
+  * TWO-TIER: `kind == "image"` payloads are REAL PNGs, generated with and
+  * decoded by the JDK's own `javax.imageio` ([[PngCodec]]) — an actual
+  * container format through the actual decoder, including the
+  * corrupt-payload skip-and-log path a 100 TB crawl needs (a torn blob
+  * must cost one log line, not a job). Audio/video stay on the declared
+  * deterministic stub ([[FakeCodec]] — no audio/video libraries in this
+  * container); swapping in a real one changes only the marked lines,
+  * exactly as the PNG tier demonstrates.
   *
   * Scale notes: payloads ride in the row, so (1) project payload-free
   * columns before any shuffle — metadata joins must never move bytes;
   * (2) size partitions by byte budget (maxPartitionBytes / repartition on
   * ingest), not row count; (3) feature extraction is shuffle-free: scan →
-  * mapPartitions → columnar write.
+  * mapPartitions → columnar write; (4) decode failures are per-row data,
+  * not per-task errors — skip, count, continue.
   */
 object BinaryAssets {
 
@@ -27,10 +33,66 @@ object BinaryAssets {
                        duration_ms: Long, format: String, n_bytes: Int)
   case class AssetFeatures(asset_id: Long, kind: String, embedding: Array[Float])
 
+  /** =============== REAL CODEC — JDK PNG via javax.imageio ==========
+    * The image tier is NOT a stub: payloads are real PNG containers and
+    * decode goes through `ImageIO`. All entry points are total — a
+    * corrupt/truncated payload yields None (the caller skips and logs),
+    * never an exception, so one bad blob in a 10^10-row crawl costs a
+    * counter bump, not a task retry storm.
+    */
+  object PngCodec {
+    private def readPng(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+      catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Real decode: dimensions from the decoded image, not from any
+      * header arithmetic. Images have no duration; format is the real
+      * media type.
+      */
+    def decodeMeta(a: Asset): Option[AssetMeta] =
+      readPng(a.payload).map(img =>
+        AssetMeta(a.asset_id, a.kind, img.getWidth, img.getHeight, 0L,
+          "image/png", a.payload.length))
+
+    /** Real resize: decode → bilinear-scaled redraw → re-encode. None on
+      * a corrupt source (caller passes the asset through untouched).
+      */
+    def resize(a: Asset, w: Int, h: Int): Option[Asset] =
+      readPng(a.payload).map { img =>
+        val out = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+        g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        a.copy(payload = bos.toByteArray)
+      }
+
+    /** Deterministic synthetic PNG at the contract dims — real container
+      * bytes from the real encoder, pixels a cheap id-seeded pattern.
+      */
+    def synthesize(id: Long, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val pix = Array.tabulate(w * h)(i =>
+        ((i % w) * 31 + (i / w) * 17 + id.toInt * 7) & 0xFFFFFF)
+      img.setRGB(0, 0, w, h, pix, 0, w)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+  }
+  // ================= end real codec ================================
+
   /** =============== STUB CODEC — deterministic fake =================
-    * A real implementation would call an image/audio decoder here. The
-    * fake reads our synthetic 16-byte header and derives pixels/samples
-    * from a seeded hash so every metric downstream is reproducible.
+    * A real implementation would call an audio/video decoder here (none
+    * ship with the JDK — the swap-in point, demonstrated by the PNG tier
+    * above). The fake reads our synthetic 16-byte header and derives
+    * samples from a seeded hash so every metric downstream is
+    * reproducible.
     */
   object FakeCodec {
     def decodeMeta(a: Asset): AssetMeta = {
@@ -55,33 +117,54 @@ object BinaryAssets {
   }
   // ================= end stub codec ================================
 
-  /** Deterministic synthetic asset table (payload = header + seeded bytes).
-    * Stands in for `spark.read.format("binaryFile")` ingest.
+  /** Deterministic synthetic asset table. Stands in for
+    * `spark.read.format("binaryFile")` ingest. Image payloads are REAL
+    * PNGs at the contract dims (width = 64 + (id%4)·64, height =
+    * 64 + (id%3)·64 — encoded into the container, recovered by the real
+    * decoder); audio/video payloads are the 16-byte synthetic header +
+    * seeded bytes the stub codec reads.
     */
   def syntheticAssets(spark: SparkSession, n: Int): Dataset[Asset] = {
     import spark.implicits._
     spark.range(n).map { id =>
-      val kind = (id % 3) match { case 0 => "image"; case 1 => "audio"; case _ => "video" }
-      val rnd = new scala.util.Random(id)
-      val body = Array.fill[Byte](64 + rnd.nextInt(64))(rnd.nextInt(256).toByte)
-      val header = java.nio.ByteBuffer.allocate(16)
-        .putInt(0, 64 + (id % 4).toInt * 64)  // width
-        .putInt(4, 64 + (id % 3).toInt * 64)  // height
-        .putLong(8, 1000L + id * 10)          // duration_ms
-        .array()
-      Asset(id, kind, header ++ body)
+      val w = 64 + (id % 4).toInt * 64
+      val h = 64 + (id % 3).toInt * 64
+      (id % 3) match {
+        case 0 => Asset(id, "image", PngCodec.synthesize(id, w, h))
+        case m =>
+          val kind = if (m == 1) "audio" else "video"
+          val rnd = new scala.util.Random(id)
+          val body = Array.fill[Byte](64 + rnd.nextInt(64))(rnd.nextInt(256).toByte)
+          val header = java.nio.ByteBuffer.allocate(16)
+            .putInt(0, w)
+            .putInt(4, h)
+            .putLong(8, 1000L + id * 10) // duration_ms
+            .array()
+          Asset(id, kind, header ++ body)
+      }
     }
   }
 
   /** Decode metadata: partition-batched, payload dropped from the output
-    * so downstream joins/aggregations never shuffle bytes.
+    * so downstream joins/aggregations never shuffle bytes. Image rows go
+    * through the REAL PNG decoder; a corrupt image payload is SKIPPED
+    * with one stderr line (per row, data-plane policy — a torn blob must
+    * never kill the job), spec-pinned in BinaryAssetsSpec.
     */
   def decodeMeta(assets: Dataset[Asset]): Dataset[AssetMeta] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
       // one codec per partition would be initialized HERE (real codecs
-      // have per-process setup cost); the fake needs none
-      it.map(FakeCodec.decodeMeta)
+      // have per-process setup cost); ImageIO/fake need none
+      it.flatMap { a =>
+        if (a.kind == "image") PngCodec.decodeMeta(a) match {
+          case some @ Some(_) => some
+          case None =>
+            System.err.println(s"[assets] skipping corrupt image payload asset_id=${a.asset_id}")
+            None
+        }
+        else Some(FakeCodec.decodeMeta(a))
+      }
     }
   }
 
@@ -95,16 +178,24 @@ object BinaryAssets {
     }
   }
 
-  /** "Resize" (stub): rewrite the header dims, keep payload opaque —
-    * demonstrates payload-in/payload-out transforms.
+  /** Resize — payload-in/payload-out transform. Images: REAL decode →
+    * bilinear rescale → re-encode through ImageIO (a corrupt source
+    * passes through untouched, logged). Audio/video (stub): rewrite the
+    * header dims, payload body opaque.
     */
   def resize(assets: Dataset[Asset], w: Int, h: Int): Dataset[Asset] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions(_.map { a =>
-      val p = a.payload.clone()
-      val bb = java.nio.ByteBuffer.wrap(p)
-      bb.putInt(0, w); bb.putInt(4, h)
-      a.copy(payload = p)
+      if (a.kind == "image") PngCodec.resize(a, w, h).getOrElse {
+        System.err.println(s"[assets] resize: corrupt image payload asset_id=${a.asset_id}, passing through")
+        a
+      }
+      else {
+        val p = a.payload.clone()
+        val bb = java.nio.ByteBuffer.wrap(p)
+        bb.putInt(0, w); bb.putInt(4, h)
+        a.copy(payload = p)
+      }
     })
   }
 
@@ -162,7 +253,9 @@ object BinaryAssets {
   def ensureAssets(spark: SparkSession, dir: String): Unit = {
     import graft.queries.{IvfModel, StampedTable}
     val wh = IvfModel.warehouseFor(spark, dir)
-    val stamp = s"assets-v1\n$dir\n" +
+    // v2: image payloads became real PNGs — existing warehouses must
+    // re-materialize, not serve v1 fake-header blobs to the real decoder
+    val stamp = s"assets-v2\n$dir\n" +
       graft.core.Tables.contentStamp(spark, s"$dir/documents.parquet")
     StampedTable.ensure(wh, TableName, AssetSchema, stamp) {
       // one count at materialization time only (stamped thereafter)
@@ -210,12 +303,19 @@ object BinaryAssets {
       .orderBy(col("asset_id"))
   }
 
+  /** t45's oracle: width/height via the GENERATOR's contract arithmetic —
+    * for images that is exactly what the real encoder wrote into the PNG
+    * container, so the Spark side's REAL `ImageIO` decode must recover
+    * it (an offset/endianness/decode bug hash-mismatches); n_bytes from
+    * the blob itself cross-checks the binary round-trip. Images have no
+    * duration and carry the real media type.
+    */
   def t45SqlFor(dir: String): String =
     s"""SELECT asset_id, kind,
        |  CAST(64 + (asset_id % 4) * 64 AS INT) AS width,
        |  CAST(64 + (asset_id % 3) * 64 AS INT) AS height,
-       |  1000 + asset_id * 10 AS duration_ms,
-       |  CASE kind WHEN 'image' THEN 'fake/png' WHEN 'audio' THEN 'fake/wav'
+       |  CASE WHEN kind = 'image' THEN 0 ELSE 1000 + asset_id * 10 END AS duration_ms,
+       |  CASE kind WHEN 'image' THEN 'image/png' WHEN 'audio' THEN 'fake/wav'
        |       ELSE 'fake/mp4' END AS format,
        |  CAST(octet_length(payload) AS INT) AS n_bytes
        |FROM read_parquet('${graft.queries.IvfModel.oraclePathFor(dir, TableName)}/*.parquet')

@@ -564,3 +564,174 @@ object IvfModel {
     }.getOrElse(new java.io.File(root, table)).toString
   }
 }
+
+/** PRODUCT-QUANTIZED inverted lists — the piece that makes 100 TB
+  * embedding SERVING memory-feasible. [[IvfModel]]'s list table stores
+  * the full float vector per row (64 doubles = 512 B); at 10^11 vectors
+  * that is ~50 TB of list payload, which no executor fleet pages through
+  * per probe. PQ stores M=[[SubSpaces]] small codes per vector instead
+  * (here int columns for parquet clarity; conceptually
+  * M×log2([[CodesPerSub]]) bits ≈ 4-8 B/vector — a 64-128× payload
+  * reduction), and probes compute ASYMMETRIC distances (ADC): the query
+  * keeps full precision, each candidate's distance is a sum of M table
+  * lookups. Exactness is recovered by an exact RERANK of the top
+  * [[RerankDepth]] ADC candidates against their full vectors — a pointed
+  * O(queries × RerankDepth) fetch, the standard IVF-PQ serving shape
+  * (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+  * TPAMI 2011; FAISS IndexIVFPQ).
+  *
+  * Both artifacts (per-subspace codebook, PQ-coded lists) are persisted
+  * and stamped like the coarse quantizer, and the DuckDB oracle replays
+  * the ENTIRE query path — coarse probe selection from the persisted
+  * centroids, ADC table build from the persisted codebook, candidate
+  * shortlist from the persisted coded lists, exact rerank from the
+  * embeddings table — so t47 is hash-checked end to end, not
+  * rows-only.
+  */
+object PqModel {
+
+  /** M — subspaces the [[Lsh.Dim]]-dim vector splits into. */
+  val SubSpaces = 8
+  /** Dims per subspace. */
+  val SubDim: Int = Lsh.Dim / SubSpaces
+  /** Ks — codes per subspace. 16 (4-bit codes) keeps the test-corpus
+    * codebook tiny; production uses 256 (byte codes). Dial via the
+    * stamp, like the coarse K.
+    */
+  val CodesPerSub = 16
+  /** Exact-rerank shortlist depth per query — the recall/latency dial on
+    * top of nProbe. 50 on the isotropic test corpus (near-zero cosine
+    * margins make ADC ranking maximally hostile — see [[Lsh]]'s
+    * scaladoc; measured recall@5 0.50 at depth 25, 0.68 at 50); real
+    * clustered embeddings reach the same recall at much shallower
+    * depths.
+    */
+  val RerankDepth = 50
+
+  val Seed = 77L
+  val MaxIter = 10
+
+  val CodebookTable = "ann_pq_codebook"
+  val CodebookSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("sub", IntegerType),
+      StructField("code", IntegerType),
+      StructField("cvec", ArrayType(DoubleType)),
+      StructField("corpus_stamp", StringType)))
+  }
+
+  val PqListsTable = "ann_pq_lists"
+  val PqListsSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("codes", ArrayType(IntegerType)),
+      StructField("corpus_stamp", StringType),
+      StructField("cluster", IntegerType)))
+  }
+
+  /** Squared distance between a subspace slice of `emb` (subspace index
+    * `mi`, a 0-based int Column) and a codeword — the SAME left fold of
+    * squared diffs t14 uses, so the oracle's list_sum replay is
+    * bit-identical.
+    */
+  private def subDist(emb: org.apache.spark.sql.Column, mi: org.apache.spark.sql.Column,
+                      cvec: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(zip_with(slice(emb, mi * lit(SubDim) + lit(1), lit(SubDim)), cvec,
+      (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x)
+
+  /** PQ codes of a full vector against the one-row codebook array `cb`
+    * (array over sub of array over code of cvec): per subspace, argmin
+    * by (dist, code) — the tie-break the oracle's ORDER BY dist, code
+    * replays.
+    */
+  def pqCodes(emb: org.apache.spark.sql.Column,
+              cb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(cb, (subtab, mi) =>
+      array_min(transform(subtab, (cs, ci) =>
+        struct(subDist(emb, mi, cs).as("dist"), ci.cast("int").as("code"))))
+        .getField("code"))
+
+  /** The query-side ADC distance table, FLAT in (sub, code) order:
+    * dtab[sub*Ks + code] = ||q_sub − codeword||². M×Ks doubles per query
+    * (128 at the test dials, 2048 at production 8×256) — broadcast-tiny.
+    */
+  def dtabFlat(qEmb: org.apache.spark.sql.Column,
+               cb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    flatten(transform(cb, (subtab, mi) =>
+      transform(subtab, cs => subDist(qEmb, mi, cs))))
+
+  /** ADC distance of one candidate: sum over subspaces of the table
+    * entry its code points at — M lookups, no float vector touched.
+    */
+  def adcDist(codes: org.apache.spark.sql.Column,
+              dtab: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(transform(codes, (c, i) => get(dtab, i * lit(CodesPerSub) + c)),
+      lit(0.0), (a, x) => a + x)
+
+  /** Fit-and-persist the per-subspace codebook and the PQ-coded lists,
+    * once per (corpus, dials) — same staleness protocol as
+    * [[IvfModel.ensure]] (which runs first: codes always pair with the
+    * CURRENT coarse generation). The fit trains M seeded KMeans on the
+    * same bounded sample policy as the coarse quantizer.
+    */
+  def ensure(s: SparkSession, dir: String,
+             fitSampleCap: Long = IvfModel.FitSampleCap, k: Int = IvfModel.K): Unit = {
+    IvfModel.ensure(s, dir, fitSampleCap, k)
+    val wh = IvfModel.warehouseFor(s, dir)
+    val content = Tables.contentStamp(s, s"$dir/embeddings.parquet")
+    val cbStamp = s"pq-codebook\n$dir\ncap=$fitSampleCap\nm=$SubSpaces\nks=$CodesPerSub\n$content"
+    StampedTable.ensure(wh, CodebookTable, CodebookSchema, cbStamp) {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val e0 = Tables.embeddings(s, dir).select(V.toDouble(col("embedding")).as("emb"))
+      val n = e0.count()
+      val sampled = (if (n > fitSampleCap)
+        e0.sample(withReplacement = false, fitSampleCap.toDouble / n, Seed)
+      else e0).localCheckpoint() // reused M times below — fit once, not M scans
+      val rows = (0 until SubSpaces).flatMap { mi =>
+        val feats = sampled.select(
+          array_to_vector(slice(col("emb"), mi * SubDim + 1, SubDim)).as("features"))
+        val model = new KMeans().setK(CodesPerSub).setSeed(Seed + mi).setMaxIter(MaxIter)
+          .fit(feats)
+        model.clusterCenters.zipWithIndex.map { case (c, ci) => (mi, ci, c.toArray.toSeq) }
+      }
+      s.createDataFrame(rows).toDF("sub", "code", "cvec").coalesce(1)
+    }
+    val listStamp =
+      s"pq-lists\n$dir\ncap=$fitSampleCap\nk=$k\nm=$SubSpaces\nks=$CodesPerSub\n$content"
+    StampedTable.ensure(wh, PqListsTable, PqListsSchema, listStamp,
+      partitionBy = Seq("cluster")) {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), V.toDouble(col("embedding")).as("emb"))
+      IvfModel.assignClusters(e, IvfModel.centroids(s, dir))
+        .crossJoin(broadcast(codebookArr(s, dir)))
+        .select(col("vec_id"), pqCodes(col("emb"), col("cb")).as("codes"), col("cluster"))
+    }
+  }
+
+  /** The persisted codebook (sub, code, cvec). */
+  def codebook(s: SparkSession, dir: String): DataFrame =
+    IvfModel.warehouseFor(s, dir).read(CodebookTable, CodebookSchema)
+      .select(col("sub"), col("code"), col("cvec"))
+
+  /** One-row frame: `cb` = array over sub (ascending) of array over code
+    * (ascending) of codeword — the broadcastable shape every PQ
+    * expression above indexes into.
+    */
+  def codebookArr(s: SparkSession, dir: String): DataFrame =
+    codebook(s, dir)
+      .groupBy(col("sub"))
+      .agg(sort_array(collect_list(struct(col("code"), col("cvec")))).as("subtab"))
+      .agg(sort_array(collect_list(struct(col("sub"), col("subtab")))).as("t"))
+      .select(transform(col("t"), st =>
+        transform(st.getField("subtab"), cs => cs.getField("cvec"))).as("cb"))
+
+  /** The cluster-partitioned PQ lists (vec_id, codes, cluster) — NO
+    * float payload; the probe reads codes only.
+    */
+  def pqLists(s: SparkSession, dir: String): DataFrame =
+    IvfModel.warehouseFor(s, dir).read(PqListsTable, PqListsSchema)
+      .select(col("vec_id"), col("codes"), col("cluster"))
+}

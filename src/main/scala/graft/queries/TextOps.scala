@@ -857,6 +857,124 @@ object TextOps {
        |SELECT query_id, vec_id, cluster, cosine, rk FROM ranked
        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
+  // ---------------------------------------------------------------- t47
+  /** IVF-PQ probe over the COMPRESSED inverted lists ([[PqModel]]): the
+    * memory-feasible 100 TB serving shape. Coarse probe selection is
+    * t14's (same persisted centroids, same nProbe cells); candidates are
+    * then scored by ASYMMETRIC distance — M table lookups against the
+    * query's per-subspace distance table, no float vector read — the
+    * top [[PqModel.RerankDepth]] per query are RERANKED exactly against
+    * their full vectors, and the final top-5 is by exact cosine, t14's
+    * output shape. Work shape: the list scan reads (vec_id, codes) only
+    * from the probed cluster partitions; the full-vector fetch is a
+    * pointed join of queries × RerankDepth ids against the embeddings
+    * table. The oracle replays every stage from the persisted artifacts
+    * (hash-checked, not rows-only); AnnSpec measures recall vs t10 and
+    * pins the no-payload claim on the list schema.
+    */
+  def t47AnnIvfPq(s: SparkSession, dir: String,
+                  k: Int = IvfModel.K, nProbe: Int = IvfModel.NProbe): DataFrame = {
+    PqModel.ensure(s, dir, k = k)
+    val centArr = IvfModel.centroids(s, dir)
+      .agg(sort_array(collect_list(struct(col("cid"), col("cvec")))).as("cents"))
+    def scored = transform(col("cents"), c =>
+      struct(
+        aggregate(zip_with(col("emb"), c.getField("cvec"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x).as("dist"),
+        c.getField("cid").as("cid")))
+    val q0 = embeddings(s, dir)
+      .select(col("vec_id"), V.toDouble(col("embedding")).as("emb"))
+      .filter(col("vec_id") < 10)
+    // per query: the probed cells (t14's selection) + the flat ADC table
+    val probes = q0.crossJoin(broadcast(centArr))
+      .crossJoin(broadcast(PqModel.codebookArr(s, dir)))
+      .select(col("vec_id").as("query_id"),
+        PqModel.dtabFlat(col("emb"), col("cb")).as("dtab"),
+        explode(slice(array_sort(scored), 1, nProbe).getField("cid")).as("cluster"))
+    // ADC shortlist: codes-only scan of the probed partitions
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("vec_id"))
+    val short = PqModel.pqLists(s, dir).join(broadcast(probes), Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        R.halfUp(PqModel.adcDist(col("codes"), col("dtab")), 6).as("adist"))
+      .withColumn("cr", row_number().over(wAdc))
+      .filter(col("cr") <= PqModel.RerankDepth)
+      .select(col("query_id"), col("vec_id"))
+    // exact rerank of the shortlist against full vectors
+    val full = embeddings(s, dir)
+      .select(col("vec_id"), V.toDouble(col("embedding")).as("emb"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    full.join(broadcast(short), Seq("vec_id"))
+      .join(broadcast(q0.select(col("vec_id").as("query_id"), col("emb").as("q_emb"))),
+        Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        R.halfUp(V.cosine(col("q_emb"), col("emb")), 6).as("cosine"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= 5)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** t47's oracle: the full IVF-PQ path replayed from the persisted
+    * artifacts — coarse probes from the centroid table (t14's CTEs), ADC
+    * tables from the codebook parquet, shortlist from the coded lists
+    * parquet (hive-partitioned by cluster), exact rerank from the
+    * embeddings table. The index arithmetic inlines [[PqModel.SubDim]] /
+    * [[PqModel.CodesPerSub]]; the per-subspace position list is a
+    * literal so no index-lambda support is required of DuckDB.
+    */
+  def t47Sql(dir: String): String = {
+    val sd = PqModel.SubDim
+    val ks = PqModel.CodesPerSub
+    val subIdx = (0 until PqModel.SubSpaces).mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |c AS (SELECT cid, cvec FROM read_parquet('${IvfModel.oraclePath(dir)}/*.parquet')),
+       |cb AS (SELECT sub, code, cvec
+       |       FROM read_parquet('${IvfModel.oraclePathFor(dir, PqModel.CodebookTable)}/*.parquet')),
+       |pl AS (SELECT vec_id, codes, cluster
+       |       FROM read_parquet('${IvfModel.oraclePathFor(dir, PqModel.PqListsTable)}/*/*.parquet',
+       |                         hive_partitioning = true)),
+       |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 10),
+       |ad AS (
+       |  SELECT query_id, q_emb, cid,
+       |    list_sum(list_transform(list_zip(q_emb, cvec), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+       |  FROM q CROSS JOIN c),
+       |probes AS (
+       |  SELECT query_id, cid AS cluster FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, cid) AS pr FROM ad)
+       |  WHERE pr <= $DialIvfNProbe),
+       |qd AS (
+       |  SELECT q.query_id, cb.sub, cb.code,
+       |    list_sum(list_transform(
+       |      list_zip(q.q_emb[cb.sub * $sd + 1 : cb.sub * $sd + $sd], cb.cvec),
+       |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+       |  FROM q CROSS JOIN cb),
+       |dt AS (SELECT query_id, list(d ORDER BY sub, code) AS dtab FROM qd GROUP BY query_id),
+       |adc AS (
+       |  SELECT p.query_id, l.vec_id,
+       |    ${R.halfUpSql(
+             s"list_sum(list_transform(list_zip(l.codes, $subIdx), " +
+               s"p -> dt.dtab[p[2] * $ks + p[1] + 1]))", 6)} AS adist
+       |  FROM pl l JOIN probes p USING (cluster) JOIN dt ON dt.query_id = p.query_id
+       |  WHERE l.vec_id <> p.query_id),
+       |short AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS cr
+       |    FROM adc)
+       |  WHERE cr <= ${PqModel.RerankDepth}),
+       |rescored AS (
+       |  SELECT s.query_id, s.vec_id,
+       |    ${R.halfUpSql(cosineSql("q.q_emb", "e.emb"), 6)} AS cosine
+       |  FROM short s JOIN e ON e.vec_id = s.vec_id JOIN q ON q.query_id = s.query_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rk
+       |  FROM rescored)
+       |SELECT query_id, vec_id, cosine, rk FROM ranked
+       |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+  }
+
   // ---------------------------------------------------------------- t16
   /** BPE-style token counting beside the whitespace count (t02): a GPT-2
     * pretokenizer-shaped regex (contraction suffixes, space-prefixed
@@ -1668,6 +1786,8 @@ object TextOps {
       t36AnnIvfLists(s, d, DialIvfK, DialIvfNProbe)),
     "t46_ann_ivf_increment" -> ((s: SparkSession, d: String) =>
       t46AnnIvfIncrement(s, d, DialIvfK, DialIvfNProbe)),
+    "t47_ann_ivfpq"       -> ((s: SparkSession, d: String) =>
+      t47AnnIvfPq(s, d, DialIvfK, DialIvfNProbe)),
     "t15_cosine_near_dup" -> ((s: SparkSession, d: String) =>
       cosineCandidatePairs(s, d, DialBits, DialRadius.getOrElse(PairRadius), DialEmbCap)),
     "t16_token_bpe"       -> (t16TokenBpe _),
@@ -1710,6 +1830,9 @@ object TextOps {
     // increment == full re-materialization given the same quantizer, so
     // the incrementally-maintained lists answer t14's oracle exactly
     "t46_ann_ivf_increment" -> t14Sql(dir),
+    // t47 replays the WHOLE IVF-PQ path from the persisted artifacts —
+    // coarse probes, ADC tables, coded-list shortlist, exact rerank
+    "t47_ann_ivfpq"       -> t47Sql(dir),
     "t15_cosine_near_dup" -> t15Sql,
     "t16_token_bpe"       -> t16Sql,
     "t34_embed_dedup_clusters" -> t34Sql,

@@ -579,4 +579,62 @@ class AnnSpec extends SparkTestBase {
       "streamed lists diverge from a batch re-materialization")
     assert(IvfModel.listsOf(wh).count() === all.count(), "replayed rows duplicated")
   }
+
+  test("t47 IVF-PQ: compressed lists carry NO float payload; codes are well-formed") {
+    import graft.queries.PqModel
+    PqModel.ensure(spark, sf())
+    val pl = PqModel.pqLists(spark, sf())
+    // the compression claim is structural: no ArrayType(Double) column
+    // anywhere in the probed list table
+    assert(!pl.schema.fields.exists(_.dataType match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType, _) => true
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, _)  => true
+      case _                                                                              => false
+    }), s"PQ list table still stores float vectors: ${pl.schema}")
+    // one row per corpus vector; M codes each, every code in [0, Ks)
+    val all = graft.core.Tables.embeddings(spark, sf())
+    assert(pl.count() === all.count())
+    assert(pl.filter(size(col("codes")) =!= PqModel.SubSpaces).count() === 0)
+    assert(pl.filter(exists(col("codes"),
+      c => c < 0 || c >= PqModel.CodesPerSub)).count() === 0)
+  }
+
+  test("t47 IVF-PQ: reranked cosines are EXACT (match brute force for shared pairs)") {
+    val brute = TextOps.t10AnnBruteForce(spark, sf())
+      .select(col("query_id"), col("vec_id"), col("cosine").as("bf_cosine"))
+    val pq = TextOps.t47AnnIvfPq(spark, sf())
+      .select(col("query_id"), col("vec_id"), col("cosine"))
+    val joined = pq.join(brute, Seq("query_id", "vec_id"))
+    assert(joined.filter(col("cosine") =!= col("bf_cosine")).count() === 0,
+      "rerank did not restore exact cosines — ADC error leaked into the output")
+  }
+
+  test("t47 IVF-PQ recall@5 vs brute force at the configured dials") {
+    import graft.queries.PqModel
+    val bf = pairs(TextOps.t10AnnBruteForce(spark, sf()))
+    val pq = pairs(TextOps.t47AnnIvfPq(spark, sf()))
+    val recall = (bf intersect pq).size.toDouble / bf.size
+    val ivf = pairs(TextOps.t14AnnIvf(spark, sf()))
+    val ivfRecall = (bf intersect ivf).size.toDouble / bf.size
+    info(f"IVF-PQ recall@5 vs brute force: $recall%.2f " +
+      f"(uncompressed IVF at same probes: $ivfRecall%.2f; " +
+      f"M=${PqModel.SubSpaces}, Ks=${PqModel.CodesPerSub}, rerank=${PqModel.RerankDepth})")
+    // PQ trades recall for a 64x list-payload reduction; on this
+    // isotropic corpus (near-zero cosine margins — see the object
+    // scaladoc) ADC ranking is maximally hostile, so the floor is set
+    // below the uncompressed path's 0.8. Exact rerank keeps every
+    // reported cosine exact regardless (previous test).
+    assert(recall >= 0.6, f"IVF-PQ recall collapsed: $recall%.2f")
+  }
+
+  test("t47 IVF-PQ: the coded-list scan prunes to the probed partitions") {
+    import graft.queries.PqModel
+    val scans = TextOps.t47AnnIvfPq(spark, sf()).queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains(PqModel.PqListsTable)) => s
+    }
+    assert(scans.nonEmpty, "t47 does not scan the coded list table")
+    assert(scans.exists(_.partitionFilters.nonEmpty),
+      "coded-list scan carries no partition filters — the probe reads every cell")
+  }
 }

@@ -31,14 +31,53 @@ class BinaryAssetsSpec extends SparkTestBase {
     assert(schema("embedding").dataType === ArrayType(FloatType, containsNull = false))
   }
 
-  test("resize rewrites only the header dims") {
+  test("resize: images REALLY rescale (re-encoded PNG decodes at target dims), stub kinds rewrite headers") {
     val resized = resize(assets, 640, 480)
     val meta = decodeMeta(resized).collect()
+    // every kind reports the target dims — images because the re-encoded
+    // container actually IS 640x480 (real decode on the way back out),
+    // stub kinds because the header was rewritten
+    assert(meta.length === 99)
     assert(meta.forall(m => m.width === 640 && m.height === 480))
-    // payload body untouched: features unchanged beyond header
-    val f0 = extractFeatures(assets).orderBy("asset_id").collect()
-    val f1 = extractFeatures(resized).orderBy("asset_id").collect()
+    // stub kinds: payload body untouched → features unchanged
+    val nonImage = assets.filter(a => a.kind != "image")
+    val f0 = extractFeatures(nonImage).orderBy("asset_id").collect()
+    val f1 = extractFeatures(resized.filter(a => a.kind != "image")).orderBy("asset_id").collect()
+    assert(f0.nonEmpty)
     assert(f0.zip(f1).forall { case (a, b) => a.embedding.sameElements(b.embedding) })
+  }
+
+  test("image tier is a REAL PNG path: container magic + ImageIO dims matching the encoded contract") {
+    val imgs = assets.filter(a => a.kind == "image").collect()
+    assert(imgs.nonEmpty)
+    // payloads are genuine PNG containers, not fake headers
+    imgs.foreach { a =>
+      assert((a.payload(0) & 0xFF) === 0x89 && a.payload(1) === 'P'.toByte &&
+        a.payload(2) === 'N'.toByte && a.payload(3) === 'G'.toByte,
+        s"asset ${a.asset_id} payload is not a PNG container")
+    }
+    val meta = decodeMeta(assets).filter(_.kind == "image").collect()
+    assert(meta.length === imgs.length)
+    meta.foreach { m =>
+      assert(m.width === 64 + (m.asset_id % 4).toInt * 64, s"asset ${m.asset_id} width")
+      assert(m.height === 64 + (m.asset_id % 3).toInt * 64, s"asset ${m.asset_id} height")
+      assert(m.format === "image/png" && m.duration_ms === 0L)
+    }
+  }
+
+  test("a corrupt image payload is skipped with a log line, never fatal") {
+    import spark.implicits._
+    val good = syntheticAssets(spark, 6)
+    val corrupt = Seq(
+      BinaryAssets.Asset(1000L, "image", Array[Byte](1, 2, 3, 4)),         // not a container
+      BinaryAssets.Asset(1001L, "image", Array.empty[Byte])).toDS()        // empty blob
+    val meta = decodeMeta(good.union(corrupt)).collect()
+    // the two corrupt rows are dropped; every good row decoded
+    assert(meta.length === 6)
+    assert(!meta.exists(m => m.asset_id >= 1000L))
+    // ...and resize passes a corrupt image through untouched instead of dying
+    val out = resize(corrupt, 32, 32).collect().sortBy(_.asset_id)
+    assert(out.length === 2 && out(0).payload.sameElements(Array[Byte](1, 2, 3, 4)))
   }
 
   test("frame sampling explodes videos by duration/stride") {
