@@ -39,8 +39,12 @@ object SparkEntry {
       ("t45_asset_meta" -> (graft.multimodal.BinaryAssets.t45AssetMeta _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for hash-seed-dependent ops (MinHash/
-    * SimHash/fingerprint) → driver records a weaker rows-only check.
+    * the same parquet tables. COMPLETE — every registered query has a
+    * hash-checked oracle, none fall back to the driver's weaker
+    * rows-only check: hash-seed-dependent ops (MinHash/SimHash/
+    * fingerprint) replay the same md5-derived hashes in SQL, and
+    * fitted-artifact ops (IVF/PQ) replay against the persisted parquet
+    * artifacts both engines read.
     */
   def oracleSql: Map[String, String] =
     oracleSqlFor(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))

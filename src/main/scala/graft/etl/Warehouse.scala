@@ -5,6 +5,34 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
 
+/** A second writer (another JVM/pipeline) attempted a mutating warehouse
+  * operation while this warehouse's writer lease was held. The
+  * single-writer contract is now CHECKED, not conventional — see
+  * [[Warehouse]]'s lease section.
+  */
+class ConcurrentWriterException(msg: String) extends IllegalStateException(msg)
+
+object Warehouse {
+  /** JVM-stable writer identity: every Warehouse instance in this process
+    * is ONE writer (the deployment unit is a pipeline process), so
+    * nested/sequential operations across instances re-enter the same
+    * lease instead of self-colliding; the lease guards CROSS-PROCESS
+    * concurrency, which is the corruption hazard (two vacuums
+    * interleaving their keep-set deletes).
+    */
+  private[etl] val OwnerId: String =
+    s"${java.lang.ProcessHandle.current().pid()}@" +
+      s"${java.net.InetAddress.getLocalHost.getHostName}/" +
+      java.util.UUID.randomUUID().toString.take(8)
+
+  /** Lease freshness window: a lease file older than this is presumed
+    * abandoned (crashed writer) and is stolen with a log line. Generous
+    * relative to any maintenance op at test scale; long production
+    * compactions renew via [[Warehouse.renewWriterLease]].
+    */
+  private[etl] val LeaseTtlMs: Long = 15 * 60 * 1000L
+}
+
 /** Parquet-backed warehouse with empty-safe reads: a table that has never
   * been written reads as an empty frame with the right schema, so every
   * anti-join and count works on first run (the reference gets this from
@@ -29,6 +57,85 @@ case class Warehouse(spark: SparkSession, dir: String) {
 
   private def pointerPath(name: String) = new Path(dir, s"$name.__current")
   private def versionName(name: String, v: Long) = f"$name.__v$v%06d"
+
+  // ------------------------------------------------------- writer lease
+  /** The single-writer contract, ENFORCED: every mutating operation
+    * (rewrite / appendLive / compact / vacuum / vacuumAll) runs under a
+    * warehouse-wide lease file. A second PROCESS attempting a mutation
+    * while the lease is fresh gets a loud [[ConcurrentWriterException]]
+    * instead of silently interleaving version GC with another writer's
+    * keep-set (the unrecoverable outcome the old quiescence convention
+    * merely documented). Within one process the lease is re-entrant (one
+    * [[Warehouse.OwnerId]] per JVM — compact's internal rewrite,
+    * vacuumAll's per-table vacuums). A lease older than
+    * [[Warehouse.LeaseTtlMs]] is presumed abandoned by a crashed writer
+    * and stolen with a log line; long operations renew via
+    * [[renewWriterLease]]. Expiry reads the lease file's MTIME, not
+    * embedded clocks, so skewed writers disagree by FS granularity, not
+    * wall-clock drift.
+    */
+  private def leasePath = new Path(dir, "__writer.lease")
+
+  private def leaseInfo(): Option[(String, Long)] =
+    try {
+      val st = fs.getFileStatus(leasePath)
+      val owner =
+        try {
+          val in = fs.open(leasePath)
+          try new String(in.readAllBytes(), "UTF-8").linesIterator.nextOption().getOrElse("")
+          finally in.close()
+        } catch { case _: java.io.IOException => "" }
+      Some((owner, st.getModificationTime))
+    } catch { case _: java.io.FileNotFoundException => None }
+
+  private def createLease(op: String): Unit = {
+    val out = fs.create(leasePath, false) // create-exclusive: loses the race loudly
+    try out.write(s"${Warehouse.OwnerId}\n$op\n".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Acquire (or re-enter) the writer lease. Returns true iff THIS call
+    * created the file and must delete it on release.
+    */
+  private def acquireWriterLease(op: String): Boolean = leaseInfo() match {
+    case Some((owner, _)) if owner == Warehouse.OwnerId =>
+      false // re-entrant: the outer operation releases
+    case Some((owner, mtime))
+      if System.currentTimeMillis() - mtime <= Warehouse.LeaseTtlMs =>
+      throw new ConcurrentWriterException(
+        s"warehouse $dir is write-locked by '$owner' " +
+          s"(lease ${System.currentTimeMillis() - mtime} ms old, ttl ${Warehouse.LeaseTtlMs} ms); " +
+          s"refusing concurrent '$op' — two writers interleaving retention GC corrupts version history")
+    case Some((owner, _)) =>
+      System.err.println(s"[warehouse] stealing expired writer lease of '$owner' at $dir for '$op'")
+      fs.delete(leasePath, false)
+      try { createLease(op); true }
+      catch { case _: java.io.IOException =>
+        throw new ConcurrentWriterException(
+          s"warehouse $dir: lost the steal race for the expired lease; refusing '$op'") }
+    case None =>
+      try { createLease(op); true }
+      catch { case _: java.io.IOException =>
+        throw new ConcurrentWriterException(
+          s"warehouse $dir: another writer acquired the lease concurrently; refusing '$op'") }
+  }
+
+  private def releaseWriterLease(): Unit =
+    try {
+      if (leaseInfo().exists(_._1 == Warehouse.OwnerId)) fs.delete(leasePath, false)
+    } catch { case _: java.io.IOException => () }
+
+  /** Refresh a held lease's mtime — call from inside a long-running
+    * maintenance op so it is not presumed dead and stolen mid-flight.
+    */
+  def renewWriterLease(): Unit =
+    if (leaseInfo().exists(_._1 == Warehouse.OwnerId))
+      try fs.setTimes(leasePath, System.currentTimeMillis(), -1)
+      catch { case _: java.io.IOException => () }
+
+  private def withWriterLease[T](op: String)(body: => T): T = {
+    val acquired = acquireWriterLease(op)
+    try body finally if (acquired) releaseWriterLease()
+  }
 
   /** History generations mirror the data-version scheme: each write lands a
     * NEW `name.__history.NNNNNN` file (tmp + rename-to-fresh-name — never a
@@ -274,7 +381,9 @@ case class Warehouse(spark: SparkSession, dir: String) {
   }
 
   def append(name: String, df: DataFrame): Unit =
-    df.write.mode("append").parquet(resolve(name).toString)
+    withWriterLease(s"append:$name") {
+      df.write.mode("append").parquet(resolve(name).toString)
+    }
 
   /** Hive-style partitioned append — the 100TB layout for fact tables:
     * partition masters by periodo_id (or shipdate month) so every
@@ -284,7 +393,9 @@ case class Warehouse(spark: SparkSession, dir: String) {
     * append-only, so they stay on the flat layout.
     */
   def appendPartitioned(name: String, df: DataFrame, cols: String*): Unit =
-    df.write.mode("append").partitionBy(cols: _*).parquet(path(name))
+    withWriterLease(s"appendPartitioned:$name") {
+      df.write.mode("append").partitionBy(cols: _*).parquet(path(name))
+    }
 
   /** Read a partitioned table (partition columns come back from the
     * directory layout, so no explicit schema).
@@ -308,7 +419,9 @@ case class Warehouse(spark: SparkSession, dir: String) {
     * rebuild is the fallback, never wrong data).
     */
   def appendLive(name: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit =
-    df.write.mode("append").partitionBy(partitionBy: _*).parquet(resolve(name).toString)
+    withWriterLease(s"appendLive:$name") {
+      df.write.mode("append").partitionBy(partitionBy: _*).parquet(resolve(name).toString)
+    }
 
   /** Compact a table grown by [[appendLive]]: re-commit the live rows as
     * ONE fresh generation with the per-batch file litter coalesced — at
@@ -327,7 +440,7 @@ case class Warehouse(spark: SparkSession, dir: String) {
     * VACUUM-equivalents never blocking reads).
     */
   def compact(name: String, schema: StructType, partitionBy: Seq[String] = Nil,
-              numFiles: Int = 1): Unit = {
+              numFiles: Int = 1): Unit = withWriterLease(s"compact:$name") {
     val df = read(name, schema)
     val packed =
       if (partitionBy.nonEmpty) df.repartition(partitionBy.map(df.col): _*)
@@ -342,7 +455,7 @@ case class Warehouse(spark: SparkSession, dir: String) {
     * lineage reads the table it replaces (periodos, checkpoints) never
     * overwrites what it is still reading.
     */
-  def rewrite(name: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
+  def rewrite(name: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = withWriterLease(s"rewrite:$name") {
     // what readers resolved BEFORE this rewrite (pointer, crash-recovered
     // version, or the legacy flat dir) — the one directory GC must keep
     val prevLive = resolve(name)
@@ -396,7 +509,7 @@ case class Warehouse(spark: SparkSession, dir: String) {
     * [[resolve]] currently returns — in the crash window with no pointer,
     * that is the newest complete version, never nothing.
     */
-  def vacuum(name: String): Unit = {
+  def vacuum(name: String): Unit = withWriterLease(s"vacuum:$name") {
     val live = resolve(name).getName
     listVersions(name).foreach { case (_, p) =>
       if (p.getName != live) fs.delete(p, true) }
@@ -446,19 +559,23 @@ case class Warehouse(spark: SparkSession, dir: String) {
     * the retention window. `retainLast <= 0` degrades to the full
     * [[vacuum]].
     */
-  def vacuum(name: String, retainLast: Int): Unit = {
-    if (retainLast <= 0) { vacuum(name); return }
-    val live = resolve(name).getName
-    val committed =
-      try history(name) catch { case _: java.io.IOException => return }
-    val keep = (committed.filterNot(_ == live).takeRight(retainLast) :+ live).toSet
-    listVersions(name).foreach { case (_, p) =>
-      if (!keep.contains(p.getName)) fs.delete(p, true) }
-    // the legacy flat dir is a generation like any other: reclaim it only
-    // when neither live nor the retention window still names it
-    val flat = new Path(dir, name)
-    if (!keep.contains(name) && fs.exists(flat) && fs.getFileStatus(flat).isDirectory)
-      fs.delete(flat, true)
+  def vacuum(name: String, retainLast: Int): Unit = withWriterLease(s"vacuum:$name:$retainLast") {
+    if (retainLast <= 0) vacuum(name) // re-enters the held lease
+    else {
+      val live = resolve(name).getName
+      val committed =
+        try Some(history(name)) catch { case _: java.io.IOException => None }
+      committed.foreach { committedNames =>
+        val keep = (committedNames.filterNot(_ == live).takeRight(retainLast) :+ live).toSet
+        listVersions(name).foreach { case (_, p) =>
+          if (!keep.contains(p.getName)) fs.delete(p, true) }
+        // the legacy flat dir is a generation like any other: reclaim it
+        // only when neither live nor the retention window still names it
+        val flat = new Path(dir, name)
+        if (!keep.contains(name) && fs.exists(flat) && fs.getFileStatus(flat).isDirectory)
+          fs.delete(flat, true)
+      }
+    }
   }
 
   /** [[vacuum]](name, retainLast) for EVERY versioned table of this
@@ -468,7 +585,7 @@ case class Warehouse(spark: SparkSession, dir: String) {
     * maintenance pass a deployment schedules against a state warehouse;
     * same quiescence contract as [[vacuum]].
     */
-  def vacuumAll(retainLast: Int): Unit = {
+  def vacuumAll(retainLast: Int): Unit = withWriterLease(s"vacuumAll:$retainLast") {
     def names(glob: String, strip: String => Option[String]): Seq[String] = {
       val stats = try fs.globStatus(new Path(dir, glob))
                   catch { case _: java.io.IOException => null }

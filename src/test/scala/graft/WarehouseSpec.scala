@@ -416,4 +416,41 @@ class WarehouseSpec extends SparkTestBase {
     assert(df.count() === 0)
     assert(df.schema === schema)
   }
+
+  test("writer lease: a foreign fresh lease blocks every mutator loudly; expired leases are stolen") {
+    val wh = fresh()
+    wh.rewrite("t", Seq((1L, "v1")).toDF("id", "name")) // acquire + release works
+    val fs = new Path(wh.dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val lease = new Path(wh.dir, "__writer.lease")
+    assert(!fs.exists(lease), "lease not released after a completed rewrite")
+    // simulate a LIVE writer in another process: foreign owner, fresh mtime
+    val out = fs.create(lease, false)
+    out.write("9999@other-host/deadbeef\nvacuumAll:2\n".getBytes("UTF-8")); out.close()
+    intercept[graft.etl.ConcurrentWriterException] {
+      wh.rewrite("t", Seq((1L, "v2")).toDF("id", "name"))
+    }
+    intercept[graft.etl.ConcurrentWriterException] { wh.vacuum("t", retainLast = 1) }
+    intercept[graft.etl.ConcurrentWriterException] {
+      wh.appendLive("t", Seq((2L, "x")).toDF("id", "name"))
+    }
+    // the blocked rewrite must not have advanced the table
+    assert(names(wh) === Set("v1"))
+    // a crashed writer's lease (mtime beyond the TTL) is stolen, the op
+    // proceeds, and the thief's lease is released after it
+    fs.setTimes(lease, System.currentTimeMillis() - 16 * 60 * 1000L, -1)
+    wh.rewrite("t", Seq((1L, "v2")).toDF("id", "name"))
+    assert(names(wh) === Set("v2"))
+    assert(!fs.exists(lease), "stolen lease not released after the op")
+  }
+
+  test("writer lease is re-entrant within the process: compact and vacuumAll nest their inner ops") {
+    val wh = fresh()
+    (1 to 3).foreach(i => wh.rewrite("t", Seq((1L, s"v$i")).toDF("id", "name")))
+    wh.appendLive("t", Seq((2L, "w")).toDF("id", "name"))
+    wh.compact("t", schema)   // compact → rewrite under one lease
+    wh.vacuumAll(1)           // vacuumAll → per-table vacuum under one lease
+    assert(names(wh) === Set("v3", "w"))
+    val fs = new Path(wh.dir).getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new Path(wh.dir, "__writer.lease")))
+  }
 }
