@@ -88,7 +88,7 @@ object Bench {
     // otherwise the second run of t06/t08/t13 would time an in-memory cache
     // scan instead of the pipeline. (The IVF centroid table stays: that is
     // a persisted index built before serving, not per-query work.)
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       graft.queries.TextOps.invalidatePairCache()
       // drop the previous query's curation pin (t35/t38 run through the
       // legacy curate()) so no query measures alongside — or leaves
@@ -98,14 +98,20 @@ object Bench {
       // toRdd executes the physical plan with all output columns; a bare
       // count() would let Catalyst prune the final projections and
       // under-measure expression-heavy queries
+      // failures are non-fatal (the sample is discarded; a query with no
+      // good sample reports -1 in "errors") but must be LOUD — same
+      // contract as the warmup stages; a silent catch here turned a
+      // broadcast OOM into a bare "errors" entry with no cause attached
       val ok =
         try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
-        catch { case _: Throwable => false }
+        catch { case t: Throwable =>
+          System.err.println(s"[bench] query $name failed: $t"); false
+        }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
     val names = selected.keys.toSeq
     def fullPass(order: Seq[String]): Map[String, (Double, Boolean)] =
-      order.map(n => n -> once(selected(n))).toMap
+      order.map(n => n -> once(n, selected(n))).toMap
     // Pass 2 runs in REVERSED order. With both passes in the same order,
     // each query's two samples sit exactly one suite-length apart, so a
     // sustained multi-minute load spike contaminates the same contiguous

@@ -41,6 +41,13 @@ object BinaryAssets {
     * counter bump, not a task retry storm.
     */
   object PngCodec {
+    // ImageIO defaults to a FILE-backed stream cache: every read/write
+    // spills through a temp file, so a 32-thread decode sweep serializes
+    // on tmpfs churn (measured: t45 scaled 17x for 10x assets at sf1.0;
+    // memory-cached it is linear). Payloads here are in-memory byte
+    // arrays — cache to heap, never to disk.
+    javax.imageio.ImageIO.setUseCache(false)
+
     private def readPng(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
       try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
       catch { case scala.util.control.NonFatal(_) => None }

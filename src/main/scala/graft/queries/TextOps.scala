@@ -1212,9 +1212,21 @@ object TextOps {
     */
   def t15CosineNearDup(s: SparkSession, dir: String,
                        bits: Int = Lsh.Bits, radius: Int = PairRadius,
-                       narrowProbe: Boolean = false,
+                       narrowProbe: Option[Boolean] = None,
                        maxBucket: Int = EmbBucketCap): DataFrame =
     t15CosineNearDupOf(embeddings(s, dir), bits, radius, narrowProbe, maxBucket)
+
+  /** Probe-shape crossover: at or below this mask count the wide probe
+    * (embedding rides every exploded row, single join, zero extra
+    * shuffles — the measured-fastest shape at the test dials' 57 masks)
+    * wins; above it the exploded frame outgrows what any single node can
+    * hold — Catalyst CANNOT see this (Generate stats don't multiply the
+    * child by the array length, so the planner happily puts the exploded
+    * side in a BroadcastExchange: measured OOM at 20k vectors × 386
+    * masks × 550 B/row ≈ 4 GB on an 8 GB driver) — so the narrow shape
+    * takes over and the candidate join is PINNED to shuffle-hash.
+    */
+  val NarrowProbeMaskThreshold = 64
 
   /** The t15 pipeline over an arbitrary (vec_id, embedding) frame — also
     * the spec hook for the [[EmbBucketCap]] skew guard on pathological
@@ -1222,7 +1234,7 @@ object TextOps {
     */
   def t15CosineNearDupOf(embSrc: DataFrame,
                          bits: Int = Lsh.Bits, radius: Int = PairRadius,
-                         narrowProbe: Boolean = false,
+                         narrowProbe: Option[Boolean] = None,
                          maxBucket: Int = EmbBucketCap): DataFrame = {
     // norms materialize per VECTOR before the join (n rows), so the only
     // per-PAIR work is one native dot product and a divide — the HOF
@@ -1247,10 +1259,16 @@ object TextOps {
     val e = e0.join(broadcast(oversized), Seq("bucket"), "left_anti")
     val masks = Lsh.masksWithin(radius, bits)
     val scored =
-      if (narrowProbe) {
+      if (narrowProbe.getOrElse(masks.length > NarrowProbeMaskThreshold)) {
         val probes = e.select(col("vec_id").as("vec_a"),
           explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
-        e.join(probes, Seq("bucket"))
+        // shuffle-hash PINNED: the probe side's true size is masks × n —
+        // invisible to the planner (Generate keeps the child's estimate),
+        // which otherwise elects it for a BroadcastExchange that OOMs the
+        // driver the moment corpus × masks outgrows heap. Build side = e
+        // (≤ maxBucket rows per bucket after the guard, so the per-
+        // partition hash map is bounded on any skew).
+        e.hint("shuffle_hash").join(probes, Seq("bucket"))
           .filter(col("vec_a") < col("vec_id"))
           .select(col("vec_a"), col("vec_id").as("vec_b"),
             col("emb").as("emb_b"), col("nrm").as("nrm_b"))

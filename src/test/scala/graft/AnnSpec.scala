@@ -433,9 +433,9 @@ class AnnSpec extends SparkTestBase {
 
   test("t15 narrow-probe form is result-identical to the wide form at any dial") {
     for ((b, r) <- Seq((Lsh.Bits, TextOps.PairRadius), (10, 6))) {
-      val wide = TextOps.t15CosineNearDup(spark, sf(), b, r)
+      val wide = TextOps.t15CosineNearDup(spark, sf(), b, r, narrowProbe = Some(false))
         .collect().map(_.toSeq).toSeq
-      val narrow = TextOps.t15CosineNearDup(spark, sf(), b, r, narrowProbe = true)
+      val narrow = TextOps.t15CosineNearDup(spark, sf(), b, r, narrowProbe = Some(true))
         .collect().map(_.toSeq).toSeq
       assert(narrow === wide, s"narrow != wide at ($b, $r)")
     }
