@@ -209,7 +209,14 @@ object TextOps {
       col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val b = bounded.select(col("band"), col("band_key"),
       col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "band_key"))
+    // shuffle-hash PINNED (same reasoning as t15's narrow probe): the
+    // banded frame's true size is bands × n rows, invisible to the
+    // planner through Generate, so it elects one corpus-sized side for a
+    // BroadcastExchange — fine at test scale, OOM one or two decades up.
+    // Both sides already hash-partition on (band, band_key) for the
+    // capBuckets window, so the pinned join adds ZERO new shuffle, and
+    // the cap bounds every build group at maxBucket rows.
+    a.hint("shuffle_hash").join(b, Seq("band", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         round(TF.estJaccard(col("sig_a"), col("sig_b")), 4).as("est_jaccard"))
@@ -403,7 +410,10 @@ object TextOps {
       col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
     val b = capped.select(col("band"), col("band_key"),
       col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
-    a.join(b, Seq("band", "band_key"))
+    // shuffle-hash PINNED — see minhashPairsOf: banded self-joins never
+    // broadcast a corpus-derived side; partitioning from the cap window
+    // is reused, so no new exchange appears.
+    a.hint("shuffle_hash").join(b, Seq("band", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
@@ -451,9 +461,15 @@ object TextOps {
     */
   def ngramJaccard(s: SparkSession, dir: String, pairs: DataFrame): DataFrame = {
     val sh = shingled(s, dir)
+    // shuffle-hash PINNED on the shingle side: sh carries every doc's
+    // FULL shingle-hash array — the planner's estimate of the computed
+    // array column sits under the broadcast threshold while the true
+    // payload is corpus_rows × |shingles| × 8 B (it elected BOTH attach
+    // sides for BroadcastExchange at sf1.0). Attaching heavy payload to
+    // candidate pairs shuffles on the id — t15's narrow-probe shape.
     pairs.select(col("doc_a"), col("doc_b"))
-      .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("sh_a")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("sh_b")), Seq("doc_b"))
+      .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("sh_a")).hint("shuffle_hash"), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("sh_b")).hint("shuffle_hash"), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         round(TF.exactJaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))

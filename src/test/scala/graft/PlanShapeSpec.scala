@@ -69,6 +69,58 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]))
   }
 
+  // ---- no corpus-derived side may sit under a BroadcastExchange ----
+  // Generate (explode) keeps its child's size estimate, so the planner
+  // cannot see explosion factors and happily elects an exploded
+  // corpus-derived frame for broadcast: measured OOM at the sf1.0
+  // rehearsal the moment corpus × masks outgrew the driver heap
+  // (SCALE.md round 10). These pins hold the fix: banded self-joins and
+  // wide-code probe joins are shuffle-hash, and nothing downstream of a
+  // Generate is ever the build side of a broadcast.
+
+  private def broadcastOverGenerate(p: SparkPlan): Seq[SparkPlan] =
+    p.collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+        if b.collectFirst { case g: org.apache.spark.sql.execution.GenerateExec => g }.nonEmpty => b
+    }
+
+  test("t15 at a wide-code dial auto-switches to narrow probe + shuffle-hash") {
+    TextOps.invalidatePairCache()
+    // 10-bit codes, radius 4 → 386 masks > NarrowProbeMaskThreshold
+    val plan = TextOps.t15CosineNearDup(spark, sf(), 10, TextOps.PairRadius)
+      .queryExecution.sparkPlan
+    assert(plan.collectFirst {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }.nonEmpty, "wide-dial candidate join is not shuffle-hash")
+    assert(broadcastOverGenerate(plan).isEmpty,
+      "an exploded (corpus × masks) frame sits under a BroadcastExchange")
+    TextOps.invalidatePairCache()
+  }
+
+  test("t06/t07 banded self-joins never broadcast the exploded corpus side") {
+    val docs = graft.core.Tables.documents(spark, sf())
+    for (df <- Seq(TextOps.minhashPairsOf(docs), TextOps.simhashPairsOf(docs))) {
+      val plan = df.queryExecution.sparkPlan
+      assert(plan.collectFirst {
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      }.nonEmpty, "banded self-join is not shuffle-hash")
+      assert(broadcastOverGenerate(plan).isEmpty,
+        "a banded corpus frame sits under a BroadcastExchange")
+    }
+  }
+
+  test("t08 attaches shingle arrays to pairs via shuffle, never broadcast") {
+    TextOps.invalidatePairCache()
+    val plan = TextOps.t08NgramJaccard(spark, sf()).queryExecution.sparkPlan
+    val shjs = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    // two attach joins (sh_a, sh_b) + the upstream band self-join
+    assert(shjs.size >= 2,
+      s"expected the two shingle-attach joins as shuffle-hash, found ${shjs.size}")
+    TextOps.invalidatePairCache()
+  }
+
   test("t14 IVF assignment is a map-side argmin: no window over an expanded frame") {
     // Round 5's formulation crossJoined every corpus vector with the k
     // centroids and picked the argmin with row_number() over a window
