@@ -1298,7 +1298,12 @@ object TextOps {
         val probes = e.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"),
           col("nrm").as("nrm_a"),
           explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
-        e.join(probes, Seq("bucket"))
+        // same shuffle-hash pin as the narrow branch: even at ≤ 64 masks
+        // the exploded side's true size is masks × n (the planner's
+        // broadcast pick cost 39 s of single-threaded build at the sf1.0
+        // rehearsal before dying outright at the wider dial); sf0.1
+        // timing is unchanged and the build side stays cap-bounded.
+        e.hint("shuffle_hash").join(probes, Seq("bucket"))
           .filter(col("vec_a") < col("vec_id"))
           .select(col("vec_a"), col("vec_id").as("vec_b"),
             R.halfUp(when(col("nrm_a") === 0.0 || col("nrm") === 0.0, 0.0)

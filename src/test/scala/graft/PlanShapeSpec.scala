@@ -30,17 +30,25 @@ class PlanShapeSpec extends SparkTestBase {
       "t15 plan contains a cartesian product")
     assert(!nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
       "t15 plan contains a nested-loop join")
+    // the guard's oversized-codes anti-join broadcasts (≤ 2^bits rows);
+    // the candidate join itself is shuffle-hash (broadcast-trap pin)
     assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
-      "t15 bucket join is not a broadcast hash join")
+      "t15 skew-guard anti-join is not a broadcast hash join")
+    assert(nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec]),
+      "t15 candidate join is not a shuffle-hash join")
   }
 
   test("t15 pair filter (vec_a < vec_b) evaluates inside the join, not after") {
     // as a join condition it prunes rows during probe; as a post-join
-    // filter every candidate materializes first
+    // filter every candidate materializes first (the candidate join is
+    // shuffle-hash since the broadcast-trap pin; the remaining broadcast
+    // joins are the guard's anti-join, which rightly has no condition)
     val plan = coldT15().queryExecution.sparkPlan
-    val bhj = plan.collectFirst { case j: BroadcastHashJoinExec => j }
-    assert(bhj.nonEmpty)
-    assert(bhj.get.condition.nonEmpty,
+    val shj = plan.collectFirst {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(shj.nonEmpty, "candidate join is not shuffle-hash")
+    assert(shj.get.condition.nonEmpty,
       "vec_a < vec_id was not pushed into the hash join condition")
   }
 
