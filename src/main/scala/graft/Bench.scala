@@ -67,6 +67,8 @@ object Bench {
     // ...and t46's seeded list half (its centroid ensure is shared with
     // t14/t36 above), so the measured region is the append + probe
     warm("t46-seed") { graft.queries.TextOps.t46EnsureSeeded(spark, sfDir, graft.queries.TextOps.DialIvfK) }
+    // ...and t48's seeded PQ-list half (codebook ensure shared with t47)
+    warm("t48-seed") { graft.queries.TextOps.t48EnsureSeeded(spark, sfDir, graft.queries.TextOps.DialIvfK) }
     // bounded-retention maintenance of the scratch warehouses (shared
     // corpus scratch + each lifecycle sub-warehouse): generations from
     // prior sessions' rewrites are reclaimed down to the reader window
@@ -74,7 +76,7 @@ object Bench {
     warm("vacuum") {
       val root = graft.queries.IvfModel.warehouseFor(spark, sfDir)
       val subs = Seq("t37_increment", "t40_increment", "t41_inccur", "t42_inccur", "t46_increment",
-        "t43_inccur").map(n => graft.etl.Warehouse(spark, new java.io.File(root.dir, n).toString))
+        "t43_inccur", "t48_increment").map(n => graft.etl.Warehouse(spark, new java.io.File(root.dir, n).toString))
       (root +: subs).foreach(w => w.vacuumAll(w.RetainVersions))
     }
     // Per-query time = min over two FULL passes of the suite, not two

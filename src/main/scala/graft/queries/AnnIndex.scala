@@ -68,6 +68,26 @@ object Lsh {
     allPlanes.take(bits)
   }
 
+  /** The documented dial, computed: the narrowest code whose EXPECTED
+    * occupancy `n / 2^bits` is at or below `bucketTarget` on an isotropic
+    * corpus, clamped to [1, MaxBits]. Candidate volume in any pair join
+    * is probe_fraction × n × occupancy, so holding occupancy constant as
+    * the corpus grows is what keeps the join linear in n — this is the
+    * one parameter a deployment must scale, and the prefix-consistent
+    * plane family means widening it REFINES existing buckets instead of
+    * reshuffling them (an incremental index can re-band lazily).
+    * `bucketTarget` trades recall for cost exactly like nlist in IVF:
+    * the test corpora use the default 32 (sf0.1's 2000 vectors → 6 bits,
+    * the audited default; the sf1.0 rehearsal's 20k → 10, the dial that
+    * measured 4.6 s where bits=6 measured 39 s).
+    */
+  def bitsFor(n: Long, bucketTarget: Int = 32): Int = {
+    require(n > 0 && bucketTarget > 0)
+    val needed = (63 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1L, (n + bucketTarget - 1) / bucketTarget) * 2 - 1)).max(1)
+    needed.min(MaxBits)
+  }
+
   lazy val planes: IndexedSeq[IndexedSeq[Double]] = planesFor(Bits)
 
   /** XOR masks enumerating all codes within `radius` (incl. 0). */
@@ -705,11 +725,53 @@ object PqModel {
       partitionBy = Seq("cluster")) {
       val e = Tables.embeddings(s, dir)
         .select(col("vec_id"), V.toDouble(col("embedding")).as("emb"))
-      IvfModel.assignClusters(e, IvfModel.centroids(s, dir))
-        .crossJoin(broadcast(codebookArr(s, dir)))
-        .select(col("vec_id"), pqCodes(col("emb"), col("cb")).as("codes"), col("cluster"))
+      codedListsOf(e, IvfModel.centroids(s, dir), codebookArr(s, dir))
     }
   }
+
+  /** (vec_id, codes, cluster) of an embedding frame: coarse assignment
+    * against the given centroid generation, PQ codes against the given
+    * one-row codebook array — the one shape ensure/seed/append all
+    * commit, so increments are row-identical to a re-materialization by
+    * construction.
+    */
+  private def codedListsOf(emb: DataFrame, cents: DataFrame,
+                           cbArr: DataFrame): DataFrame =
+    IvfModel.assignClusters(emb, cents)
+      .crossJoin(broadcast(cbArr))
+      .select(col("vec_id"), pqCodes(col("emb"), col("cb")).as("codes"), col("cluster"))
+
+  /** Warehouse-scoped PQ lists over an EXPLICIT embedding frame — the
+    * t48 verification path, [[IvfModel.seedListsFrame]]'s compressed
+    * twin: the settled slice coded once against the persisted quantizer
+    * + codebook, committed as a `cluster`-partitioned generation.
+    */
+  def seedPqListsFrame(wh: graft.etl.Warehouse, emb: DataFrame, cents: DataFrame,
+                       cbArr: DataFrame): Unit =
+    wh.rewrite(PqListsTable,
+      codedListsOf(emb, cents, cbArr).withColumn("corpus_stamp", lit("seed")),
+      partitionBy = Seq("cluster"))
+
+  /** Grow a warehouse-scoped PQ list table by one batch — replay-safe
+    * (anti-join on the coded lists' vec_id, column-pruned) and coded
+    * ONLY for the fresh rows against the SAME quantizer + codebook
+    * generation the seed used. Codebook refit is an explicit rebuild
+    * event, exactly the [[IvfModel.appendListsFrame]] contract — PQ adds
+    * nothing to the append path but the M argmin projections per fresh
+    * row, so per-batch cost stays O(batch).
+    */
+  def appendPqListsFrame(wh: graft.etl.Warehouse, embBatch: DataFrame,
+                         cents: DataFrame, cbArr: DataFrame): Unit = {
+    val fresh = embBatch.join(
+      wh.read(PqListsTable, PqListsSchema).select(col("vec_id")), Seq("vec_id"), "left_anti")
+    wh.appendLive(PqListsTable,
+      codedListsOf(fresh, cents, cbArr).withColumn("corpus_stamp", lit("append")),
+      partitionBy = Seq("cluster"))
+  }
+
+  /** A warehouse-scoped PQ list table (vec_id, codes, cluster). */
+  def pqListsOf(wh: graft.etl.Warehouse): DataFrame =
+    wh.read(PqListsTable, PqListsSchema).select(col("vec_id"), col("codes"), col("cluster"))
 
   /** The persisted codebook (sub, code, cvec). */
   def codebook(s: SparkSession, dir: String): DataFrame =

@@ -891,6 +891,17 @@ object TextOps {
   def t47AnnIvfPq(s: SparkSession, dir: String,
                   k: Int = IvfModel.K, nProbe: Int = IvfModel.NProbe): DataFrame = {
     PqModel.ensure(s, dir, k = k)
+    ivfPqProbe(s, dir, PqModel.pqLists(s, dir), nProbe)
+  }
+
+  /** The IVF-PQ serving probe over an arbitrary coded-list frame —
+    * shared by t47 (the globally-ensured lists) and t48 (a maintained
+    * warehouse-scoped table): coarse cell selection → ADC shortlist →
+    * exact rerank, all against the SAME persisted centroid + codebook
+    * generations.
+    */
+  private def ivfPqProbe(s: SparkSession, dir: String, pqListsFrame: DataFrame,
+                         nProbe: Int): DataFrame = {
     val centArr = IvfModel.centroids(s, dir)
       .agg(sort_array(collect_list(struct(col("cid"), col("cvec")))).as("cents"))
     def scored = transform(col("cents"), c =>
@@ -910,7 +921,7 @@ object TextOps {
     // ADC shortlist: codes-only scan of the probed partitions
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adist"), col("vec_id"))
-    val short = PqModel.pqLists(s, dir).join(broadcast(probes), Seq("cluster"))
+    val short = pqListsFrame.join(broadcast(probes), Seq("cluster"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         R.halfUp(PqModel.adcDist(col("codes"), col("dtab")), 6).as("adist"))
@@ -989,6 +1000,50 @@ object TextOps {
        |  FROM rescored)
        |SELECT query_id, vec_id, cosine, rk FROM ranked
        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- t48
+  /** INCREMENTAL IVF-PQ lists — t46's protocol on the COMPRESSED serving
+    * artifact, closing the incremental matrix for the memory-feasible
+    * 100 TB path: the coded lists are seeded on the settled half of the
+    * corpus (vec_id hash split, t46's), then each batch codes ONLY
+    * itself against the SAME persisted coarse quantizer + codebook
+    * generations and appends into its cluster partitions
+    * ([[PqModel.appendPqListsFrame]], replay-idempotent). The probe then
+    * serves t47's full query shape from the maintained table, and the
+    * oracle is t47's SQL over the GLOBAL artifacts — increment ==
+    * re-materialization, hash-checked end to end. Codebook/quantizer
+    * refit stays an explicit rebuild event (the IVF append contract);
+    * per-batch cost is the batch's M argmin projections + one pruned
+    * anti-join.
+    */
+  def t48AnnIvfPqIncrement(s: SparkSession, dir: String,
+                           k: Int = IvfModel.K, nProbe: Int = IvfModel.NProbe): DataFrame = {
+    val wh = t48EnsureSeeded(s, dir, k)
+    val partB = embeddings(s, dir)
+      .select(col("vec_id"), graft.functions.VectorOps.toDouble(col("embedding")).as("emb"))
+      .filter(splitBucket(col("vec_id")) >= 50)
+    PqModel.appendPqListsFrame(wh, partB, IvfModel.centroids(s, dir),
+      PqModel.codebookArr(s, dir))
+    ivfPqProbe(s, dir, PqModel.pqListsOf(wh), nProbe)
+  }
+
+  private[graft] def t48EnsureSeeded(s: SparkSession, dir: String, k: Int): graft.etl.Warehouse = {
+    // quantizer + codebook are the FULL-corpus stamped artifacts (the
+    // generations t47 probes — and the ones the oracle reads)
+    PqModel.ensure(s, dir, k = k)
+    val wh = graft.etl.Warehouse(s, new java.io.File(
+      IvfModel.warehouseFor(s, dir).dir, "t48_increment").toString)
+    val stamp = s"t48-seed\n$dir\nk=$k\nm=${PqModel.SubSpaces}\nks=${PqModel.CodesPerSub}\n" +
+      graft.core.Tables.contentStamp(s, s"$dir/embeddings.parquet")
+    StampedTable.ensureSeeded(wh, "t48_seed", stamp) {
+      val partA = embeddings(s, dir)
+        .select(col("vec_id"), graft.functions.VectorOps.toDouble(col("embedding")).as("emb"))
+        .filter(splitBucket(col("vec_id")) < 50)
+      PqModel.seedPqListsFrame(wh, partA, IvfModel.centroids(s, dir),
+        PqModel.codebookArr(s, dir))
+    }
+    wh
   }
 
   // ---------------------------------------------------------------- t16
@@ -1827,6 +1882,8 @@ object TextOps {
       t46AnnIvfIncrement(s, d, DialIvfK, DialIvfNProbe)),
     "t47_ann_ivfpq"       -> ((s: SparkSession, d: String) =>
       t47AnnIvfPq(s, d, DialIvfK, DialIvfNProbe)),
+    "t48_ann_ivfpq_increment" -> ((s: SparkSession, d: String) =>
+      t48AnnIvfPqIncrement(s, d, DialIvfK, DialIvfNProbe)),
     "t15_cosine_near_dup" -> ((s: SparkSession, d: String) =>
       cosineCandidatePairs(s, d, DialBits, DialRadius.getOrElse(PairRadius), DialEmbCap)),
     "t16_token_bpe"       -> (t16TokenBpe _),
@@ -1872,6 +1929,10 @@ object TextOps {
     // t47 replays the WHOLE IVF-PQ path from the persisted artifacts —
     // coarse probes, ADC tables, coded-list shortlist, exact rerank
     "t47_ann_ivfpq"       -> t47Sql(dir),
+    // t48's maintained table must serve EXACTLY what the global coded
+    // lists serve (increment == re-materialization), so its oracle is
+    // t47's SQL over the global artifacts
+    "t48_ann_ivfpq_increment" -> t47Sql(dir),
     "t15_cosine_near_dup" -> t15Sql,
     "t16_token_bpe"       -> t16Sql,
     "t34_embed_dedup_clusters" -> t34Sql,

@@ -580,6 +580,38 @@ class AnnSpec extends SparkTestBase {
     assert(IvfModel.listsOf(wh).count() === all.count(), "replayed rows duplicated")
   }
 
+  test("t48: incremental PQ lists == global re-materialization, replay-safe") {
+    import graft.queries.PqModel
+    PqModel.ensure(spark, sf())
+    val wh = graft.etl.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft_pq_inc_").toString)
+    val all = graft.core.Tables.embeddings(spark, sf())
+      .select(col("vec_id"), graft.functions.VectorOps.toDouble(col("embedding")).as("emb"))
+    val cents = IvfModel.centroids(spark, sf())
+    val cb = PqModel.codebookArr(spark, sf())
+    PqModel.seedPqListsFrame(wh, all.filter(col("vec_id") < 100), cents, cb)
+    // append the rest PLUS a replayed slice of the seed (at-least-once
+    // delivery) — the anti-join must drop the replays
+    PqModel.appendPqListsFrame(wh, all.filter(col("vec_id") >= 100), cents, cb)
+    PqModel.appendPqListsFrame(wh,
+      all.filter(col("vec_id") >= 100 || col("vec_id") < 5), cents, cb)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("codes"), col("cluster"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getInt(2))).toSet
+    // increment == the globally-ensured coded lists, codes and cells
+    // bit-identical (same quantizer + codebook generations)
+    assert(rows(PqModel.pqListsOf(wh)) === rows(PqModel.pqLists(spark, sf())),
+      "maintained PQ lists diverge from the global re-materialization")
+    assert(PqModel.pqListsOf(wh).count() === all.count(), "replayed rows duplicated")
+  }
+
+  test("t48 serves t47's exact result from the maintained table") {
+    TextOps.invalidatePairCache()
+    val inc = TextOps.t48AnnIvfPqIncrement(spark, sf()).collect().map(_.toSeq).toSeq
+    val full = TextOps.t47AnnIvfPq(spark, sf()).collect().map(_.toSeq).toSeq
+    assert(inc === full, "incremental IVF-PQ probe != the global probe")
+  }
+
   test("t47 IVF-PQ: compressed lists carry NO float payload; codes are well-formed") {
     import graft.queries.PqModel
     PqModel.ensure(spark, sf())
@@ -636,5 +668,22 @@ class AnnSpec extends SparkTestBase {
     assert(scans.nonEmpty, "t47 does not scan the coded list table")
     assert(scans.exists(_.partitionFilters.nonEmpty),
       "coded-list scan carries no partition filters — the probe reads every cell")
+  }
+
+  test("Lsh.bitsFor computes the documented occupancy dial") {
+    // reference: smallest bits with expected occupancy n/2^bits <= target
+    def ref(n: Long, target: Int): Int =
+      (1 to Lsh.MaxBits).find(b => n.toDouble / (1L << b) <= target)
+        .getOrElse(Lsh.MaxBits)
+    // the audited anchors: sf0.1's 2000 vectors -> the default 6-bit code;
+    // the sf1.0 rehearsal's 20k -> the 10-bit dial that measurement chose
+    assert(Lsh.bitsFor(2000) === 6)
+    assert(Lsh.bitsFor(20000) === 10)
+    for (n <- Seq(1L, 31L, 32L, 33L, 1000L, 65536L, 1000000L, 100000000000L);
+         t <- Seq(1, 8, 32, 1000))
+      assert(Lsh.bitsFor(n, t) === ref(n, t), s"n=$n target=$t")
+    // growing the corpus never narrows the code (monotone dial)
+    val seq = Seq(100L, 1000L, 10000L, 100000L).map(Lsh.bitsFor(_))
+    assert(seq === seq.sorted)
   }
 }

@@ -28,7 +28,12 @@ def norm(df):
 def main(out_dir, sf_dir):
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        # driver testdata ships single-file tables; Spark-written corpora
+        # (e.g. the ScaleData sf1.0 rehearsal) are directories of parts
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     ok = fail = 0
     for name in sorted(os.listdir(out_dir)):
