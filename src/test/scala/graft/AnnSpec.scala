@@ -659,15 +659,20 @@ class AnnSpec extends SparkTestBase {
     assert(recall >= 0.6, f"IVF-PQ recall collapsed: $recall%.2f")
   }
 
-  test("t47 IVF-PQ: the coded-list scan prunes to the probed partitions") {
+  test("t47/t48: the coded-list scan prunes to the probed partitions") {
     import graft.queries.PqModel
-    val scans = TextOps.t47AnnIvfPq(spark, sf()).queryExecution.sparkPlan.collect {
-      case s: org.apache.spark.sql.execution.FileSourceScanExec
-        if s.relation.location.rootPaths.exists(_.toString.contains(PqModel.PqListsTable)) => s
+    // same assertion against the global table (t47) and the maintained
+    // warehouse-scoped table (t48) — growth must not cost the pruning
+    for (df <- Seq(TextOps.t47AnnIvfPq(spark, sf()),
+                   TextOps.t48AnnIvfPqIncrement(spark, sf()))) {
+      val scans = df.queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains(PqModel.PqListsTable)) => s
+      }
+      assert(scans.nonEmpty, "probe does not scan the coded list table")
+      assert(scans.exists(_.partitionFilters.nonEmpty),
+        "coded-list scan carries no partition filters — the probe reads every cell")
     }
-    assert(scans.nonEmpty, "t47 does not scan the coded list table")
-    assert(scans.exists(_.partitionFilters.nonEmpty),
-      "coded-list scan carries no partition filters — the probe reads every cell")
   }
 
   test("Lsh.bitsFor computes the documented occupancy dial") {
