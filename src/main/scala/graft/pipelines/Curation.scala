@@ -167,7 +167,11 @@ object Curation {
     val capped = graft.queries.TextOps.capBuckets(banded, t.maxBandBucket)
     val a = capped.select(col("band"), col("band_key"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val b = capped.select(col("band"), col("band_key"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    val candPairs = a.join(b, Seq("band", "band_key"))
+    // shuffle-hash PINNED like every banded self-join (t06/t07): both
+    // sides are corpus-derived and already partition on (band, band_key)
+    // for the cap window; the planner's Generate-blind estimate would
+    // otherwise broadcast one of them (observed in the t35 sf1.0 plan)
+    val candPairs = a.hint("shuffle_hash").join(b, Seq("band", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         TF.estJaccard(col("sig_a"), col("sig_b")).as("j"))

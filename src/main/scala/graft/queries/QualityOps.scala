@@ -386,10 +386,12 @@ object QualityOps {
     * boundary inflates eval scores exactly like benchmark contamination).
     * Composition of two existing primitives: the md5-bucket split is a
     * per-row expression, the overlap join is t22's shape with the split
-    * boundary as the probe predicate. The eval side is 10% of the corpus
-    * by construction — broadcast here so the train side never shuffles;
-    * like t22, past broadcast size the same join runs shuffled on the
-    * uniform hash key (drop the hint, shape unchanged).
+    * boundary as the probe predicate. UNLIKE t22 (whose probe is an
+    * external benchmark set, tiny by nature, and rightly broadcast), the
+    * eval side here is 10% of the corpus BY CONSTRUCTION — broadcasting
+    * it is a scale trap that merely hadn't bitten yet, so the join is
+    * shuffle-hash pinned on the uniform shingle-hash key instead of
+    * documented as "drop the hint at scale".
     */
   def splitLeakageOf(docs: DataFrame): DataFrame = {
     val sh = docs
@@ -400,7 +402,7 @@ object QualityOps {
       .select(col("doc_id").as("eval_doc"), col("split").as("eval_split"), col("h"))
     val train = sh.filter(col("split") === "train")
       .select(col("doc_id").as("train_doc"), col("h"))
-    train.join(broadcast(eval_), Seq("h"))
+    train.join(eval_.hint("shuffle_hash"), Seq("h"))
       .groupBy(col("eval_doc"), col("eval_split"), col("train_doc"))
       .agg(countDistinct(col("h")).as("n_shared_ngrams"))
       .orderBy(col("eval_doc"), col("train_doc"))
