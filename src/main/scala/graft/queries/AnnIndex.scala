@@ -504,17 +504,36 @@ object IvfModel {
       partitionBy = Seq("cluster"))
 
   /** Grow a warehouse-scoped list table by one batch — replay-idempotent
-    * (anti-join on the lists' vec_id column; one row per vector = one
-    * file slot, so no sub-row torn shape). Assignment runs ONLY on the
-    * fresh rows, against the SAME centroid generation the seed used —
-    * the IVF append contract (quantizer refit is an explicit rebuild
-    * event, never a side effect of growth).
+    * (anti-join on the lists' vec_id column) and PARTITION-PRUNED: the
+    * batch assigns itself FIRST (against the SAME centroid generation
+    * the seed used — the IVF append contract: quantizer refit is an
+    * explicit rebuild event, never a side effect of growth), so the
+    * idempotency check reads only the batch's own cluster partitions
+    * instead of every vec_id in the corpus — per-batch cost stays
+    * O(batch neighborhood) as the lists grow, the same discipline as
+    * [[graft.queries.BandIndex.appendBatchBanded]]. The batch's
+    * distinct-cluster set is ≤ the quantizer's K, so the prune is a
+    * bounded static IN-filter (with [[BucketPrune]]'s semi-join
+    * fallback above its inline cap).
+    *
+    * PRECONDITION of the pruned check (shared with BandIndex/EmbIndex
+    * appends): vector content is IMMUTABLE per vec_id. An
+    * already-landed vec_id is only visible to the anti-join because the
+    * same vector re-derives the same cell; re-ingesting a vec_id with a
+    * CHANGED vector can assign elsewhere, escape the pruned anti-join,
+    * and duplicate that id. Replay / torn-append repair (same bytes
+    * redelivered) is unaffected; a mutable corpus rebuilds via
+    * [[seedListsFrame]] / [[ensureLists]].
     */
   def appendListsFrame(wh: Warehouse, embBatch: DataFrame, cents: DataFrame): Unit = {
-    val fresh = embBatch.join(
-      wh.read(ListsTable, ListsSchema).select(col("vec_id")), Seq("vec_id"), "left_anti")
+    // one batch-sized materialization: the assigned frame is referenced
+    // by the threshold probe, the anti-join, and the write
+    val assigned = Frames.cutIfPlain(assignClusters(embBatch, cents))
+    val fresh = assigned.join(
+      BucketPrune.restrict(wh.read(ListsTable, ListsSchema), "cluster", assigned)
+        .select(col("vec_id")), Seq("vec_id"), "left_anti")
     wh.appendLive(ListsTable,
-      assignClusters(fresh, cents).withColumn("corpus_stamp", lit("append")),
+      fresh.withColumn("corpus_stamp", lit("append")),
       partitionBy = Seq("cluster"))
   }
 
@@ -737,7 +756,15 @@ object PqModel {
     */
   private def codedListsOf(emb: DataFrame, cents: DataFrame,
                            cbArr: DataFrame): DataFrame =
-    IvfModel.assignClusters(emb, cents)
+    codesOf(IvfModel.assignClusters(emb, cents), cbArr)
+
+  /** PQ-code an ALREADY coarse-assigned frame (vec_id, emb, cluster) —
+    * split out so the append path can prune its idempotency anti-join
+    * on the assignment BEFORE paying the M argmin projections, coding
+    * only the rows that are actually fresh.
+    */
+  private def codesOf(assigned: DataFrame, cbArr: DataFrame): DataFrame =
+    assigned
       .crossJoin(broadcast(cbArr))
       .select(col("vec_id"), pqCodes(col("emb"), col("cb")).as("codes"), col("cluster"))
 
@@ -753,25 +780,55 @@ object PqModel {
       partitionBy = Seq("cluster"))
 
   /** Grow a warehouse-scoped PQ list table by one batch — replay-safe
-    * (anti-join on the coded lists' vec_id, column-pruned) and coded
-    * ONLY for the fresh rows against the SAME quantizer + codebook
-    * generation the seed used. Codebook refit is an explicit rebuild
-    * event, exactly the [[IvfModel.appendListsFrame]] contract — PQ adds
-    * nothing to the append path but the M argmin projections per fresh
-    * row, so per-batch cost stays O(batch).
+    * and PARTITION-PRUNED like [[IvfModel.appendListsFrame]]: the batch
+    * coarse-assigns itself FIRST (cheap — one argmin over K cells), the
+    * idempotency anti-join then reads only the batch's own cluster
+    * partitions of the coded lists, and the M argmin PQ projections run
+    * ONLY on the rows that are actually fresh — against the SAME
+    * quantizer + codebook generation the seed used (codebook refit is an
+    * explicit rebuild event). Per-batch cost stays O(batch
+    * neighborhood) as the lists grow. Same IMMUTABLE-content
+    * precondition per vec_id as every pruned append (a changed vector
+    * can assign to a different cell and escape the pruned check);
+    * replay / torn-append repair is unaffected.
     */
   def appendPqListsFrame(wh: graft.etl.Warehouse, embBatch: DataFrame,
                          cents: DataFrame, cbArr: DataFrame): Unit = {
-    val fresh = embBatch.join(
-      wh.read(PqListsTable, PqListsSchema).select(col("vec_id")), Seq("vec_id"), "left_anti")
+    val assigned = Frames.cutIfPlain(IvfModel.assignClusters(embBatch, cents))
+    val fresh = assigned.join(
+      BucketPrune.restrict(wh.read(PqListsTable, PqListsSchema), "cluster", assigned)
+        .select(col("vec_id")), Seq("vec_id"), "left_anti")
     wh.appendLive(PqListsTable,
-      codedListsOf(fresh, cents, cbArr).withColumn("corpus_stamp", lit("append")),
+      codesOf(fresh, cbArr).withColumn("corpus_stamp", lit("append")),
       partitionBy = Seq("cluster"))
   }
 
   /** A warehouse-scoped PQ list table (vec_id, codes, cluster). */
   def pqListsOf(wh: graft.etl.Warehouse): DataFrame =
     wh.read(PqListsTable, PqListsSchema).select(col("vec_id"), col("codes"), col("cluster"))
+
+  /** Structured-Streaming maintenance of a warehouse-scoped PQ list
+    * table — [[IvfModel.maintainListsFromStream]] for the COMPRESSED
+    * artifact: each micro-batch of (vec_id, emb) coarse-assigns and
+    * PQ-codes ONLY itself against the SAME persisted quantizer +
+    * codebook generations and appends into its cluster partitions.
+    * foreachBatch delivers at-least-once; [[appendPqListsFrame]]'s
+    * anti-join makes a redelivered micro-batch a no-op, so the
+    * maintained coded lists are effectively exactly-once — and
+    * row-identical to a batch re-materialization over the union
+    * (spec-pinned across micro-batches, AnnSpec). This closes the
+    * lifecycle matrix for the compressed artifact: fit ([[ensure]]),
+    * batch growth ([[appendPqListsFrame]]), streamed growth (here) —
+    * the same three postures the uncompressed lists support.
+    */
+  def maintainPqListsFromStream(wh: graft.etl.Warehouse, emb: DataFrame,
+                                cents: DataFrame, cbArr: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+    emb.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        appendPqListsFrame(wh, batch.toDF(), cents, cbArr)
+      }
+      .start()
 
   /** The persisted codebook (sub, code, cvec). */
   def codebook(s: SparkSession, dir: String): DataFrame =

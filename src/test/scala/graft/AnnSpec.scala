@@ -580,6 +580,41 @@ class AnnSpec extends SparkTestBase {
     assert(IvfModel.listsOf(wh).count() === all.count(), "replayed rows duplicated")
   }
 
+  test("streamed PQ list maintenance == batch re-materialization (micro-batches, replay-safe)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.queries.PqModel
+    PqModel.ensure(spark, sf())
+    val wh = graft.etl.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft_pq_stream_").toString)
+    val all = graft.core.Tables.embeddings(spark, sf())
+      .select(col("vec_id"), graft.functions.VectorOps.toDouble(col("embedding")).as("emb"))
+    val cents = IvfModel.centroids(spark, sf())
+    val cb = PqModel.codebookArr(spark, sf())
+    PqModel.seedPqListsFrame(wh, all.filter(col("vec_id") < 100), cents, cb)
+    // the rest arrives as two micro-batches; the second REPLAYS rows of
+    // the first (at-least-once delivery) — the anti-join must drop them
+    val rows = all.filter(col("vec_id") >= 100).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, Seq[Double])]
+    val q = PqModel.maintainPqListsFromStream(wh,
+      ms.toDF().toDF("vec_id", "emb"), cents, cb)
+    try {
+      ms.addData(b1.toSeq: _*); q.processAllAvailable()
+      ms.addData((b2 ++ b1.take(5)).toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    def coded(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("codes"), col("cluster"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getInt(2))).toSet
+    // streamed == the globally-ensured coded lists, codes and cells
+    // bit-identical (same quantizer + codebook generations)
+    assert(coded(PqModel.pqListsOf(wh)) === coded(PqModel.pqLists(spark, sf())),
+      "streamed PQ lists diverge from a batch re-materialization")
+    assert(PqModel.pqListsOf(wh).count() === all.count(), "replayed rows duplicated")
+  }
+
   test("t48: incremental PQ lists == global re-materialization, replay-safe") {
     import graft.queries.PqModel
     PqModel.ensure(spark, sf())
@@ -673,6 +708,46 @@ class AnnSpec extends SparkTestBase {
       assert(scans.exists(_.partitionFilters.nonEmpty),
         "coded-list scan carries no partition filters — the probe reads every cell")
     }
+  }
+
+  test("ANN append anti-joins prune to the batch's own cluster partitions, stay idempotent") {
+    import graft.queries.{BucketPrune, PqModel}
+    PqModel.ensure(spark, sf())
+    val wh = graft.etl.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft_ann_appendprune_").toString)
+    val all = graft.core.Tables.embeddings(spark, sf())
+      .select(col("vec_id"), graft.functions.VectorOps.toDouble(col("embedding")).as("emb"))
+    val cents = IvfModel.centroids(spark, sf())
+    val cb = PqModel.codebookArr(spark, sf())
+    IvfModel.seedListsFrame(wh, all.filter(col("vec_id") < 100), cents)
+    PqModel.seedPqListsFrame(wh, all.filter(col("vec_id") < 100), cents, cb)
+    // replay the pruned read both appends run: an already-landed vec_id
+    // necessarily lives in the cluster the deterministic re-assignment
+    // derives (immutable-content precondition), so only the batch's own
+    // partitions are read
+    val batch = all.filter(col("vec_id") >= 100 && col("vec_id") < 200)
+    val assigned = IvfModel.assignClusters(batch, cents)
+    for ((table, schema) <- Seq(
+           IvfModel.ListsTable -> IvfModel.ListsSchema,
+           PqModel.PqListsTable -> PqModel.PqListsSchema)) {
+      val pruned = BucketPrune.restrict(wh.read(table, schema), "cluster", assigned)
+      val scans = pruned.queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains(table)) => s
+      }
+      assert(scans.nonEmpty, s"$table: append's anti-join does not scan the list table")
+      assert(scans.forall(_.partitionFilters.nonEmpty),
+        s"$table: append's anti-join read carries no partition filter — it scans every cell")
+    }
+    // ...and the pruned appends are still complete + replay-idempotent
+    IvfModel.appendListsFrame(wh, batch, cents)
+    PqModel.appendPqListsFrame(wh, batch, cents, cb)
+    val (n1, p1) = (IvfModel.listsOf(wh).count(), PqModel.pqListsOf(wh).count())
+    IvfModel.appendListsFrame(wh, batch, cents)
+    PqModel.appendPqListsFrame(wh, batch, cents, cb)
+    assert(IvfModel.listsOf(wh).count() === n1, "pruned replay duplicated list rows")
+    assert(PqModel.pqListsOf(wh).count() === p1, "pruned replay duplicated coded rows")
+    assert(n1 === all.filter(col("vec_id") < 200).count() && p1 === n1)
   }
 
   test("Lsh.bitsFor computes the documented occupancy dial") {
