@@ -46,6 +46,9 @@ object Bench {
     // table and t14's first measured pass would absorb the refit.
     // ensureLists subsumes ensure (t14's centroids + t36's lists).
     warm("ivf-lists") { graft.queries.IvfModel.ensureLists(spark, sfDir, k = graft.queries.TextOps.DialIvfK) }
+    // ...and the attributed lists (t49's filtered-search artifact —
+    // metadata denormalized into the index at build time)
+    warm("attr-lists") { graft.queries.IvfModel.ensureAttrLists(spark, sfDir, k = graft.queries.TextOps.DialIvfK) }
     // ...and the PQ artifacts (codebook + coded lists), so t47 measures
     // the ADC probe + rerank, not the fit
     warm("pq") { graft.queries.PqModel.ensure(spark, sfDir, k = graft.queries.TextOps.DialIvfK) }

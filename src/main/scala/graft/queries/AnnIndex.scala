@@ -570,6 +570,49 @@ object IvfModel {
   def compactLists(s: SparkSession, dir: String): Unit =
     warehouseFor(s, dir).compact(ListsTable, ListsSchema, partitionBy = Seq("cluster"))
 
+  // --------------------------------------------------- attributed lists
+  /** ATTRIBUTED inverted lists — the FILTERED-similarity-search layout:
+    * the filterable metadata column(s) ride IN the list payload, so a
+    * predicate-constrained probe ("top-k among label=3 vectors") is a
+    * partition-pruned scan with the predicate PUSHED TO THE SCAN — never
+    * a per-query join against the corpus metadata. The attach join runs
+    * ONCE at index-build time (amortized exactly like the assignment
+    * itself), which is how production vector stores do it: attributes
+    * are denormalized into the index because probe latency cannot
+    * afford a corpus-side lookup. Stamped like every fitted artifact;
+    * derives from the CURRENT list generation ([[ensureLists]] runs
+    * first).
+    */
+  val AttrListsTable = "ann_lists_attr"
+
+  val AttrListsSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("emb", ArrayType(DoubleType)),
+      StructField("label", IntegerType),
+      StructField("corpus_stamp", StringType),
+      StructField("cluster", IntegerType)))
+  }
+
+  def ensureAttrLists(s: SparkSession, dir: String,
+                      fitSampleCap: Long = FitSampleCap, k: Int = K): Unit = {
+    ensureLists(s, dir, fitSampleCap, k)
+    val stamp =
+      s"attr-lists\n$dir\ncap=$fitSampleCap\nk=$k\n${Tables.contentStamp(s, s"$dir/embeddings.parquet")}"
+    StampedTable.ensure(warehouseFor(s, dir), AttrListsTable, AttrListsSchema, stamp,
+      partitionBy = Seq("cluster")) {
+      lists(s, dir)
+        .join(Tables.embeddings(s, dir).select(col("vec_id"), col("label")), Seq("vec_id"))
+        .select(col("vec_id"), col("emb"), col("label"), col("cluster"))
+    }
+  }
+
+  /** The attributed, cluster-partitioned lists (vec_id, emb, label, cluster). */
+  def attrLists(s: SparkSession, dir: String): DataFrame =
+    warehouseFor(s, dir).read(AttrListsTable, AttrListsSchema)
+      .select(col("vec_id"), col("emb"), col("label"), col("cluster"))
+
   /** The live centroid directory for the DuckDB oracle. Oracle SQL is
     * generated without a Spark session, and DuckDB is a local single-node
     * tool, so this resolves the warehouse pointer with plain java.io —

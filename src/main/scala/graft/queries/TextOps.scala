@@ -772,9 +772,14 @@ object TextOps {
   }
 
   /** The t36 probe body over explicit lists + centroids — shared with
-    * t46's incrementally-maintained list table so the two cannot drift.
+    * t46's incrementally-maintained list table and t49's attributed
+    * lists so the three cannot drift. `candFilter` constrains the
+    * CANDIDATE side only (probe queries stay unconstrained): it is
+    * applied directly on the list scan, so a predicate on a stored list
+    * column reaches the parquet reader as a pushed data filter.
     */
-  private def ivfListsProbe(lists: DataFrame, centroids: DataFrame, nProbe: Int): DataFrame = {
+  private def ivfListsProbe(lists: DataFrame, centroids: DataFrame, nProbe: Int,
+                            candFilter: Column = lit(true)): DataFrame = {
     val centArr = centroids
       .agg(sort_array(collect_list(struct(col("cid"), col("cvec")))).as("cents"))
     def scored = transform(col("cents"), c =>
@@ -789,7 +794,7 @@ object TextOps {
           .getField("cid")).as("cluster"))
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
-    lists.join(broadcast(probes), Seq("cluster"))
+    lists.filter(candFilter).join(broadcast(probes), Seq("cluster"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), col("cluster"),
         R.halfUp(V.cosine(col("q_emb"), col("emb")), 6).as("cosine"))
@@ -1045,6 +1050,68 @@ object TextOps {
     }
     wh
   }
+
+  // ---------------------------------------------------------------- t49
+  /** FILTERED similarity search — top-5 cosine neighbors among vectors
+    * satisfying a metadata predicate (`label = $FilterLabel`), served
+    * from the ATTRIBUTED inverted lists ([[IvfModel.ensureAttrLists]]):
+    * the filterable column rides IN the list payload (denormalized at
+    * index-build time, one amortized join), so the probe is a
+    * partition-pruned scan with the predicate pushed INTO the parquet
+    * reader — never a per-query join against corpus metadata. Probe
+    * cells are selected exactly like t14/t36 (queries are NOT
+    * label-constrained); the filter applies to candidates BEFORE
+    * scoring, so the excluded ~90% never pay a cosine.
+    *
+    * Scale note: under a selectivity-f predicate each probed cell holds
+    * ×f candidates, so a production deployment widens nProbe to hold
+    * recall (or flips to brute force over the filtered subset below a
+    * candidate floor — the standard pre-/post-filter crossover in
+    * filtered vector search). At the test dials (nProbe=16 of K=32,
+    * f≈0.1) AnnSpec measures the filtered recall floor directly without
+    * widening.
+    */
+  val FilterLabel = 3
+
+  def t49AnnFiltered(s: SparkSession, dir: String,
+                     k: Int = IvfModel.K, nProbe: Int = IvfModel.NProbe,
+                     label: Int = FilterLabel): DataFrame = {
+    IvfModel.ensureAttrLists(s, dir, k = k)
+    ivfListsProbe(IvfModel.attrLists(s, dir), IvfModel.centroids(s, dir), nProbe,
+      candFilter = col("label") === lit(label))
+  }
+
+  /** t14's SQL with the label carried through assignment and the
+    * candidate side constrained — the oracle replays the same persisted
+    * centroids, so filtered increment == filtered re-materialization.
+    */
+  def t49Sql(dir: String): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+       |c AS (SELECT cid, cvec FROM read_parquet('${IvfModel.oraclePath(dir)}/*.parquet')),
+       |ad AS (
+       |  SELECT vec_id, emb, label, cid,
+       |    list_sum(list_transform(list_zip(emb, cvec), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+       |  FROM e CROSS JOIN c),
+       |assigned AS (
+       |  SELECT vec_id, emb, label, cid AS cluster FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM ad)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, emb AS q_emb, cid AS cluster FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS pr
+       |    FROM ad WHERE vec_id < 10)
+       |  WHERE pr <= $DialIvfNProbe),
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id, a.cluster,
+       |    ${R.halfUpSql(cosineSql("p.q_emb", "a.emb"), 6)} AS cosine
+       |  FROM assigned a JOIN probes p USING (cluster)
+       |  WHERE a.vec_id <> p.query_id AND a.label = $FilterLabel),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cluster, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rk
+       |  FROM scored)
+       |SELECT query_id, vec_id, cluster, cosine, rk FROM ranked
+       |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
   // ---------------------------------------------------------------- t16
   /** BPE-style token counting beside the whitespace count (t02): a GPT-2
@@ -1884,6 +1951,8 @@ object TextOps {
       t47AnnIvfPq(s, d, DialIvfK, DialIvfNProbe)),
     "t48_ann_ivfpq_increment" -> ((s: SparkSession, d: String) =>
       t48AnnIvfPqIncrement(s, d, DialIvfK, DialIvfNProbe)),
+    "t49_ann_filtered"    -> ((s: SparkSession, d: String) =>
+      t49AnnFiltered(s, d, DialIvfK, DialIvfNProbe)),
     "t15_cosine_near_dup" -> ((s: SparkSession, d: String) =>
       cosineCandidatePairs(s, d, DialBits, DialRadius.getOrElse(PairRadius), DialEmbCap)),
     "t16_token_bpe"       -> (t16TokenBpe _),
@@ -1933,6 +2002,9 @@ object TextOps {
     // lists serve (increment == re-materialization), so its oracle is
     // t47's SQL over the global artifacts
     "t48_ann_ivfpq_increment" -> t47Sql(dir),
+    // filtered probe: t14's replay with the label carried through and
+    // the candidate side constrained — same persisted centroids
+    "t49_ann_filtered"    -> t49Sql(dir),
     "t15_cosine_near_dup" -> t15Sql,
     "t16_token_bpe"       -> t16Sql,
     "t34_embed_dedup_clusters" -> t34Sql,

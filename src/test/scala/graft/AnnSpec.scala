@@ -710,6 +710,53 @@ class AnnSpec extends SparkTestBase {
     }
   }
 
+  test("t49 filtered ANN: predicate holds on every hit, cosines exact, recall floor vs filtered brute force") {
+    import graft.functions.{Rounding => R, VectorOps => V}
+    val t49 = TextOps.t49AnnFiltered(spark, sf())
+    val emb = graft.core.Tables.embeddings(spark, sf())
+      .select(col("vec_id"), V.toDouble(col("embedding")).as("emb"), col("label"))
+    // membership: every returned candidate satisfies the predicate
+    val bad = t49.join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .filter(col("label") =!= TextOps.FilterLabel).count()
+    assert(bad === 0, "filtered probe returned a candidate outside the predicate")
+    // filtered brute force: exact top-5 over the label-constrained universe
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
+    val brute = emb.filter(col("label") === TextOps.FilterLabel)
+      .crossJoin(queries).filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        R.halfUp(V.cosine(col("q_emb"), col("emb")), 6).as("cosine"))
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(wTop))
+      .filter(col("rk") <= 5)
+    // cosines exact for shared pairs (same fold, same rounding)
+    val joined = t49.select(col("query_id"), col("vec_id"), col("cosine"))
+      .join(brute.select(col("query_id"), col("vec_id"), col("cosine").as("bf")),
+        Seq("query_id", "vec_id"))
+    assert(joined.filter(col("cosine") =!= col("bf")).count() === 0)
+    def pset(df: org.apache.spark.sql.DataFrame) = df.select("query_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (bf, got) = (pset(brute), pset(t49))
+    val recall = (bf intersect got).size.toDouble / bf.size
+    info(f"filtered ANN recall@5 vs filtered brute force: $recall%.2f " +
+      f"(label=${TextOps.FilterLabel}, selectivity ~0.1, nProbe=${IvfModel.NProbe}/${IvfModel.K})")
+    assert(recall >= 0.7, f"filtered recall collapsed: $recall%.2f")
+  }
+
+  test("t49: attr-list scan is partition-pruned AND the predicate is pushed to the scan") {
+    val df = TextOps.t49AnnFiltered(spark, sf())
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains(IvfModel.AttrListsTable)) => s
+    }
+    assert(scans.nonEmpty, "probe does not scan the attributed list table")
+    assert(scans.exists(_.partitionFilters.nonEmpty),
+      "attr-list scan carries no partition filters — the probe reads every cell")
+    assert(scans.exists(_.dataFilters.exists(_.references.exists(_.name == "label"))),
+      "label predicate did not reach the attr-list scan — candidates are filtered post-read")
+  }
+
   test("ANN append anti-joins prune to the batch's own cluster partitions, stay idempotent") {
     import graft.queries.{BucketPrune, PqModel}
     PqModel.ensure(spark, sf())
