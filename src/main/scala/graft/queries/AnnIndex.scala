@@ -419,13 +419,15 @@ object IvfModel {
     */
   private[graft] def assignClusters(e: DataFrame, cents: DataFrame): DataFrame = {
     val centArr = cents.agg(sort_array(collect_list(struct(col("cid"), col("cvec")))).as("cents"))
+    // every input column rides through (vec_id, emb — and any attribute
+    // columns an attributed-list caller carries), plus the assigned cell
     e.crossJoin(broadcast(centArr))
-      .select(col("vec_id"), col("emb"),
+      .select(e.columns.map(col) :+
         array_min(transform(col("cents"), c =>
           struct(
             aggregate(zip_with(col("emb"), c.getField("cvec"), (x, y) => (x - y) * (x - y)),
               lit(0.0), (acc, x) => acc + x).as("dist"),
-            c.getField("cid").as("cid")))).getField("cid").as("cluster"))
+            c.getField("cid").as("cid")))).getField("cid").as("cluster"): _*)
   }
 
   /** Fit-and-materialize the inverted lists once per (corpus, k) — same
@@ -612,6 +614,52 @@ object IvfModel {
   def attrLists(s: SparkSession, dir: String): DataFrame =
     warehouseFor(s, dir).read(AttrListsTable, AttrListsSchema)
       .select(col("vec_id"), col("emb"), col("label"), col("cluster"))
+
+  /** Warehouse-scoped attributed lists over an EXPLICIT
+    * (vec_id, emb, label) frame — the filtered-search index follows the
+    * same three lifecycle postures as the float and PQ lists: fit
+    * ([[ensureAttrLists]]), batch growth ([[appendAttrListsFrame]]),
+    * streamed growth ([[maintainAttrListsFromStream]]). Attributes ride
+    * through [[assignClusters]] untouched.
+    */
+  def seedAttrListsFrame(wh: Warehouse, embAttr: DataFrame, cents: DataFrame): Unit =
+    wh.rewrite(AttrListsTable,
+      assignClusters(embAttr, cents).withColumn("corpus_stamp", lit("seed")),
+      partitionBy = Seq("cluster"))
+
+  /** Grow a warehouse-scoped attributed list table by one batch — the
+    * [[appendListsFrame]] contract verbatim (partition-pruned
+    * idempotency anti-join, immutable content per vec_id, frozen
+    * quantizer), with the attribute columns carried in the payload.
+    */
+  def appendAttrListsFrame(wh: Warehouse, embAttrBatch: DataFrame, cents: DataFrame): Unit = {
+    val assigned = Frames.cutIfPlain(assignClusters(embAttrBatch, cents))
+    val fresh = assigned.join(
+      BucketPrune.restrict(wh.read(AttrListsTable, AttrListsSchema), "cluster", assigned)
+        .select(col("vec_id")), Seq("vec_id"), "left_anti")
+    wh.appendLive(AttrListsTable,
+      fresh.withColumn("corpus_stamp", lit("append")),
+      partitionBy = Seq("cluster"))
+  }
+
+  /** A warehouse-scoped attributed list table (vec_id, emb, label, cluster). */
+  def attrListsOf(wh: Warehouse): DataFrame =
+    wh.read(AttrListsTable, AttrListsSchema)
+      .select(col("vec_id"), col("emb"), col("label"), col("cluster"))
+
+  /** [[maintainListsFromStream]] for the attributed lists: micro-batches
+    * of (vec_id, emb, label) assign themselves against the SAME
+    * persisted quantizer and append; at-least-once delivery collapses
+    * to exactly-once via [[appendAttrListsFrame]]'s anti-join.
+    */
+  def maintainAttrListsFromStream(wh: Warehouse, embAttr: DataFrame,
+                                  cents: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+    embAttr.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        appendAttrListsFrame(wh, batch.toDF(), cents)
+      }
+      .start()
 
   /** The live centroid directory for the DuckDB oracle. Oracle SQL is
     * generated without a Spark session, and DuckDB is a local single-node

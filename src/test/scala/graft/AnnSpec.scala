@@ -757,6 +757,40 @@ class AnnSpec extends SparkTestBase {
       "label predicate did not reach the attr-list scan — candidates are filtered post-read")
   }
 
+  test("streamed attributed-list maintenance == the globally-ensured attr lists, replay-safe") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    IvfModel.ensureAttrLists(spark, sf())
+    val wh = graft.etl.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft_attr_stream_").toString)
+    val all = graft.core.Tables.embeddings(spark, sf())
+      .select(col("vec_id"), graft.functions.VectorOps.toDouble(col("embedding")).as("emb"),
+        col("label"))
+    val cents = IvfModel.centroids(spark, sf())
+    IvfModel.seedAttrListsFrame(wh, all.filter(col("vec_id") < 100), cents)
+    // the rest arrives as two micro-batches; the second REPLAYS rows of
+    // the first (at-least-once delivery) — the anti-join must drop them
+    val rows = all.filter(col("vec_id") >= 100).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getInt(2)))
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, Seq[Double], Int)]
+    val q = IvfModel.maintainAttrListsFromStream(wh,
+      ms.toDF().toDF("vec_id", "emb", "label"), cents)
+    try {
+      ms.addData(b1.toSeq: _*); q.processAllAvailable()
+      ms.addData((b2 ++ b1.take(5)).toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    def attr(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("label"), col("cluster"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    // maintained == the globally-ensured attributed lists: same cells,
+    // same attributes (same quantizer generation)
+    assert(attr(IvfModel.attrListsOf(wh)) === attr(IvfModel.attrLists(spark, sf())),
+      "maintained attr lists diverge from the global re-materialization")
+    assert(IvfModel.attrListsOf(wh).count() === all.count(), "replayed rows duplicated")
+  }
+
   test("ANN append anti-joins prune to the batch's own cluster partitions, stay idempotent") {
     import graft.queries.{BucketPrune, PqModel}
     PqModel.ensure(spark, sf())
