@@ -471,9 +471,15 @@ object IvfModel {
     * a later plain [[ensureLists]] may therefore re-materialize wholesale
     * — safe (it rebuilds the identical assignment), just not incremental.
     * A deployment picks ONE lifecycle per table: ensure-on-read for
-    * static corpora, appendLists per ingest batch for growing ones
-    * (AnnSpec pins append == re-materialization against the same
-    * quantizer, bit-for-bit on rows).
+    * static corpora; for growing ones, [[appendListsFrame]] with the
+    * explicit ingest batch (its idempotency anti-join is
+    * PARTITION-PRUNED to the batch's own cells — O(batch
+    * neighborhood)). This dir-level variant diffs the WHOLE corpus
+    * against the lists to discover what is new, so its anti-join is
+    * necessarily a full column-pruned vec_id pass — O(corpus) per call
+    * by interface, the convenience catch-up path, not the per-batch
+    * ingest path. (AnnSpec pins append == re-materialization against
+    * the same quantizer, bit-for-bit on rows.)
     */
   def appendLists(s: SparkSession, dir: String,
                   fitSampleCap: Long = FitSampleCap, k: Int = K): Unit = {
@@ -527,17 +533,46 @@ object IvfModel {
     * redelivered) is unaffected; a mutable corpus rebuilds via
     * [[seedListsFrame]] / [[ensureLists]].
     */
-  def appendListsFrame(wh: Warehouse, embBatch: DataFrame, cents: DataFrame): Unit = {
-    // one batch-sized materialization: the assigned frame is referenced
-    // by the threshold probe, the anti-join, and the write
+  def appendListsFrame(wh: Warehouse, embBatch: DataFrame, cents: DataFrame): Unit =
+    prunedAppend(wh, ListsTable, ListsSchema,
+      embBatch.select(col("vec_id"), col("emb")), cents)
+
+  /** The ONE pruned-append skeleton all three list lifecycles (float,
+    * attributed, PQ-coded) delegate to, so a fix to the prune or
+    * idempotency logic cannot diverge them: assign the batch, cut the
+    * lineage once (the assigned frame is referenced by the threshold
+    * probe, the anti-join, and the write — batch-sized by definition;
+    * a fully-replayed batch pays one redundant argmin pass over itself,
+    * the price of the pruned read), anti-join against only the batch's
+    * own cluster partitions, transform what is fresh, append. Callers
+    * project their input to the exact payload shape first — the
+    * passthrough [[assignClusters]] persists whatever it is given.
+    */
+  private[graft] def prunedAppend(wh: Warehouse, table: String,
+                                  schema: org.apache.spark.sql.types.StructType,
+                                  embBatch: DataFrame, cents: DataFrame,
+                                  freshTransform: DataFrame => DataFrame = identity): Unit = {
     val assigned = Frames.cutIfPlain(assignClusters(embBatch, cents))
     val fresh = assigned.join(
-      BucketPrune.restrict(wh.read(ListsTable, ListsSchema), "cluster", assigned)
+      BucketPrune.restrict(wh.read(table, schema), "cluster", assigned)
         .select(col("vec_id")), Seq("vec_id"), "left_anti")
-    wh.appendLive(ListsTable,
-      fresh.withColumn("corpus_stamp", lit("append")),
+    wh.appendLive(table,
+      freshTransform(fresh).withColumn("corpus_stamp", lit("append")),
       partitionBy = Seq("cluster"))
   }
+
+  /** The ONE foreachBatch maintenance wrapper behind the three
+    * maintain*FromStream fronts — at-least-once delivery collapses to
+    * exactly-once through the pruned append's anti-join.
+    */
+  private[graft] def maintainByAppend(emb: DataFrame)(
+      append: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    emb.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        append(batch.toDF())
+      }
+      .start()
 
   /** A warehouse-scoped list table (vec_id, emb, cluster). */
   def listsOf(wh: Warehouse): DataFrame =
@@ -555,12 +590,7 @@ object IvfModel {
     */
   def maintainListsFromStream(wh: Warehouse, emb: DataFrame,
                               cents: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
-    emb.writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        appendListsFrame(wh, batch.toDF(), cents)
-      }
-      .start()
+    maintainByAppend(emb)(appendListsFrame(wh, _, cents))
 
   /** Coalesce the inverted-list table's append litter ([[appendLists]]
     * leaves ≥ 1 file per touched cluster partition per batch) — rows and
@@ -632,15 +662,9 @@ object IvfModel {
     * idempotency anti-join, immutable content per vec_id, frozen
     * quantizer), with the attribute columns carried in the payload.
     */
-  def appendAttrListsFrame(wh: Warehouse, embAttrBatch: DataFrame, cents: DataFrame): Unit = {
-    val assigned = Frames.cutIfPlain(assignClusters(embAttrBatch, cents))
-    val fresh = assigned.join(
-      BucketPrune.restrict(wh.read(AttrListsTable, AttrListsSchema), "cluster", assigned)
-        .select(col("vec_id")), Seq("vec_id"), "left_anti")
-    wh.appendLive(AttrListsTable,
-      fresh.withColumn("corpus_stamp", lit("append")),
-      partitionBy = Seq("cluster"))
-  }
+  def appendAttrListsFrame(wh: Warehouse, embAttrBatch: DataFrame, cents: DataFrame): Unit =
+    prunedAppend(wh, AttrListsTable, AttrListsSchema,
+      embAttrBatch.select(col("vec_id"), col("emb"), col("label")), cents)
 
   /** A warehouse-scoped attributed list table (vec_id, emb, label, cluster). */
   def attrListsOf(wh: Warehouse): DataFrame =
@@ -654,12 +678,7 @@ object IvfModel {
     */
   def maintainAttrListsFromStream(wh: Warehouse, embAttr: DataFrame,
                                   cents: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
-    embAttr.writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        appendAttrListsFrame(wh, batch.toDF(), cents)
-      }
-      .start()
+    maintainByAppend(embAttr)(appendAttrListsFrame(wh, _, cents))
 
   /** The live centroid directory for the DuckDB oracle. Oracle SQL is
     * generated without a Spark session, and DuckDB is a local single-node
@@ -884,15 +903,10 @@ object PqModel {
     * replay / torn-append repair is unaffected.
     */
   def appendPqListsFrame(wh: graft.etl.Warehouse, embBatch: DataFrame,
-                         cents: DataFrame, cbArr: DataFrame): Unit = {
-    val assigned = Frames.cutIfPlain(IvfModel.assignClusters(embBatch, cents))
-    val fresh = assigned.join(
-      BucketPrune.restrict(wh.read(PqListsTable, PqListsSchema), "cluster", assigned)
-        .select(col("vec_id")), Seq("vec_id"), "left_anti")
-    wh.appendLive(PqListsTable,
-      codesOf(fresh, cbArr).withColumn("corpus_stamp", lit("append")),
-      partitionBy = Seq("cluster"))
-  }
+                         cents: DataFrame, cbArr: DataFrame): Unit =
+    IvfModel.prunedAppend(wh, PqListsTable, PqListsSchema,
+      embBatch.select(col("vec_id"), col("emb")), cents,
+      freshTransform = codesOf(_, cbArr))
 
   /** A warehouse-scoped PQ list table (vec_id, codes, cluster). */
   def pqListsOf(wh: graft.etl.Warehouse): DataFrame =
@@ -914,12 +928,7 @@ object PqModel {
     */
   def maintainPqListsFromStream(wh: graft.etl.Warehouse, emb: DataFrame,
                                 cents: DataFrame, cbArr: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
-    emb.writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        appendPqListsFrame(wh, batch.toDF(), cents, cbArr)
-      }
-      .start()
+    IvfModel.maintainByAppend(emb)(appendPqListsFrame(wh, _, cents, cbArr))
 
   /** The persisted codebook (sub, code, cvec). */
   def codebook(s: SparkSession, dir: String): DataFrame =

@@ -1069,7 +1069,10 @@ object TextOps {
     * candidate floor — the standard pre-/post-filter crossover in
     * filtered vector search). At the test dials (nProbe=16 of K=32,
     * f≈0.1) AnnSpec measures the filtered recall floor directly without
-    * widening.
+    * widening. As with t14/t36's (k, nProbe), the REGISTERED query runs
+    * the default dials and the oracle pins the same defaults
+    * ($DialIvfNProbe / [[FilterLabel]]) — a non-default `label`/`nProbe`
+    * argument is deployment API, not an oracle-checked path.
     */
   val FilterLabel = 3
 
