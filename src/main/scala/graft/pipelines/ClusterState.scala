@@ -343,8 +343,16 @@ object ClusterState {
     * touches the live generation (spec-pinned end to end).
     */
   def maintain(wh: Warehouse, retainLast: Int = 3): Unit = {
+    import graft.queries.{IvfModel, PqModel}
     if (!wh.read(BandIndex.TableName, BandIndex.Schema).isEmpty) BandIndex.compact(wh)
     if (!wh.read(EmbIndex.TableName, EmbIndex.Schema).isEmpty) EmbIndex.compact(wh)
+    // the ANN list lifecycles leave the same per-batch append litter the
+    // band/emb indexes do (≥1 file per touched cluster partition per
+    // batch) — compact whichever variants this warehouse maintains
+    for ((t, sch) <- Seq(IvfModel.ListsTable -> IvfModel.ListsSchema,
+                         IvfModel.AttrListsTable -> IvfModel.AttrListsSchema,
+                         PqModel.PqListsTable -> PqModel.PqListsSchema))
+      if (!wh.read(t, sch).isEmpty) wh.compact(t, sch, partitionBy = Seq("cluster"))
     wh.vacuumAll(retainLast)
   }
 

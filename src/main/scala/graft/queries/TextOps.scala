@@ -1116,6 +1116,46 @@ object TextOps {
        |SELECT query_id, vec_id, cluster, cosine, rk FROM ranked
        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
+  /** The pre-/post-filter CROSSOVER the t49 scaladoc documents, as a
+    * served API: when the predicate's corpus-wide survivor count falls
+    * at or below `bruteFloor`, an IVF probe reads nProbe/K of a
+    * near-empty universe — recall collapses while exact brute force
+    * over the filtered subset is both MORE accurate and cheaper (the
+    * subset IS small; that is what the floor detects). Above the floor
+    * the partition-pruned probe serves exactly like [[t49AnnFiltered]].
+    * The decision costs one metadata-only count on the attributed
+    * lists — the label filter is pushed to the scan and no vector
+    * column is read. Both branches return the t49 frame shape
+    * (query_id, vec_id, cluster, cosine, rk), and AnnSpec pins each
+    * branch against its reference (probe branch == t49; brute branch ==
+    * exact filtered top-5).
+    */
+  def filteredTopK(s: SparkSession, dir: String, label: Int = FilterLabel,
+                   k: Int = IvfModel.K, nProbe: Int = IvfModel.NProbe,
+                   bruteFloor: Long = 1000): DataFrame = {
+    IvfModel.ensureAttrLists(s, dir, k = k)
+    val attr = IvfModel.attrLists(s, dir)
+    val survivors = attr.filter(col("label") === lit(label))
+    if (survivors.select(col("vec_id")).count() > bruteFloor)
+      ivfListsProbe(attr, IvfModel.centroids(s, dir), nProbe,
+        candFilter = col("label") === lit(label))
+    else {
+      // exact path: ≤ bruteFloor candidates × ≤10 queries — the query
+      // side broadcasts, the filtered scan is the only corpus read
+      val queries = attr.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+      val wTop = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      survivors.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), col("cluster"),
+          R.halfUp(V.cosine(col("q_emb"), col("emb")), 6).as("cosine"))
+        .withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= 5)
+        .orderBy(col("query_id"), col("rk"))
+    }
+  }
+
   // ---------------------------------------------------------------- t16
   /** BPE-style token counting beside the whitespace count (t02): a GPT-2
     * pretokenizer-shaped regex (contraction suffixes, space-prefixed

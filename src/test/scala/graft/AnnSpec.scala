@@ -831,6 +831,61 @@ class AnnSpec extends SparkTestBase {
     assert(n1 === all.filter(col("vec_id") < 200).count() && p1 === n1)
   }
 
+  test("filteredTopK crossover: probe branch == t49; brute branch == exact filtered top-5") {
+    import graft.functions.{Rounding => R, VectorOps => V}
+    // floor 0: the survivor count (~10% of the corpus) exceeds it — probe path
+    val probed = TextOps.filteredTopK(spark, sf(), bruteFloor = 0)
+      .collect().map(_.toSeq).toSeq
+    val t49 = TextOps.t49AnnFiltered(spark, sf()).collect().map(_.toSeq).toSeq
+    assert(probed === t49, "above the floor, filteredTopK must serve exactly the t49 probe")
+    // floor >= corpus: brute path — exact filtered top-5, no approximation
+    val brute = TextOps.filteredTopK(spark, sf(),
+      bruteFloor = Long.MaxValue).collect().map(_.toSeq).toSeq
+    val emb = graft.core.Tables.embeddings(spark, sf())
+      .select(col("vec_id"), V.toDouble(col("embedding")).as("emb"), col("label"))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
+    val expectPairs = emb.filter(col("label") === TextOps.FilterLabel)
+      .crossJoin(queries).filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        R.halfUp(V.cosine(col("q_emb"), col("emb")), 6).as("cosine"))
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(wTop))
+      .filter(col("rk") <= 5)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotPairs = brute.map(r => (r.head.asInstanceOf[Long], r(1).asInstanceOf[Long])).toSet
+    assert(gotPairs === expectPairs, "below the floor, filteredTopK must be the exact filtered top-5")
+  }
+
+  test("ClusterState.maintain compacts ANN list append litter, rows intact") {
+    import graft.queries.PqModel
+    PqModel.ensure(spark, sf())
+    val wh = graft.etl.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft_maintain_ann_").toString)
+    val all = graft.core.Tables.embeddings(spark, sf())
+      .select(col("vec_id"), graft.functions.VectorOps.toDouble(col("embedding")).as("emb"))
+    val cents = IvfModel.centroids(spark, sf())
+    IvfModel.seedListsFrame(wh, all.filter(col("vec_id") < 50), cents)
+    // three appends = three files of litter per touched partition
+    for (lo <- Seq(50, 100, 150))
+      IvfModel.appendListsFrame(wh,
+        all.filter(col("vec_id") >= lo && col("vec_id") < lo + 50), cents)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.select("vec_id", "cluster")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val before = rows(IvfModel.listsOf(wh))
+    graft.pipelines.ClusterState.maintain(wh)
+    assert(rows(IvfModel.listsOf(wh)) === before, "maintain changed list rows")
+    // one file per cluster directory after compaction
+    val liveDir = new java.io.File(wh.dir).listFiles()
+      .filter(f => f.getName.startsWith(s"${IvfModel.ListsTable}.__v") &&
+        new java.io.File(f, "_SUCCESS").exists()).maxBy(_.getName)
+    val perPart = liveDir.listFiles().filter(_.getName.startsWith("cluster="))
+      .map(d => d.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(perPart.nonEmpty && perPart.forall(_ === 1),
+      s"append litter survived maintain: ${perPart.mkString(",")}")
+  }
+
   test("Lsh.bitsFor computes the documented occupancy dial") {
     // reference: smallest bits with expected occupancy n/2^bits <= target
     def ref(n: Long, target: Int): Int =
