@@ -894,9 +894,10 @@ object TextOps {
     * pins the no-payload claim on the list schema.
     */
   def t47AnnIvfPq(s: SparkSession, dir: String,
-                  k: Int = IvfModel.K, nProbe: Int = IvfModel.NProbe): DataFrame = {
+                  k: Int = IvfModel.K, nProbe: Int = IvfModel.NProbe,
+                  rerankDepth: Int = PqModel.RerankDepth): DataFrame = {
     PqModel.ensure(s, dir, k = k)
-    ivfPqProbe(s, dir, PqModel.pqLists(s, dir), nProbe)
+    ivfPqProbe(s, dir, PqModel.pqLists(s, dir), nProbe, rerankDepth)
   }
 
   /** The IVF-PQ serving probe over an arbitrary coded-list frame —
@@ -906,7 +907,8 @@ object TextOps {
     * generations.
     */
   private def ivfPqProbe(s: SparkSession, dir: String, pqListsFrame: DataFrame,
-                         nProbe: Int): DataFrame = {
+                         nProbe: Int,
+                         rerankDepth: Int = PqModel.RerankDepth): DataFrame = {
     val centArr = IvfModel.centroids(s, dir)
       .agg(sort_array(collect_list(struct(col("cid"), col("cvec")))).as("cents"))
     def scored = transform(col("cents"), c =>
@@ -931,7 +933,7 @@ object TextOps {
       .select(col("query_id"), col("vec_id"),
         R.halfUp(PqModel.adcDist(col("codes"), col("dtab")), 6).as("adist"))
       .withColumn("cr", row_number().over(wAdc))
-      .filter(col("cr") <= PqModel.RerankDepth)
+      .filter(col("cr") <= rerankDepth)
       .select(col("query_id"), col("vec_id"))
     // exact rerank of the shortlist against full vectors
     val full = embeddings(s, dir)

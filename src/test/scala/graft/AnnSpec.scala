@@ -694,6 +694,22 @@ class AnnSpec extends SparkTestBase {
     assert(recall >= 0.6, f"IVF-PQ recall collapsed: $recall%.2f")
   }
 
+  test("t47 rerank-depth dial: shallower shortlist trades recall, floor holds") {
+    import graft.queries.PqModel
+    val bf = pairs(TextOps.t10AnnBruteForce(spark, sf()))
+    val deep = pairs(TextOps.t47AnnIvfPq(spark, sf()))
+    val shallow = pairs(TextOps.t47AnnIvfPq(spark, sf(), rerankDepth = 25))
+    val (rDeep, rShallow) =
+      ((bf intersect deep).size.toDouble / bf.size,
+       (bf intersect shallow).size.toDouble / bf.size)
+    info(f"IVF-PQ recall@5: depth=${PqModel.RerankDepth} -> $rDeep%.2f, depth=25 -> $rShallow%.2f")
+    // a depth-25 shortlist is a subset of the depth-50 one, so recall can
+    // only move down (small tie-noise tolerated); it must not collapse
+    assert(rShallow <= rDeep + 0.05,
+      f"shallower rerank beat the deeper one: $rShallow%.2f > $rDeep%.2f")
+    assert(rShallow >= 0.3, f"depth-25 recall collapsed: $rShallow%.2f")
+  }
+
   test("t47/t48: the coded-list scan prunes to the probed partitions") {
     import graft.queries.PqModel
     // same assertion against the global table (t47) and the maintained
