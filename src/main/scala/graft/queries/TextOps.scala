@@ -1158,6 +1158,47 @@ object TextOps {
     }
   }
 
+  // ---------------------------------------------------------------- t50
+  /** The crossover's BRUTE branch as its own oracle-checked query:
+    * exact filtered top-5 over the attributed lists (floor forced past
+    * the corpus). With t49 covering the probe branch, BOTH sides of
+    * [[filteredTopK]]'s crossover are hash-checked through DuckDB — the
+    * dispatch itself is spec-pinned (AnnSpec: each branch equals its
+    * reference). Also the recall ORACLE for filtered search generally:
+    * at 100 TB this exact path is only affordable under a selective
+    * predicate, which is precisely when the crossover takes it.
+    */
+  def t50AnnFilteredExact(s: SparkSession, dir: String): DataFrame =
+    filteredTopK(s, dir, bruteFloor = Long.MaxValue)
+
+  /** t49's SQL without the probe restriction: every label-constrained
+    * candidate scored exactly (the assignment CTE still derives the
+    * output's cluster column from the same persisted centroids).
+    */
+  def t50Sql(dir: String): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+       |c AS (SELECT cid, cvec FROM read_parquet('${IvfModel.oraclePath(dir)}/*.parquet')),
+       |ad AS (
+       |  SELECT vec_id, emb, label, cid,
+       |    list_sum(list_transform(list_zip(emb, cvec), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+       |  FROM e CROSS JOIN c),
+       |assigned AS (
+       |  SELECT vec_id, emb, label, cid AS cluster FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM ad)
+       |  WHERE rn = 1),
+       |queries AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q.query_id, a.vec_id, a.cluster,
+       |    ${R.halfUpSql(cosineSql("q.q_emb", "a.emb"), 6)} AS cosine
+       |  FROM assigned a CROSS JOIN queries q
+       |  WHERE a.vec_id <> q.query_id AND a.label = $FilterLabel),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cluster, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rk
+       |  FROM scored)
+       |SELECT query_id, vec_id, cluster, cosine, rk FROM ranked
+       |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
   // ---------------------------------------------------------------- t16
   /** BPE-style token counting beside the whitespace count (t02): a GPT-2
     * pretokenizer-shaped regex (contraction suffixes, space-prefixed
@@ -1998,6 +2039,7 @@ object TextOps {
       t48AnnIvfPqIncrement(s, d, DialIvfK, DialIvfNProbe)),
     "t49_ann_filtered"    -> ((s: SparkSession, d: String) =>
       t49AnnFiltered(s, d, DialIvfK, DialIvfNProbe)),
+    "t50_ann_filtered_exact" -> (t50AnnFilteredExact _),
     "t15_cosine_near_dup" -> ((s: SparkSession, d: String) =>
       cosineCandidatePairs(s, d, DialBits, DialRadius.getOrElse(PairRadius), DialEmbCap)),
     "t16_token_bpe"       -> (t16TokenBpe _),
@@ -2050,6 +2092,9 @@ object TextOps {
     // filtered probe: t14's replay with the label carried through and
     // the candidate side constrained — same persisted centroids
     "t49_ann_filtered"    -> t49Sql(dir),
+    // the crossover's exact branch: no probe restriction, every
+    // label-constrained candidate scored
+    "t50_ann_filtered_exact" -> t50Sql(dir),
     "t15_cosine_near_dup" -> t15Sql,
     "t16_token_bpe"       -> t16Sql,
     "t34_embed_dedup_clusters" -> t34Sql,
