@@ -49,9 +49,10 @@ object Bench {
     // ...and the attributed lists (t49's filtered-search artifact —
     // metadata denormalized into the index at build time)
     warm("attr-lists") { graft.queries.IvfModel.ensureAttrLists(spark, sfDir, k = graft.queries.TextOps.DialIvfK) }
-    // ...and the PQ artifacts (codebook + coded lists), so t47 measures
-    // the ADC probe + rerank, not the fit
-    warm("pq") { graft.queries.PqModel.ensure(spark, sfDir, k = graft.queries.TextOps.DialIvfK) }
+    // ...and the PQ artifacts (codebook + coded lists) at the dialed ks,
+    // so t47 measures the ADC probe + rerank, not the fit
+    warm("pq") { graft.queries.PqModel.ensure(spark, sfDir,
+      k = graft.queries.TextOps.DialIvfK, ks = graft.queries.TextOps.DialPqKs) }
     // ...and the t33 rarity vocab, same reasoning: scoring pipelines
     // materialize their vocab before serving
     warm("rarity-vocab") { graft.queries.QualityOps.ensureRarityVocab(spark, sfDir) }
@@ -164,14 +165,24 @@ object Bench {
     val regJson = s""","regressions":[${regressions.mkString(",")}]"""
     val errJson = if (errors.isEmpty) "" else errors.mkString(",\"errors\":[\"", "\",\"", "\"]")
     val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs$regJson$errJson,"sf":"$sfDir"}"""
+    // HEADLINE-FIRST: round 10's driver artifact truncated the (long)
+    // per-query line inside a bounded output capture and lost the total.
+    // A short totals-only line is printed FIRST (and written to its own
+    // file) so no bounded head/tail window can lose the headline; the
+    // full per-query line still prints last and lands in its file.
+    val headline =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size}$regJson$errJson,"sf":"$sfDir","queries_file":"BENCH_RESULT.json"}"""
+    println(headline)
     // stdout can be wrapped by the build tool's logger ([info] prefixes
     // broke the round-1 parse), so the line ALSO lands in a file the
     // driver can read verbatim. Neither channel may kill the other: an
     // unwritable file must not lose the stdout line.
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_RESULT.json")), json + "\n")
-    catch { case scala.util.control.NonFatal(e) => // incl. InvalidPathException
-      System.err.println(s"[bench] could not write result file: ${e.getMessage}") }
+    def writeQuiet(path: String, line: String): Unit =
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(path), line + "\n")
+      catch { case scala.util.control.NonFatal(e) => // incl. InvalidPathException
+        System.err.println(s"[bench] could not write $path: ${e.getMessage}") }
+    writeQuiet(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_RESULT.json"), json)
+    writeQuiet(sys.env.getOrElse("SPARK_GRAFT_BENCH_HEADLINE", "BENCH_HEADLINE.json"), headline)
     println(json)
     spark.stop()
   }

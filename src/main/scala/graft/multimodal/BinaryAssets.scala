@@ -14,10 +14,14 @@ import org.apache.spark.sql.functions._
   * decoded by the JDK's own `javax.imageio` ([[PngCodec]]) — an actual
   * container format through the actual decoder, including the
   * corrupt-payload skip-and-log path a 100 TB crawl needs (a torn blob
-  * must cost one log line, not a job). Audio/video stay on the declared
-  * deterministic stub ([[FakeCodec]] — no audio/video libraries in this
+  * must cost one log line, not a job). `kind == "audio"` payloads are
+  * REAL WAVs, generated with and decoded by the JDK's own
+  * `javax.sound.sampled` ([[WavCodec]]) — sample rate, channel count and
+  * frame length come from the actual RIFF header, with the same
+  * corrupt-payload skip-and-log policy. Video stays on the declared
+  * deterministic stub ([[FakeCodec]] — no video libraries in this
   * container); swapping in a real one changes only the marked lines,
-  * exactly as the PNG tier demonstrates.
+  * exactly as the PNG and WAV tiers demonstrate.
   *
   * Scale notes: payloads ride in the row, so (1) project payload-free
   * columns before any shuffle — metadata joins must never move bytes;
@@ -94,19 +98,70 @@ object BinaryAssets {
   }
   // ================= end real codec ================================
 
+  /** =============== REAL CODEC — JDK WAV via javax.sound.sampled =====
+    * The audio tier is NOT a stub either: payloads are real RIFF/WAVE
+    * containers (PCM) and decode goes through `AudioSystem`'s header
+    * reader — a pure header parse (frame length, frame rate, channels),
+    * no sample decode, which is exactly the metadata pass a 100 TB
+    * crawl runs. Total like the PNG tier: a corrupt/truncated payload
+    * yields None, the caller skips and logs.
+    *
+    * Duration contract: the generator writes [[SampleRateHz]] = 1000 Hz
+    * mono 8-bit PCM, so frameLength ≡ duration in milliseconds exactly —
+    * the decoded duration is INTEGER-recoverable on both engines (the
+    * DuckDB oracle replays it from the generator arithmetic; a wrong
+    * header parse hash-mismatches).
+    */
+  object WavCodec {
+    val SampleRateHz = 1000f
+
+    private def readHeader(payload: Array[Byte]): Option[javax.sound.sampled.AudioFileFormat] =
+      try Option(javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(payload)))
+      catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Real decode: duration from the RIFF header's frame length / frame
+      * rate. Audio has no dimensions; format is the real media type.
+      */
+    def decodeMeta(a: Asset): Option[AssetMeta] =
+      readHeader(a.payload).flatMap { aff =>
+        val fmt = aff.getFormat
+        val frames = aff.getFrameLength
+        if (frames < 0 || fmt.getFrameRate <= 0) None
+        else Some(AssetMeta(a.asset_id, a.kind, 0, 0,
+          math.round(frames * 1000.0 / fmt.getFrameRate),
+          "audio/wav", a.payload.length))
+      }
+
+    /** Deterministic synthetic WAV — real container bytes from the real
+      * writer, samples a cheap id-seeded pattern, `durationMs` frames at
+      * the 1 kHz contract rate.
+      */
+    def synthesize(id: Long, durationMs: Long): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(SampleRateHz, 8, 1, false, false)
+      val samples = Array.tabulate(durationMs.toInt)(i => ((i * 31 + id * 7) & 0xFF).toByte)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(samples), fmt, samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+  }
+  // ================= end real codec ================================
+
   /** =============== STUB CODEC — deterministic fake =================
-    * A real implementation would call an audio/video decoder here (none
-    * ship with the JDK — the swap-in point, demonstrated by the PNG tier
-    * above). The fake reads our synthetic 16-byte header and derives
-    * samples from a seeded hash so every metric downstream is
+    * A real implementation would call a video decoder here (none ships
+    * with the JDK — the swap-in point, demonstrated by the PNG and WAV
+    * tiers above). The fake reads our synthetic 16-byte header and
+    * derives samples from a seeded hash so every metric downstream is
     * reproducible.
     */
   object FakeCodec {
     def decodeMeta(a: Asset): AssetMeta = {
       val b = java.nio.ByteBuffer.wrap(a.payload.take(16))
       AssetMeta(a.asset_id, a.kind, b.getInt(0), b.getInt(4), b.getLong(8),
-        a.kind match { case "image" => "fake/png"; case "audio" => "fake/wav"; case _ => "fake/mp4" },
-        a.payload.length)
+        "fake/mp4", a.payload.length)
     }
 
     /** Fake "pixel decode + pooled embedding": bytes → 8 pooled buckets. */
@@ -128,8 +183,10 @@ object BinaryAssets {
     * `spark.read.format("binaryFile")` ingest. Image payloads are REAL
     * PNGs at the contract dims (width = 64 + (id%4)·64, height =
     * 64 + (id%3)·64 — encoded into the container, recovered by the real
-    * decoder); audio/video payloads are the 16-byte synthetic header +
-    * seeded bytes the stub codec reads.
+    * decoder); audio payloads are REAL WAVs carrying the contract
+    * duration (1000 + id·10 ms at the 1 kHz rate — in the RIFF header,
+    * recovered by the real decoder); video payloads are the 16-byte
+    * synthetic header + seeded bytes the stub codec reads.
     */
   def syntheticAssets(spark: SparkSession, n: Int): Dataset[Asset] = {
     import spark.implicits._
@@ -138,8 +195,8 @@ object BinaryAssets {
       val h = 64 + (id % 3).toInt * 64
       (id % 3) match {
         case 0 => Asset(id, "image", PngCodec.synthesize(id, w, h))
-        case m =>
-          val kind = if (m == 1) "audio" else "video"
+        case 1 => Asset(id, "audio", WavCodec.synthesize(id, 1000L + id * 10))
+        case _ =>
           val rnd = new scala.util.Random(id)
           val body = Array.fill[Byte](64 + rnd.nextInt(64))(rnd.nextInt(256).toByte)
           val header = java.nio.ByteBuffer.allocate(16)
@@ -147,14 +204,15 @@ object BinaryAssets {
             .putInt(4, h)
             .putLong(8, 1000L + id * 10) // duration_ms
             .array()
-          Asset(id, kind, header ++ body)
+          Asset(id, "video", header ++ body)
       }
     }
   }
 
   /** Decode metadata: partition-batched, payload dropped from the output
     * so downstream joins/aggregations never shuffle bytes. Image rows go
-    * through the REAL PNG decoder; a corrupt image payload is SKIPPED
+    * through the REAL PNG decoder, audio rows through the REAL WAV
+    * header reader; a corrupt payload on either real tier is SKIPPED
     * with one stderr line (per row, data-plane policy — a torn blob must
     * never kill the job), spec-pinned in BinaryAssetsSpec.
     */
@@ -162,15 +220,19 @@ object BinaryAssets {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
       // one codec per partition would be initialized HERE (real codecs
-      // have per-process setup cost); ImageIO/fake need none
+      // have per-process setup cost); ImageIO/AudioSystem/fake need none
+      def skipLogged(a: Asset, decoded: Option[AssetMeta]): Option[AssetMeta] = decoded match {
+        case some @ Some(_) => some
+        case None =>
+          System.err.println(s"[assets] skipping corrupt ${a.kind} payload asset_id=${a.asset_id}")
+          None
+      }
       it.flatMap { a =>
-        if (a.kind == "image") PngCodec.decodeMeta(a) match {
-          case some @ Some(_) => some
-          case None =>
-            System.err.println(s"[assets] skipping corrupt image payload asset_id=${a.asset_id}")
-            None
+        a.kind match {
+          case "image" => skipLogged(a, PngCodec.decodeMeta(a))
+          case "audio" => skipLogged(a, WavCodec.decodeMeta(a))
+          case _       => Some(FakeCodec.decodeMeta(a))
         }
-        else Some(FakeCodec.decodeMeta(a))
       }
     }
   }
@@ -187,21 +249,25 @@ object BinaryAssets {
 
   /** Resize — payload-in/payload-out transform. Images: REAL decode →
     * bilinear rescale → re-encode through ImageIO (a corrupt source
-    * passes through untouched, logged). Audio/video (stub): rewrite the
+    * passes through untouched, logged). Audio: pass-through — a spatial
+    * resize is meaningless for a waveform, and patching bytes into a
+    * real RIFF container would corrupt it. Video (stub): rewrite the
     * header dims, payload body opaque.
     */
   def resize(assets: Dataset[Asset], w: Int, h: Int): Dataset[Asset] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions(_.map { a =>
-      if (a.kind == "image") PngCodec.resize(a, w, h).getOrElse {
-        System.err.println(s"[assets] resize: corrupt image payload asset_id=${a.asset_id}, passing through")
-        a
-      }
-      else {
-        val p = a.payload.clone()
-        val bb = java.nio.ByteBuffer.wrap(p)
-        bb.putInt(0, w); bb.putInt(4, h)
-        a.copy(payload = p)
+      a.kind match {
+        case "image" => PngCodec.resize(a, w, h).getOrElse {
+          System.err.println(s"[assets] resize: corrupt image payload asset_id=${a.asset_id}, passing through")
+          a
+        }
+        case "audio" => a
+        case _ =>
+          val p = a.payload.clone()
+          val bb = java.nio.ByteBuffer.wrap(p)
+          bb.putInt(0, w); bb.putInt(4, h)
+          a.copy(payload = p)
       }
     })
   }
@@ -260,9 +326,10 @@ object BinaryAssets {
   def ensureAssets(spark: SparkSession, dir: String): Unit = {
     import graft.queries.{IvfModel, StampedTable}
     val wh = IvfModel.warehouseFor(spark, dir)
-    // v2: image payloads became real PNGs — existing warehouses must
-    // re-materialize, not serve v1 fake-header blobs to the real decoder
-    val stamp = s"assets-v2\n$dir\n" +
+    // v2: image payloads became real PNGs; v3: audio payloads became
+    // real WAVs — existing warehouses must re-materialize, not serve
+    // older fake-header blobs to the real decoders
+    val stamp = s"assets-v3\n$dir\n" +
       graft.core.Tables.contentStamp(spark, s"$dir/documents.parquet")
     StampedTable.ensure(wh, TableName, AssetSchema, stamp) {
       // one count at materialization time only (stamped thereafter)
@@ -310,19 +377,22 @@ object BinaryAssets {
       .orderBy(col("asset_id"))
   }
 
-  /** t45's oracle: width/height via the GENERATOR's contract arithmetic —
-    * for images that is exactly what the real encoder wrote into the PNG
-    * container, so the Spark side's REAL `ImageIO` decode must recover
-    * it (an offset/endianness/decode bug hash-mismatches); n_bytes from
-    * the blob itself cross-checks the binary round-trip. Images have no
-    * duration and carry the real media type.
+  /** t45's oracle: width/height/duration via the GENERATOR's contract
+    * arithmetic — for images that is exactly what the real encoder wrote
+    * into the PNG container, and for audio what the real WAV writer put
+    * in the RIFF header (1000 + id·10 frames at the 1 kHz contract
+    * rate = the duration in ms), so the Spark side's REAL `ImageIO` /
+    * `AudioSystem` decodes must recover them (an offset/endianness/
+    * frame-rate bug hash-mismatches); n_bytes from the blob itself
+    * cross-checks the binary round-trip. Images have no duration, audio
+    * no dimensions; both real tiers carry the real media type.
     */
   def t45SqlFor(dir: String): String =
     s"""SELECT asset_id, kind,
-       |  CAST(64 + (asset_id % 4) * 64 AS INT) AS width,
-       |  CAST(64 + (asset_id % 3) * 64 AS INT) AS height,
+       |  CAST(CASE WHEN kind = 'audio' THEN 0 ELSE 64 + (asset_id % 4) * 64 END AS INT) AS width,
+       |  CAST(CASE WHEN kind = 'audio' THEN 0 ELSE 64 + (asset_id % 3) * 64 END AS INT) AS height,
        |  CASE WHEN kind = 'image' THEN 0 ELSE 1000 + asset_id * 10 END AS duration_ms,
-       |  CASE kind WHEN 'image' THEN 'image/png' WHEN 'audio' THEN 'fake/wav'
+       |  CASE kind WHEN 'image' THEN 'image/png' WHEN 'audio' THEN 'audio/wav'
        |       ELSE 'fake/mp4' END AS format,
        |  CAST(octet_length(payload) AS INT) AS n_bytes
        |FROM read_parquet('${graft.queries.IvfModel.oraclePathFor(dir, TableName)}/*.parquet')

@@ -218,17 +218,22 @@ object ClusterState {
     * append), so a redelivered micro-batch is a no-op and the pipeline
     * is EFFECTIVELY exactly-once — the same posture as
     * [[graft.streaming.StreamingIngest]], applied to dedup state.
-    * Caller owns the trigger/checkpoint options on `docs`'s source;
-    * spec drives it with MemoryStream across multiple batches and pins
-    * streamed == full-recluster clusters.
+    * Spec drives it with MemoryStream across multiple batches and pins
+    * streamed == full-recluster clusters. `checkpoint`: durable
+    * checkpointLocation for the offsets — without it a NON-REPLAYABLE
+    * source may skip data on restart (delivered-but-uncommitted rows
+    * are safe either way via the idempotent lifecycle); production
+    * sources pass a path.
     */
-  def maintainFromStream(wh: Warehouse, docs: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
+  def maintainFromStream(wh: Warehouse, docs: DataFrame,
+                         checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w0 = docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         ingestBatch(wh, batch.toDF())
       }
-      .start()
+    checkpoint.fold(w0)(p => w0.option("checkpointLocation", p)).start()
+  }
 
   /** [[seedCorpus]]/[[ingestBatch]] for the EMBEDDING signal: same
     * state table, the [[EmbIndex]] as the pair feed. A deployment
@@ -323,37 +328,91 @@ object ClusterState {
     wh
   }
 
+  /** What one [[maintain]] pass found and did:
+    * `duplicateIds` — per ANN list table present, how many ids hold more
+    * than one row (the pruned-append precondition audit: a non-zero
+    * count means a vec_id's content was mutated and re-ingested past the
+    * pruned anti-join — rebuild via seed, or switch that feed to the
+    * `checked` append); `drift` — rows the reconcile rebuild relabeled,
+    * when a reconcile corpus was supplied; `driftAlerted` — drift
+    * exceeded the caller's threshold (also logged loudly).
+    */
+  final case class MaintainReport(duplicateIds: Map[String, Long],
+                                  drift: Option[Long],
+                                  driftAlerted: Boolean)
+
   /** One scheduled MAINTENANCE pass over a dedup-state warehouse — the
-    * operational cadence between per-batch ingests and the (rarer)
-    * drift-driven [[reconcile]]:
+    * operational cadence between per-batch ingests and the (rarer) full
+    * rebuild:
     *
     *  1. compact the index append litter (each batch leaves ≥ 1 file per
     *     touched partition; a year of daily batches turns every
     *     partition directory into hundreds of small files whose
     *     open/footer overhead dominates the probe reads) — band and/or
     *     embedding index, whichever exists here;
-    *  2. bounded-retention vacuum of every versioned table (per-batch
+    *  2. AUDIT the pruned-append precondition on every ANN list table
+    *     present: one two-column grouped pass counting ids with > 1 row.
+    *     Violations (mutated content re-ingested past the pruned
+    *     anti-join) are silent data corruption at ingest time — here
+    *     they cost one loud log line and a report field;
+    *  3. optionally RECONCILE: when `reconcileDocs` / `reconcileEmb` is
+    *     supplied, rebuild that signal's artifacts from the full corpus
+    *     ([[reconcile]] / [[reconcileEmbeddings]]) and measure the
+    *     drift the incremental state had accumulated (the
+    *     union-cap-crossing caveat made operational: run maintain with
+    *     a corpus on a cadence, alert past `driftAlertThreshold`, tune
+    *     the cadence by the measured drift);
+    *  4. bounded-retention vacuum of every versioned table (per-batch
     *     state rewrites accumulate generations; the reader window is
     *     kept).
     *
     * Same quiescence contract as [[graft.etl.Warehouse.vacuum]]: run it
     * when no concurrent writer targets this warehouse (readers within
-    * the retention window are safe). Probe results are unchanged by
-    * construction — compact preserves rows verbatim and vacuum never
-    * touches the live generation (spec-pinned end to end).
+    * the retention window are safe). Without a reconcile corpus, probe
+    * results are unchanged by construction — compact preserves rows
+    * verbatim and vacuum never touches the live generation (spec-pinned
+    * end to end); with one, the state is REPAIRED to the full rebuild.
     */
-  def maintain(wh: Warehouse, retainLast: Int = 3): Unit = {
+  def maintain(wh: Warehouse, retainLast: Int = 3,
+               reconcileDocs: Option[DataFrame] = None,
+               reconcileEmb: Option[DataFrame] = None,
+               embBits: Int = graft.queries.Lsh.Bits,
+               embRadius: Int = TextOps.PairRadius,
+               embMaxBucket: Int = TextOps.EmbBucketCap,
+               driftAlertThreshold: Long = 0): MaintainReport = {
     import graft.queries.{IvfModel, PqModel}
     if (!wh.read(BandIndex.TableName, BandIndex.Schema).isEmpty) BandIndex.compact(wh)
     if (!wh.read(EmbIndex.TableName, EmbIndex.Schema).isEmpty) EmbIndex.compact(wh)
     // the ANN list lifecycles leave the same per-batch append litter the
     // band/emb indexes do (≥1 file per touched cluster partition per
     // batch) — compact whichever variants this warehouse maintains
-    for ((t, sch) <- Seq(IvfModel.ListsTable -> IvfModel.ListsSchema,
-                         IvfModel.AttrListsTable -> IvfModel.AttrListsSchema,
-                         PqModel.PqListsTable -> PqModel.PqListsSchema))
-      if (!wh.read(t, sch).isEmpty) wh.compact(t, sch, partitionBy = Seq("cluster"))
+    val dupes = (for ((t, sch) <- Seq(IvfModel.ListsTable -> IvfModel.ListsSchema,
+                                      IvfModel.AttrListsTable -> IvfModel.AttrListsSchema,
+                                      PqModel.PqListsTable -> PqModel.PqListsSchema)
+                      if !wh.read(t, sch).isEmpty) yield {
+      wh.compact(t, sch, partitionBy = Seq("cluster"))
+      // the audit reads the freshly-compacted generation: vec_id column
+      // only, grouped count — cheap next to the compact that just ran
+      val d = wh.read(t, sch).groupBy(col("vec_id"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+        .filter(col("n") > 1).count()
+      if (d > 0)
+        System.err.println(s"[maintain] AUDIT: $t holds $d duplicated vec_ids — " +
+          "the immutable-content precondition was violated; rebuild via seed " +
+          "or switch this feed to checked appends")
+      t -> d
+    }).toMap
+    val drifts = reconcileDocs.map(reconcile(wh, _)).toSeq ++
+      reconcileEmb.map(reconcileEmbeddings(wh, _, embBits, embRadius, embMaxBucket)).toSeq
+    val drift = if (drifts.isEmpty) None else Some(drifts.sum)
+    val alerted = drift.exists(_ > driftAlertThreshold)
+    if (alerted)
+      System.err.println(s"[maintain] DRIFT: incremental state had drifted by " +
+        s"${drift.get} labels (> $driftAlertThreshold) — repaired by this " +
+        "reconcile; tighten the reconcile cadence or the bucket caps")
     wh.vacuumAll(retainLast)
+    MaintainReport(dupes, drift, alerted)
   }
 
   /** Seed both cluster-increment lifecycle queries' persisted state

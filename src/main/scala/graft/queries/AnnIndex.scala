@@ -329,7 +329,7 @@ object IvfModel {
   /** Drop the verified-stamp memo — a test hook simulating a fresh JVM's
     * first look at a warehouse another process may have rewritten.
     */
-  private[graft] def resetEnsureMemo(): Unit = StampedTable.reset()
+  private[graft] def resetEnsureMemo(): Unit = { StampedTable.reset(); resetStatsMemo() }
 
   /** EXPECTED number of rows the KMeans fit sees (Bernoulli sampling —
     * the realized count varies around this, which is immaterial for fit
@@ -507,8 +507,12 @@ object IvfModel {
     * committed as a fresh `cluster`-partitioned generation.
     */
   def seedListsFrame(wh: Warehouse, emb: DataFrame, cents: DataFrame): Unit =
+    // project to the exact payload shape first — assignClusters is a
+    // passthrough, and a caller's extra columns would otherwise persist
+    // into the table (the append paths already project; seeds must match)
     wh.rewrite(ListsTable,
-      assignClusters(emb, cents).withColumn("corpus_stamp", lit("seed")),
+      assignClusters(emb.select(col("vec_id"), col("emb")), cents)
+        .withColumn("corpus_stamp", lit("seed")),
       partitionBy = Seq("cluster"))
 
   /** Grow a warehouse-scoped list table by one batch — replay-idempotent
@@ -531,11 +535,15 @@ object IvfModel {
     * CHANGED vector can assign elsewhere, escape the pruned anti-join,
     * and duplicate that id. Replay / torn-append repair (same bytes
     * redelivered) is unaffected; a mutable corpus rebuilds via
-    * [[seedListsFrame]] / [[ensureLists]].
+    * [[seedListsFrame]] / [[ensureLists]] — or opts into
+    * `checked = true`, which runs the anti-join UNPRUNED (one
+    * vec_id-column pass of the whole table per batch) so a changed
+    * vector's re-ingest is skipped instead of duplicated.
     */
-  def appendListsFrame(wh: Warehouse, embBatch: DataFrame, cents: DataFrame): Unit =
+  def appendListsFrame(wh: Warehouse, embBatch: DataFrame, cents: DataFrame,
+                       checked: Boolean = false): Unit =
     prunedAppend(wh, ListsTable, ListsSchema,
-      embBatch.select(col("vec_id"), col("emb")), cents)
+      embBatch.select(col("vec_id"), col("emb")), cents, checked = checked)
 
   /** The ONE pruned-append skeleton all three list lifecycles (float,
     * attributed, PQ-coded) delegate to, so a fix to the prune or
@@ -551,11 +559,21 @@ object IvfModel {
   private[graft] def prunedAppend(wh: Warehouse, table: String,
                                   schema: org.apache.spark.sql.types.StructType,
                                   embBatch: DataFrame, cents: DataFrame,
-                                  freshTransform: DataFrame => DataFrame = identity): Unit = {
+                                  freshTransform: DataFrame => DataFrame = identity,
+                                  checked: Boolean = false): Unit = {
     val assigned = Frames.cutIfPlain(assignClusters(embBatch, cents))
-    val fresh = assigned.join(
-      BucketPrune.restrict(wh.read(table, schema), "cluster", assigned)
-        .select(col("vec_id")), Seq("vec_id"), "left_anti")
+    // `checked` is the opt-in MUTABLE-re-ingest mode: the idempotency
+    // anti-join runs UNPRUNED (column-pruned to vec_id only), so a
+    // vec_id whose vector CHANGED — which re-assigns to a different cell
+    // and would escape the partition-pruned read — is still seen as
+    // already-landed and skipped, never duplicated. Costs one full
+    // single-column pass of the table per batch; the default pruned path
+    // (immutable content per vec_id, the documented precondition) stays
+    // O(batch neighborhood).
+    val landed =
+      if (checked) wh.read(table, schema)
+      else BucketPrune.restrict(wh.read(table, schema), "cluster", assigned)
+    val fresh = assigned.join(landed.select(col("vec_id")), Seq("vec_id"), "left_anti")
     wh.appendLive(table,
       freshTransform(fresh).withColumn("corpus_stamp", lit("append")),
       partitionBy = Seq("cluster"))
@@ -564,15 +582,24 @@ object IvfModel {
   /** The ONE foreachBatch maintenance wrapper behind the three
     * maintain*FromStream fronts — at-least-once delivery collapses to
     * exactly-once through the pruned append's anti-join.
+    *
+    * `checkpoint`: optional checkpointLocation for the streaming query.
+    * WITHOUT it, source offsets live only in memory — rows already
+    * delivered-but-uncommitted are safe on restart (the anti-join), but
+    * a NON-REPLAYABLE source may silently skip data the restarted query
+    * never re-reads. A production deployment over Kafka/files passes a
+    * durable path here; the in-test MemoryStream runs don't need one.
     */
-  private[graft] def maintainByAppend(emb: DataFrame)(
-      append: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
-    emb.writeStream
+  private[graft] def maintainByAppend(emb: DataFrame,
+                                      checkpoint: Option[String] = None)(
+      append: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w0 = emb.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         append(batch.toDF())
       }
-      .start()
+    checkpoint.fold(w0)(p => w0.option("checkpointLocation", p)).start()
+  }
 
   /** A warehouse-scoped list table (vec_id, emb, cluster). */
   def listsOf(wh: Warehouse): DataFrame =
@@ -588,9 +615,9 @@ object IvfModel {
     * identical to a batch re-materialization over the union (spec-pinned
     * across micro-batches).
     */
-  def maintainListsFromStream(wh: Warehouse, emb: DataFrame,
-                              cents: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
-    maintainByAppend(emb)(appendListsFrame(wh, _, cents))
+  def maintainListsFromStream(wh: Warehouse, emb: DataFrame, cents: DataFrame,
+                              checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    maintainByAppend(emb, checkpoint)(appendListsFrame(wh, _, cents))
 
   /** Coalesce the inverted-list table's append litter ([[appendLists]]
     * leaves ≥ 1 file per touched cluster partition per batch) — rows and
@@ -630,13 +657,22 @@ object IvfModel {
   def ensureAttrLists(s: SparkSession, dir: String,
                       fitSampleCap: Long = FitSampleCap, k: Int = K): Unit = {
     ensureLists(s, dir, fitSampleCap, k)
+    val wh = warehouseFor(s, dir)
     val stamp =
       s"attr-lists\n$dir\ncap=$fitSampleCap\nk=$k\n${Tables.contentStamp(s, s"$dir/embeddings.parquet")}"
-    StampedTable.ensure(warehouseFor(s, dir), AttrListsTable, AttrListsSchema, stamp,
+    StampedTable.ensure(wh, AttrListsTable, AttrListsSchema, stamp,
       partitionBy = Seq("cluster")) {
       lists(s, dir)
         .join(Tables.embeddings(s, dir).select(col("vec_id"), col("label")), Seq("vec_id"))
         .select(col("vec_id"), col("emb"), col("label"), col("cluster"))
+    }
+    // the dispatch stats ride the same build: one grouped pass over the
+    // lists this generation just committed (label column only — pruned
+    // scan), coalesced to one file so the serving-side load is one read
+    StampedTable.ensure(wh, AttrStatsTable, AttrStatsSchema,
+      attrStatsStamp(s, dir, fitSampleCap, k)) {
+      attrLists(s, dir).groupBy(col("label"))
+        .agg(count(lit(1)).as("n")).coalesce(1)
     }
   }
 
@@ -644,6 +680,59 @@ object IvfModel {
   def attrLists(s: SparkSession, dir: String): DataFrame =
     warehouseFor(s, dir).read(AttrListsTable, AttrListsSchema)
       .select(col("vec_id"), col("emb"), col("label"), col("cluster"))
+
+  /** PER-LABEL SURVIVOR COUNTS, persisted at index-build time — the O(1)
+    * filtered-search dispatch statistic. [[TextOps.filteredTopK]]'s
+    * pre-/post-filter crossover needs the predicate's corpus-wide
+    * survivor count; counting per serving call is a scan-shaped Spark
+    * job on the hot path, while the build already pays one grouped pass
+    * over the lists it just wrote. The table is stamped with the SAME
+    * inputs as the attr lists (refits together), tiny (one row per
+    * distinct label), and memoized per (warehouse, stamp) in the JVM —
+    * dispatch after the first load runs ZERO jobs (spec-asserted).
+    */
+  val AttrStatsTable = "ann_attr_stats"
+
+  val AttrStatsSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("label", IntegerType),
+      StructField("n", LongType),
+      StructField("corpus_stamp", StringType)))
+  }
+
+  /** (warehouse/table path) → (stamp, label → count) — bounded by live
+    * tables, replaced on refit, same lifecycle as [[StampedTable]]'s memo.
+    */
+  private val statsMemo =
+    scala.collection.concurrent.TrieMap.empty[String, (String, Map[Int, Long])]
+
+  private[graft] def resetStatsMemo(): Unit = statsMemo.clear()
+
+  /** Survivor count for `label` under the CURRENT attr-list generation —
+    * a map lookup once the generation's stats are loaded (first access
+    * per (JVM, generation) reads the one-file stats table; every repeat
+    * is jobless). Caller runs [[ensureAttrLists]] first.
+    */
+  def attrLabelCount(s: SparkSession, dir: String, label: Int,
+                     fitSampleCap: Long = FitSampleCap, k: Int = K): Long = {
+    val key = s"${rootFor(dir)}/$AttrStatsTable"
+    val stamp = attrStatsStamp(s, dir, fitSampleCap, k)
+    val counts = statsMemo.get(key) match {
+      case Some((st, m)) if st == stamp => m
+      case _ =>
+        val m = warehouseFor(s, dir).read(AttrStatsTable, AttrStatsSchema)
+          .select(col("label"), col("n")).collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        statsMemo.put(key, (stamp, m))
+        m
+    }
+    counts.getOrElse(label, 0L)
+  }
+
+  private def attrStatsStamp(s: SparkSession, dir: String,
+                             fitSampleCap: Long, k: Int): String =
+    s"attr-stats\n$dir\ncap=$fitSampleCap\nk=$k\n${Tables.contentStamp(s, s"$dir/embeddings.parquet")}"
 
   /** Warehouse-scoped attributed lists over an EXPLICIT
     * (vec_id, emb, label) frame — the filtered-search index follows the
@@ -654,7 +743,8 @@ object IvfModel {
     */
   def seedAttrListsFrame(wh: Warehouse, embAttr: DataFrame, cents: DataFrame): Unit =
     wh.rewrite(AttrListsTable,
-      assignClusters(embAttr, cents).withColumn("corpus_stamp", lit("seed")),
+      assignClusters(embAttr.select(col("vec_id"), col("emb"), col("label")), cents)
+        .withColumn("corpus_stamp", lit("seed")),
       partitionBy = Seq("cluster"))
 
   /** Grow a warehouse-scoped attributed list table by one batch — the
@@ -662,9 +752,11 @@ object IvfModel {
     * idempotency anti-join, immutable content per vec_id, frozen
     * quantizer), with the attribute columns carried in the payload.
     */
-  def appendAttrListsFrame(wh: Warehouse, embAttrBatch: DataFrame, cents: DataFrame): Unit =
+  def appendAttrListsFrame(wh: Warehouse, embAttrBatch: DataFrame, cents: DataFrame,
+                           checked: Boolean = false): Unit =
     prunedAppend(wh, AttrListsTable, AttrListsSchema,
-      embAttrBatch.select(col("vec_id"), col("emb"), col("label")), cents)
+      embAttrBatch.select(col("vec_id"), col("emb"), col("label")), cents,
+      checked = checked)
 
   /** A warehouse-scoped attributed list table (vec_id, emb, label, cluster). */
   def attrListsOf(wh: Warehouse): DataFrame =
@@ -676,9 +768,9 @@ object IvfModel {
     * persisted quantizer and append; at-least-once delivery collapses
     * to exactly-once via [[appendAttrListsFrame]]'s anti-join.
     */
-  def maintainAttrListsFromStream(wh: Warehouse, embAttr: DataFrame,
-                                  cents: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
-    maintainByAppend(embAttr)(appendAttrListsFrame(wh, _, cents))
+  def maintainAttrListsFromStream(wh: Warehouse, embAttr: DataFrame, cents: DataFrame,
+                                  checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    maintainByAppend(embAttr, checkpoint)(appendAttrListsFrame(wh, _, cents))
 
   /** The live centroid directory for the DuckDB oracle. Oracle SQL is
     * generated without a Spark session, and DuckDB is a local single-node
@@ -720,7 +812,7 @@ object IvfModel {
   * that is ~50 TB of list payload, which no executor fleet pages through
   * per probe. PQ stores M=[[SubSpaces]] small codes per vector instead
   * (here int columns for parquet clarity; conceptually
-  * M×log2([[CodesPerSub]]) bits ≈ 4-8 B/vector — a 64-128× payload
+  * M×log2(ks) bits ≈ 4-8 B/vector — a 64-128× payload
   * reduction), and probes compute ASYMMETRIC distances (ADC): the query
   * keeps full precision, each candidate's distance is a sum of M table
   * lookups. Exactness is recovered by an exact RERANK of the top
@@ -729,13 +821,24 @@ object IvfModel {
   * (Jégou et al., "Product Quantization for Nearest Neighbor Search",
   * TPAMI 2011; FAISS IndexIVFPQ).
   *
-  * Both artifacts (per-subspace codebook, PQ-coded lists) are persisted
-  * and stamped like the coarse quantizer, and the DuckDB oracle replays
-  * the ENTIRE query path — coarse probe selection from the persisted
-  * centroids, ADC table build from the persisted codebook, candidate
-  * shortlist from the persisted coded lists, exact rerank from the
-  * embeddings table — so t47 is hash-checked end to end, not
-  * rows-only.
+  * RESIDUAL encoding (the IVFADC construction, ibid. §V): what gets
+  * coded is emb − cvec[assigned coarse cell], not the raw vector. The
+  * residual's energy is what the coarse quantizer could NOT explain, so
+  * for the same bit budget the codebook spends its codewords on a far
+  * tighter distribution — on clustered data most of the vector's norm
+  * lives in the centroid and the residual is small. The query side
+  * mirrors it: the ADC distance table is built per (query, probed cell)
+  * from the query's residual against THAT cell's centroid (nProbe
+  * tables per query instead of one — the standard IVFADC probe cost).
+  *
+  * Both artifacts (per-subspace residual codebook, PQ-coded lists) are
+  * persisted and stamped like the coarse quantizer, and the DuckDB
+  * oracle replays the ENTIRE query path — coarse probe selection from
+  * the persisted centroids, per-cell residual ADC tables from the
+  * codebook parquet, candidate shortlist from the persisted coded
+  * lists, exact rerank from the embeddings table — so t47 is
+  * hash-checked end to end, not rows-only, at WHATEVER ks dial the run
+  * uses (`SPARK_GRAFT_PQ_KS` reaches both engines).
   */
 object PqModel {
 
@@ -743,17 +846,28 @@ object PqModel {
   val SubSpaces = 8
   /** Dims per subspace. */
   val SubDim: Int = Lsh.Dim / SubSpaces
-  /** Ks — codes per subspace. 16 (4-bit codes) keeps the test-corpus
-    * codebook tiny; production uses 256 (byte codes). Dial via the
-    * stamp, like the coarse K.
+  /** Ks — codes per subspace, the DEFAULT for the tiny test corpora
+    * (4-bit codes; a 500-vector corpus cannot feed 256-cluster
+    * subspace fits). Production is [[ProductionCodesPerSub]] = 256
+    * (byte codes, the FAISS IVFPQ default) — an ARGUMENT of every
+    * entry point and part of every stamp, so a dialed run refits
+    * rather than serving codes trained under another ks; the oracle
+    * replays the dialed value (AnnSpec exercises 256 on the clustered
+    * corpus, and a dialed Verify run is recorded in SCALE.md).
     */
   val CodesPerSub = 16
+
+  /** The production dial: byte codes, 8×8 bits per vector here. */
+  val ProductionCodesPerSub = 256
   /** Exact-rerank shortlist depth per query — the recall/latency dial on
     * top of nProbe. 50 on the isotropic test corpus (near-zero cosine
     * margins make ADC ranking maximally hostile — see [[Lsh]]'s
-    * scaladoc; measured recall@5 0.50 at depth 25, 0.68 at 50); real
-    * clustered embeddings reach the same recall at much shallower
-    * depths.
+    * scaladoc; measured recall@5 0.42 at depth 25, 0.66 at 50 under
+    * residual coding, where the uncompressed IVF at the same probes
+    * measures 0.96 — isotropy is what a residual cannot compress). On
+    * CLUSTERED geometry the same depth is near-lossless: measured 0.88
+    * vs the 0.90 coarse-probe ceiling at ks=256, 0.94 with the probe
+    * widened to 24/32 (AnnSpec, `ScaleData.clusteredEmbeddings`).
     */
   val RerankDepth = 50
 
@@ -815,22 +929,40 @@ object PqModel {
     * entry its code points at — M lookups, no float vector touched.
     */
   def adcDist(codes: org.apache.spark.sql.Column,
-              dtab: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    aggregate(transform(codes, (c, i) => get(dtab, i * lit(CodesPerSub) + c)),
+              dtab: org.apache.spark.sql.Column,
+              ks: Int = CodesPerSub): org.apache.spark.sql.Column =
+    aggregate(transform(codes, (c, i) => get(dtab, i * lit(ks) + c)),
       lit(0.0), (a, x) => a + x)
 
-  /** Fit-and-persist the per-subspace codebook and the PQ-coded lists,
-    * once per (corpus, dials) — same staleness protocol as
-    * [[IvfModel.ensure]] (which runs first: codes always pair with the
-    * CURRENT coarse generation). The fit trains M seeded KMeans on the
-    * same bounded sample policy as the coarse quantizer.
+  /** The RESIDUAL an IVFADC code describes: the vector minus its
+    * assigned coarse centroid (both sides of the index — storage coding
+    * and the query's per-cell ADC tables — subtract the SAME centroid
+    * generation's vector).
+    */
+  def residual(emb: org.apache.spark.sql.Column,
+               cvec: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    zip_with(emb, cvec, (x, y) => x - y)
+
+  /** Fit-and-persist the per-subspace RESIDUAL codebook and the
+    * PQ-coded lists, once per (corpus, dials) — same staleness protocol
+    * as [[IvfModel.ensure]] (which runs first: codes always pair with
+    * the CURRENT coarse generation). The fit assigns the sample to its
+    * coarse cells, subtracts the centroids, and trains M seeded KMeans
+    * over the residuals on the same bounded sample policy as the coarse
+    * quantizer. `ks` is the codes-per-subspace dial (default test-sized;
+    * [[ProductionCodesPerSub]] for byte codes) — stamped, so a dialed
+    * ensure refits instead of serving codes trained under another ks.
     */
   def ensure(s: SparkSession, dir: String,
-             fitSampleCap: Long = IvfModel.FitSampleCap, k: Int = IvfModel.K): Unit = {
+             fitSampleCap: Long = IvfModel.FitSampleCap, k: Int = IvfModel.K,
+             ks: Int = CodesPerSub): Unit = {
     IvfModel.ensure(s, dir, fitSampleCap, k)
     val wh = IvfModel.warehouseFor(s, dir)
+    val cents = IvfModel.centroids(s, dir)
     val content = Tables.contentStamp(s, s"$dir/embeddings.parquet")
-    val cbStamp = s"pq-codebook\n$dir\ncap=$fitSampleCap\nm=$SubSpaces\nks=$CodesPerSub\n$content"
+    // enc=res marks the residual construction: a warehouse holding
+    // raw-vector codes from the pre-IVFADC layout must refit
+    val cbStamp = s"pq-codebook\n$dir\ncap=$fitSampleCap\nk=$k\nm=$SubSpaces\nks=$ks\nenc=res\n$content"
     StampedTable.ensure(wh, CodebookTable, CodebookSchema, cbStamp) {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
@@ -838,45 +970,57 @@ object PqModel {
       val n = e0.count()
       val sampled = (if (n > fitSampleCap)
         e0.sample(withReplacement = false, fitSampleCap.toDouble / n, Seed)
-      else e0).localCheckpoint() // reused M times below — fit once, not M scans
+      else e0)
+      // residuals of the sample against the CURRENT coarse generation;
+      // materialized once — the M subspace fits below re-slice this, and
+      // without the cut each fit would re-run assignment over the sample
+      val resid = IvfModel.assignClusters(sampled, cents)
+        .join(broadcast(cents.select(col("cid").as("cluster"), col("cvec"))), Seq("cluster"))
+        .select(residual(col("emb"), col("cvec")).as("emb"))
+        .localCheckpoint()
       val rows = (0 until SubSpaces).flatMap { mi =>
-        val feats = sampled.select(
+        val feats = resid.select(
           array_to_vector(slice(col("emb"), mi * SubDim + 1, SubDim)).as("features"))
-        val model = new KMeans().setK(CodesPerSub).setSeed(Seed + mi).setMaxIter(MaxIter)
+        val model = new KMeans().setK(ks).setSeed(Seed + mi).setMaxIter(MaxIter)
           .fit(feats)
         model.clusterCenters.zipWithIndex.map { case (c, ci) => (mi, ci, c.toArray.toSeq) }
       }
       s.createDataFrame(rows).toDF("sub", "code", "cvec").coalesce(1)
     }
     val listStamp =
-      s"pq-lists\n$dir\ncap=$fitSampleCap\nk=$k\nm=$SubSpaces\nks=$CodesPerSub\n$content"
+      s"pq-lists\n$dir\ncap=$fitSampleCap\nk=$k\nm=$SubSpaces\nks=$ks\nenc=res\n$content"
     StampedTable.ensure(wh, PqListsTable, PqListsSchema, listStamp,
       partitionBy = Seq("cluster")) {
       val e = Tables.embeddings(s, dir)
         .select(col("vec_id"), V.toDouble(col("embedding")).as("emb"))
-      codedListsOf(e, IvfModel.centroids(s, dir), codebookArr(s, dir))
+      codedListsOf(e, cents, codebookArr(s, dir))
     }
   }
 
   /** (vec_id, codes, cluster) of an embedding frame: coarse assignment
-    * against the given centroid generation, PQ codes against the given
-    * one-row codebook array — the one shape ensure/seed/append all
-    * commit, so increments are row-identical to a re-materialization by
-    * construction.
+    * against the given centroid generation, RESIDUAL PQ codes against
+    * the given one-row codebook array — the one shape
+    * ensure/seed/append all commit, so increments are row-identical to
+    * a re-materialization by construction.
     */
   private def codedListsOf(emb: DataFrame, cents: DataFrame,
                            cbArr: DataFrame): DataFrame =
-    codesOf(IvfModel.assignClusters(emb, cents), cbArr)
+    codesOf(IvfModel.assignClusters(emb, cents), cents, cbArr)
 
   /** PQ-code an ALREADY coarse-assigned frame (vec_id, emb, cluster) —
     * split out so the append path can prune its idempotency anti-join
     * on the assignment BEFORE paying the M argmin projections, coding
-    * only the rows that are actually fresh.
+    * only the rows that are actually fresh. The K-row centroid frame
+    * broadcasts back in to supply each row's cvec for the residual.
     */
-  private def codesOf(assigned: DataFrame, cbArr: DataFrame): DataFrame =
+  private def codesOf(assigned: DataFrame, cents: DataFrame,
+                      cbArr: DataFrame): DataFrame =
     assigned
+      .join(broadcast(cents.select(col("cid").as("cluster"), col("cvec"))), Seq("cluster"))
       .crossJoin(broadcast(cbArr))
-      .select(col("vec_id"), pqCodes(col("emb"), col("cb")).as("codes"), col("cluster"))
+      .select(col("vec_id"),
+        pqCodes(residual(col("emb"), col("cvec")), col("cb")).as("codes"),
+        col("cluster"))
 
   /** Warehouse-scoped PQ lists over an EXPLICIT embedding frame — the
     * t48 verification path, [[IvfModel.seedListsFrame]]'s compressed
@@ -903,10 +1047,11 @@ object PqModel {
     * replay / torn-append repair is unaffected.
     */
   def appendPqListsFrame(wh: graft.etl.Warehouse, embBatch: DataFrame,
-                         cents: DataFrame, cbArr: DataFrame): Unit =
+                         cents: DataFrame, cbArr: DataFrame,
+                         checked: Boolean = false): Unit =
     IvfModel.prunedAppend(wh, PqListsTable, PqListsSchema,
       embBatch.select(col("vec_id"), col("emb")), cents,
-      freshTransform = codesOf(_, cbArr))
+      freshTransform = codesOf(_, cents, cbArr), checked = checked)
 
   /** A warehouse-scoped PQ list table (vec_id, codes, cluster). */
   def pqListsOf(wh: graft.etl.Warehouse): DataFrame =
@@ -927,8 +1072,9 @@ object PqModel {
     * the same three postures the uncompressed lists support.
     */
   def maintainPqListsFromStream(wh: graft.etl.Warehouse, emb: DataFrame,
-                                cents: DataFrame, cbArr: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
-    IvfModel.maintainByAppend(emb)(appendPqListsFrame(wh, _, cents, cbArr))
+                                cents: DataFrame, cbArr: DataFrame,
+                                checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    IvfModel.maintainByAppend(emb, checkpoint)(appendPqListsFrame(wh, _, cents, cbArr))
 
   /** The persisted codebook (sub, code, cvec). */
   def codebook(s: SparkSession, dir: String): DataFrame =

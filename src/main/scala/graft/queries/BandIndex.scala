@@ -153,14 +153,22 @@ object BandIndex {
     * pruned anti-join, and duplicates that doc's rows. Replay /
     * torn-append repair (the stated purpose — same bytes redelivered)
     * is unaffected. A mutable corpus needs rewrite via [[seed]], not
-    * this append path.
+    * this append path — or `checked = true`, which runs the anti-join
+    * UNPRUNED (one two-column pass of the whole index per batch): a
+    * changed doc's rows then match their landed (doc_id, band) keys
+    * regardless of which bucket either lives in, so the re-ingest is
+    * skipped (stale-but-consistent; rebuild to refresh content), never
+    * duplicated.
     */
   def appendBatchBanded(wh: Warehouse, batchBanded: DataFrame,
-                        maxInline: Int = BucketPrune.MaxInline): Unit = {
+                        maxInline: Int = BucketPrune.MaxInline,
+                        checked: Boolean = false): Unit = {
     val bb = Frames.cutIfPlain(batchBanded)
+    val landed =
+      if (checked) banded(wh)
+      else BucketPrune.restrict(banded(wh), "bk_bucket", bb, maxInline)
     val fresh = bb
-      .join(BucketPrune.restrict(banded(wh), "bk_bucket", bb, maxInline)
-        .select(col("doc_id"), col("band")), Seq("doc_id", "band"), "left_anti")
+      .join(landed.select(col("doc_id"), col("band")), Seq("doc_id", "band"), "left_anti")
     wh.appendLive(TableName,
       fresh.withColumn("corpus_stamp", lit("append")),
       partitionBy = Seq("bk_bucket"))

@@ -95,14 +95,19 @@ object EmbIndex {
     * vec_id — a re-ingested vec_id with a CHANGED vector codes into a
     * different bucket, escapes the pruned anti-join, and duplicates the
     * row. Replay of identical bytes is unaffected; a mutable corpus
-    * needs rewrite via [[seed]].
+    * needs rewrite via [[seed]] — or `checked = true`, which runs the
+    * anti-join UNPRUNED (one vec_id-column pass of the whole index per
+    * batch) so a changed vector's re-ingest is skipped, never
+    * duplicated.
     */
   def appendBatchCoded(wh: Warehouse, batchCoded: DataFrame,
-                       maxInline: Int = BucketPrune.MaxInline): Unit = {
+                       maxInline: Int = BucketPrune.MaxInline,
+                       checked: Boolean = false): Unit = {
     val bc = Frames.cutIfPlain(batchCoded)
-    val fresh = bc.join(
-      BucketPrune.restrict(coded(wh), "bucket", bc, maxInline).select(col("vec_id")),
-      Seq("vec_id"), "left_anti")
+    val landed =
+      if (checked) coded(wh)
+      else BucketPrune.restrict(coded(wh), "bucket", bc, maxInline)
+    val fresh = bc.join(landed.select(col("vec_id")), Seq("vec_id"), "left_anti")
     wh.appendLive(TableName,
       fresh.withColumn("corpus_stamp", lit("append")),
       partitionBy = Seq("bucket"))

@@ -669,6 +669,16 @@ object TextOps {
     sys.env.get("SPARK_GRAFT_IVF_K").map(_.trim.toInt).getOrElse(IvfModel.K)
   private[graft] lazy val DialIvfNProbe: Int =
     sys.env.get("SPARK_GRAFT_IVF_NPROBE").map(_.trim.toInt).getOrElse(IvfModel.NProbe)
+  /** `SPARK_GRAFT_PQ_KS` dials the PQ codes-per-subspace the same way —
+    * the registered t47/t48 and their oracle SQL both read it, so the
+    * production 256-code dial is oracle-provable: run Verify +
+    * check_oracle with the env set (needs a corpus with ≥ ks sample
+    * vectors per subspace fit; recorded run in SCALE.md). A dialed ks
+    * refits the stamped codebook + coded lists; the driver leaves the
+    * env unset and verifies the test dial.
+    */
+  private[graft] lazy val DialPqKs: Int =
+    sys.env.get("SPARK_GRAFT_PQ_KS").map(_.trim.toInt).getOrElse(PqModel.CodesPerSub)
 
   lazy val t12Sql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
@@ -776,31 +786,95 @@ object TextOps {
     * lists so the three cannot drift. `candFilter` constrains the
     * CANDIDATE side only (probe queries stay unconstrained): it is
     * applied directly on the list scan, so a predicate on a stored list
-    * column reaches the parquet reader as a pushed data filter.
+    * column reaches the parquet reader as a pushed data filter. The
+    * registered queries probe the fixed 10-lowest-vec_id set (what the
+    * oracle SQL replays); [[annTopKBatch]] is the same body over an
+    * arbitrary query frame.
     */
   private def ivfListsProbe(lists: DataFrame, centroids: DataFrame, nProbe: Int,
-                            candFilter: Column = lit(true)): DataFrame = {
+                            candFilter: Column = lit(true)): DataFrame =
+    ivfListsProbeFor(lists, centroids,
+      lists.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("emb").as("q_emb")),
+      nProbe, candFilter, broadcastQueries = true)
+
+  /** The IVF list probe over an ARBITRARY query frame
+    * (query_id, q_emb) — the batched-serving generalization behind
+    * [[annTopKBatch]]. `broadcastQueries = true` is the one-off shape
+    * (exploded probe frame broadcast to the list scan — the registered
+    * queries); `false` is the batch-scoring shape: the probe frame is
+    * materialized once, the list scan is pruned to the UNION of probed
+    * cells through [[BucketPrune]] (static IN ≤ its inline cap,
+    * broadcast-semi-join DPP above — pruning never depends on the join
+    * strategy), and the join hashes the PROBE side under a shuffle
+    * exchange on `cluster`, so the corpus side is never broadcast and
+    * never re-shuffled beyond its own partitioned layout. Per-cell skew
+    * (a popular cell probed by a large share of the queries) is AQE
+    * skew-join territory, same as any key-skewed shuffle join here.
+    */
+  private[graft] def ivfListsProbeFor(lists: DataFrame, centroids: DataFrame,
+                                      queries: DataFrame, nProbe: Int,
+                                      candFilter: Column = lit(true),
+                                      broadcastQueries: Boolean = true,
+                                      topK: Int = 5): DataFrame = {
     val centArr = centroids
       .agg(sort_array(collect_list(struct(col("cid"), col("cvec")))).as("cents"))
     def scored = transform(col("cents"), c =>
       struct(
-        aggregate(zip_with(col("emb"), c.getField("cvec"), (x, y) => (x - y) * (x - y)),
+        aggregate(zip_with(col("q_emb"), c.getField("cvec"), (x, y) => (x - y) * (x - y)),
           lit(0.0), (acc, x) => acc + x).as("dist"),
         c.getField("cid").as("cid")))
-    val probes = lists.filter(col("vec_id") < 10)
+    val probes0 = queries.select(col("query_id"), col("q_emb"))
       .crossJoin(broadcast(centArr))
-      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+      .select(col("query_id"), col("q_emb"),
         explode(slice(array_sort(scored), 1, nProbe)
           .getField("cid")).as("cluster"))
+    val cand = lists.filter(candFilter)
+    val joined =
+      if (broadcastQueries) cand.join(broadcast(probes0), Seq("cluster"))
+      else {
+        // the probe frame feeds the prune's bounded collect AND the
+        // join — materialize it once (batch-sized by definition)
+        val probes = Frames.cutIfPlain(probes0)
+        BucketPrune.restrict(cand, "cluster", probes)
+          .join(probes.hint("shuffle_hash"), Seq("cluster"))
+      }
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
-    lists.filter(candFilter).join(broadcast(probes), Seq("cluster"))
+    joined
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), col("cluster"),
         R.halfUp(V.cosine(col("q_emb"), col("emb")), 6).as("cosine"))
       .withColumn("rk", row_number().over(wTop))
-      .filter(col("rk") <= 5)
+      .filter(col("rk") <= topK)
       .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** BATCHED ANN SERVING — top-`topK` cosine neighbors over the
+    * materialized inverted lists for an ARBITRARY query frame
+    * (query_id BIGINT, q_emb ARRAY<DOUBLE>). The registered t36/t46/t49
+    * queries are this shape with the fixed 10-query probe set; a real
+    * pipeline batch-scores 10⁴-10⁶ queries, where broadcasting the
+    * query side flips from optimization to OOM. Past
+    * `broadcastQueryCap` queries the probe side is hashed under a
+    * SHUFFLE join instead — the corpus is never broadcast, and the list
+    * scan still partition-prunes to the union of probed cells (both
+    * plan-asserted in AnnSpec, with batch == broadcast-reference
+    * results). Strategy costs ONE count of the caller's query frame;
+    * pass `broadcastQueries = Some(...)` to skip it. `candFilter` is
+    * the filtered-search hook (pushed to the list scan like t49's).
+    */
+  def annTopKBatch(s: SparkSession, dir: String, queries: DataFrame,
+                   k: Int = IvfModel.K, nProbe: Int = IvfModel.NProbe,
+                   topK: Int = 5,
+                   candFilter: Column = lit(true),
+                   broadcastQueryCap: Long = 10000,
+                   broadcastQueries: Option[Boolean] = None): DataFrame = {
+    IvfModel.ensureLists(s, dir, k = k)
+    val q = Frames.cutIfPlain(queries.select(col("query_id"), col("q_emb")))
+    val bc = broadcastQueries.getOrElse(q.count() <= broadcastQueryCap)
+    ivfListsProbeFor(IvfModel.lists(s, dir), IvfModel.centroids(s, dir), q, nProbe,
+      candFilter, broadcastQueries = bc, topK = topK)
   }
 
   // ---------------------------------------------------------------- t46
@@ -895,72 +969,132 @@ object TextOps {
     */
   def t47AnnIvfPq(s: SparkSession, dir: String,
                   k: Int = IvfModel.K, nProbe: Int = IvfModel.NProbe,
-                  rerankDepth: Int = PqModel.RerankDepth): DataFrame = {
-    PqModel.ensure(s, dir, k = k)
-    ivfPqProbe(s, dir, PqModel.pqLists(s, dir), nProbe, rerankDepth)
+                  rerankDepth: Int = PqModel.RerankDepth,
+                  ks: Int = DialPqKs): DataFrame = {
+    PqModel.ensure(s, dir, k = k, ks = ks)
+    ivfPqProbe(s, dir, PqModel.pqLists(s, dir), nProbe, rerankDepth, ks)
   }
 
   /** The IVF-PQ serving probe over an arbitrary coded-list frame —
     * shared by t47 (the globally-ensured lists) and t48 (a maintained
-    * warehouse-scoped table): coarse cell selection → ADC shortlist →
-    * exact rerank, all against the SAME persisted centroid + codebook
-    * generations.
+    * warehouse-scoped table): coarse cell selection → per-cell RESIDUAL
+    * ADC tables → ADC shortlist → exact rerank, all against the SAME
+    * persisted centroid + codebook generations. The registered queries
+    * probe the fixed 10-lowest-vec_id set; [[annTopKBatchPq]] is the
+    * same body over an arbitrary query frame.
     */
   private def ivfPqProbe(s: SparkSession, dir: String, pqListsFrame: DataFrame,
                          nProbe: Int,
-                         rerankDepth: Int = PqModel.RerankDepth): DataFrame = {
-    val centArr = IvfModel.centroids(s, dir)
+                         rerankDepth: Int = PqModel.RerankDepth,
+                         ks: Int = DialPqKs): DataFrame =
+    ivfPqProbeFor(s, dir, pqListsFrame,
+      embeddings(s, dir)
+        .select(col("vec_id"), V.toDouble(col("embedding")).as("emb"))
+        .filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("emb").as("q_emb")),
+      nProbe, rerankDepth, ks, broadcastQueries = true)
+
+  /** The IVF-PQ probe over an ARBITRARY query frame (query_id, q_emb) —
+    * the batched-serving generalization ([[ivfListsProbeFor]]'s
+    * compressed twin). Per query it selects the nProbe nearest coarse
+    * cells and builds one flat ADC table PER PROBED CELL from the
+    * query's residual against that cell's centroid (the IVFADC probe —
+    * M×ks doubles per (query, cell)); candidates pay M table lookups,
+    * never a float read; the ADC top-`rerankDepth` per query is
+    * reranked exactly. With `broadcastQueries = false` every
+    * query-derived side (probe tables, shortlist, query vectors) joins
+    * by SHUFFLE instead of broadcast — the corpus is never broadcast —
+    * and the coded-list scan is pruned to the union of probed cells
+    * through [[BucketPrune]].
+    */
+  private[graft] def ivfPqProbeFor(s: SparkSession, dir: String, pqListsFrame: DataFrame,
+                                   queries: DataFrame, nProbe: Int,
+                                   rerankDepth: Int, ks: Int,
+                                   broadcastQueries: Boolean,
+                                   topK: Int = 5): DataFrame = {
+    val cents = IvfModel.centroids(s, dir)
+    val centArr = cents
       .agg(sort_array(collect_list(struct(col("cid"), col("cvec")))).as("cents"))
+    // struct(dist, cid, cvec): ordered by (dist, cid) — cid is unique so
+    // the trailing cvec never participates in the comparison; carrying
+    // it through the sort hands each probed cell its centroid for the
+    // residual without a second join
     def scored = transform(col("cents"), c =>
       struct(
-        aggregate(zip_with(col("emb"), c.getField("cvec"), (x, y) => (x - y) * (x - y)),
+        aggregate(zip_with(col("q_emb"), c.getField("cvec"), (x, y) => (x - y) * (x - y)),
           lit(0.0), (acc, x) => acc + x).as("dist"),
-        c.getField("cid").as("cid")))
-    val q0 = embeddings(s, dir)
-      .select(col("vec_id"), V.toDouble(col("embedding")).as("emb"))
-      .filter(col("vec_id") < 10)
-    // per query: the probed cells (t14's selection) + the flat ADC table
-    val probes = q0.crossJoin(broadcast(centArr))
+        c.getField("cid").as("cid"),
+        c.getField("cvec").as("cvec")))
+    val q0 = queries.select(col("query_id"), col("q_emb"))
+    // per (query, probed cell): the cell + the flat ADC table of the
+    // query's RESIDUAL against that cell's centroid
+    val probes0 = q0.crossJoin(broadcast(centArr))
       .crossJoin(broadcast(PqModel.codebookArr(s, dir)))
-      .select(col("vec_id").as("query_id"),
-        PqModel.dtabFlat(col("emb"), col("cb")).as("dtab"),
-        explode(slice(array_sort(scored), 1, nProbe).getField("cid")).as("cluster"))
+      .select(col("query_id"), col("cb"), col("q_emb"),
+        explode(slice(array_sort(scored), 1, nProbe)).as("pc"))
+      .select(col("query_id"), col("pc").getField("cid").as("cluster"),
+        PqModel.dtabFlat(PqModel.residual(col("q_emb"), col("pc").getField("cvec")),
+          col("cb")).as("dtab"))
+    val probes = if (broadcastQueries) probes0 else Frames.cutIfPlain(probes0)
+    def side(df: DataFrame) = if (broadcastQueries) broadcast(df) else df
+    val listScan =
+      if (broadcastQueries) pqListsFrame
+      else BucketPrune.restrict(pqListsFrame, "cluster", probes)
     // ADC shortlist: codes-only scan of the probed partitions
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adist"), col("vec_id"))
-    val short = pqListsFrame.join(broadcast(probes), Seq("cluster"))
+    val short = listScan.join(side(probes.hint("shuffle_hash")), Seq("cluster"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        R.halfUp(PqModel.adcDist(col("codes"), col("dtab")), 6).as("adist"))
+        R.halfUp(PqModel.adcDist(col("codes"), col("dtab"), ks), 6).as("adist"))
       .withColumn("cr", row_number().over(wAdc))
       .filter(col("cr") <= rerankDepth)
       .select(col("query_id"), col("vec_id"))
-    // exact rerank of the shortlist against full vectors
+    // exact rerank of the shortlist against full vectors — a pointed
+    // queries×rerankDepth fetch (broadcast when the query set is small,
+    // shuffle joins otherwise)
     val full = embeddings(s, dir)
       .select(col("vec_id"), V.toDouble(col("embedding")).as("emb"))
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
-    full.join(broadcast(short), Seq("vec_id"))
-      .join(broadcast(q0.select(col("vec_id").as("query_id"), col("emb").as("q_emb"))),
-        Seq("query_id"))
+    full.join(side(short), Seq("vec_id"))
+      .join(side(q0), Seq("query_id"))
       .select(col("query_id"), col("vec_id"),
         R.halfUp(V.cosine(col("q_emb"), col("emb")), 6).as("cosine"))
       .withColumn("rk", row_number().over(wTop))
-      .filter(col("rk") <= 5)
+      .filter(col("rk") <= topK)
       .orderBy(col("query_id"), col("rk"))
   }
 
-  /** t47's oracle: the full IVF-PQ path replayed from the persisted
-    * artifacts — coarse probes from the centroid table (t14's CTEs), ADC
-    * tables from the codebook parquet, shortlist from the coded lists
-    * parquet (hive-partitioned by cluster), exact rerank from the
-    * embeddings table. The index arithmetic inlines [[PqModel.SubDim]] /
-    * [[PqModel.CodesPerSub]]; the per-subspace position list is a
-    * literal so no index-lambda support is required of DuckDB.
+  /** [[annTopKBatch]] over the COMPRESSED lists — batched IVF-PQ
+    * serving for an arbitrary (query_id, q_emb) frame at any ks dial;
+    * same strategy flip past `broadcastQueryCap` queries.
+    */
+  def annTopKBatchPq(s: SparkSession, dir: String, queries: DataFrame,
+                     k: Int = IvfModel.K, nProbe: Int = IvfModel.NProbe,
+                     rerankDepth: Int = PqModel.RerankDepth,
+                     ks: Int = DialPqKs, topK: Int = 5,
+                     broadcastQueryCap: Long = 10000,
+                     broadcastQueries: Option[Boolean] = None): DataFrame = {
+    PqModel.ensure(s, dir, k = k, ks = ks)
+    val q = Frames.cutIfPlain(queries.select(col("query_id"), col("q_emb")))
+    val bc = broadcastQueries.getOrElse(q.count() <= broadcastQueryCap)
+    ivfPqProbeFor(s, dir, PqModel.pqLists(s, dir), q, nProbe, rerankDepth, ks,
+      broadcastQueries = bc, topK = topK)
+  }
+
+  /** t47's oracle: the full IVF-PQ (IVFADC) path replayed from the
+    * persisted artifacts — coarse probes from the centroid table (t14's
+    * CTEs), per-(query, cell) RESIDUAL ADC tables from the codebook
+    * parquet, shortlist from the coded lists parquet (hive-partitioned
+    * by cluster), exact rerank from the embeddings table. The index
+    * arithmetic inlines [[PqModel.SubDim]] / the ks dial; the
+    * per-subspace position list is a literal so no index-lambda support
+    * is required of DuckDB.
     */
   def t47Sql(dir: String): String = {
     val sd = PqModel.SubDim
-    val ks = PqModel.CodesPerSub
+    val ks = DialPqKs
     val subIdx = (0 until PqModel.SubSpaces).mkString("[", ", ", "]")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
        |c AS (SELECT cid, cvec FROM read_parquet('${IvfModel.oraclePath(dir)}/*.parquet')),
@@ -971,26 +1105,32 @@ object TextOps {
        |                         hive_partitioning = true)),
        |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 10),
        |ad AS (
-       |  SELECT query_id, q_emb, cid,
+       |  SELECT query_id, q_emb, cid, cvec,
        |    list_sum(list_transform(list_zip(q_emb, cvec), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
        |  FROM q CROSS JOIN c),
        |probes AS (
-       |  SELECT query_id, cid AS cluster FROM (
+       |  SELECT query_id, cid AS cluster, cvec FROM (
        |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, cid) AS pr FROM ad)
        |  WHERE pr <= $DialIvfNProbe),
+       |pres AS (
+       |  SELECT p.query_id, p.cluster,
+       |    list_transform(list_zip(q.q_emb, p.cvec), z -> z[1] - z[2]) AS res
+       |  FROM probes p JOIN q USING (query_id)),
        |qd AS (
-       |  SELECT q.query_id, cb.sub, cb.code,
+       |  SELECT r.query_id, r.cluster, cb.sub, cb.code,
        |    list_sum(list_transform(
-       |      list_zip(q.q_emb[cb.sub * $sd + 1 : cb.sub * $sd + $sd], cb.cvec),
-       |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
-       |  FROM q CROSS JOIN cb),
-       |dt AS (SELECT query_id, list(d ORDER BY sub, code) AS dtab FROM qd GROUP BY query_id),
+       |      list_zip(r.res[cb.sub * $sd + 1 : cb.sub * $sd + $sd], cb.cvec),
+       |      z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d
+       |  FROM pres r CROSS JOIN cb),
+       |dt AS (SELECT query_id, cluster, list(d ORDER BY sub, code) AS dtab
+       |       FROM qd GROUP BY query_id, cluster),
        |adc AS (
        |  SELECT p.query_id, l.vec_id,
        |    ${R.halfUpSql(
              s"list_sum(list_transform(list_zip(l.codes, $subIdx), " +
                s"p -> dt.dtab[p[2] * $ks + p[1] + 1]))", 6)} AS adist
-       |  FROM pl l JOIN probes p USING (cluster) JOIN dt ON dt.query_id = p.query_id
+       |  FROM pl l JOIN probes p USING (cluster)
+       |    JOIN dt ON dt.query_id = p.query_id AND dt.cluster = l.cluster
        |  WHERE l.vec_id <> p.query_id),
        |short AS (
        |  SELECT query_id, vec_id FROM (
@@ -1025,23 +1165,25 @@ object TextOps {
     * anti-join.
     */
   def t48AnnIvfPqIncrement(s: SparkSession, dir: String,
-                           k: Int = IvfModel.K, nProbe: Int = IvfModel.NProbe): DataFrame = {
-    val wh = t48EnsureSeeded(s, dir, k)
+                           k: Int = IvfModel.K, nProbe: Int = IvfModel.NProbe,
+                           ks: Int = DialPqKs): DataFrame = {
+    val wh = t48EnsureSeeded(s, dir, k, ks)
     val partB = embeddings(s, dir)
       .select(col("vec_id"), graft.functions.VectorOps.toDouble(col("embedding")).as("emb"))
       .filter(splitBucket(col("vec_id")) >= 50)
     PqModel.appendPqListsFrame(wh, partB, IvfModel.centroids(s, dir),
       PqModel.codebookArr(s, dir))
-    ivfPqProbe(s, dir, PqModel.pqListsOf(wh), nProbe)
+    ivfPqProbe(s, dir, PqModel.pqListsOf(wh), nProbe, ks = ks)
   }
 
-  private[graft] def t48EnsureSeeded(s: SparkSession, dir: String, k: Int): graft.etl.Warehouse = {
+  private[graft] def t48EnsureSeeded(s: SparkSession, dir: String, k: Int,
+                                     ks: Int = DialPqKs): graft.etl.Warehouse = {
     // quantizer + codebook are the FULL-corpus stamped artifacts (the
     // generations t47 probes — and the ones the oracle reads)
-    PqModel.ensure(s, dir, k = k)
+    PqModel.ensure(s, dir, k = k, ks = ks)
     val wh = graft.etl.Warehouse(s, new java.io.File(
       IvfModel.warehouseFor(s, dir).dir, "t48_increment").toString)
-    val stamp = s"t48-seed\n$dir\nk=$k\nm=${PqModel.SubSpaces}\nks=${PqModel.CodesPerSub}\n" +
+    val stamp = s"t48-seed\n$dir\nk=$k\nm=${PqModel.SubSpaces}\nks=$ks\nenc=res\n" +
       graft.core.Tables.contentStamp(s, s"$dir/embeddings.parquet")
     StampedTable.ensureSeeded(wh, "t48_seed", stamp) {
       val partA = embeddings(s, dir)
@@ -1125,12 +1267,14 @@ object TextOps {
     * over the filtered subset is both MORE accurate and cheaper (the
     * subset IS small; that is what the floor detects). Above the floor
     * the partition-pruned probe serves exactly like [[t49AnnFiltered]].
-    * The decision costs one metadata-only count on the attributed
-    * lists — the label filter is pushed to the scan and no vector
-    * column is read. Both branches return the t49 frame shape
+    * The decision reads a PRECOMPUTED per-label stat
+    * ([[IvfModel.attrLabelCount]] — persisted at index-build time,
+    * memoized per generation), so dispatch on a warm JVM launches NO
+    * Spark job: probe latency never pays a corpus-side count. Both
+    * branches return the t49 frame shape
     * (query_id, vec_id, cluster, cosine, rk), and AnnSpec pins each
     * branch against its reference (probe branch == t49; brute branch ==
-    * exact filtered top-5).
+    * exact filtered top-5) plus the jobless-dispatch claim.
     */
   def filteredTopK(s: SparkSession, dir: String, label: Int = FilterLabel,
                    k: Int = IvfModel.K, nProbe: Int = IvfModel.NProbe,
@@ -1138,7 +1282,7 @@ object TextOps {
     IvfModel.ensureAttrLists(s, dir, k = k)
     val attr = IvfModel.attrLists(s, dir)
     val survivors = attr.filter(col("label") === lit(label))
-    if (survivors.select(col("vec_id")).count() > bruteFloor)
+    if (IvfModel.attrLabelCount(s, dir, label, k = k) > bruteFloor)
       ivfListsProbe(attr, IvfModel.centroids(s, dir), nProbe,
         candFilter = col("label") === lit(label))
     else {

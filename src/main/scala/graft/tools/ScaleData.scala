@@ -42,10 +42,22 @@ object ScaleData {
   val Stride: Long = 10000000L
 
   private val Alpha = "abcdefghij"
-  private def rotAlpha(i: Int): String = {
-    val k = i % Alpha.length
-    Alpha.substring(k) + Alpha.substring(0, k)
+  /** Second substitution level, engaged only past factor 10: a single
+    * 10-letter rotation cycles at 10 copies, so copies i and i+10 would
+    * be EXACT text duplicates under new ids — inflating every dedup
+    * bucket 10-fold instead of scaling the corpus. Two independent
+    * rotations (units digit on a-j, tens digit on k-t) give the family
+    * a cycle of 100 while staying bijective per copy; for i < 10 the
+    * second level is the identity, so factors ≤ 10 produce BYTE-
+    * IDENTICAL output to the original single-level generator (the
+    * recorded sf1.0 rehearsals stay reproducible).
+    */
+  private val Alpha2 = "klmnopqrst"
+  private def rot(a: String, k: Int): String = {
+    val m = ((k % a.length) + a.length) % a.length
+    a.substring(m) + a.substring(0, m)
   }
+  private def rotAlpha(i: Int): String = rot(Alpha, i % 10) + rot(Alpha2, i / 10 % 10)
 
   def scaleTable(spark: SparkSession, name: String, src: String, factor: Int): DataFrame = {
     val base = spark.read.parquet(s"$src/$name.parquet")
@@ -70,15 +82,23 @@ object ScaleData {
           // bijective per-copy substitution: preserves length (n_chars
           // stays truthful) and within-copy shingle structure
           base.withColumn("doc_id", col("doc_id") + off)
-            .withColumn("text", translate(col("text"), Alpha, rotAlpha(i)))
+            .withColumn("text", translate(col("text"), Alpha + Alpha2, rotAlpha(i)))
         case "embeddings" =>
           val dim = base.selectExpr("size(embedding) d").limit(1).collect()(0).getInt(0)
           val k = i % dim
           val rotated =
             if (k == 0) col("embedding")
             else concat(slice(col("embedding"), k + 1, dim - k), slice(col("embedding"), 1, k))
+          // second isometry level, same reason as Alpha2: rotation alone
+          // cycles at dim copies, so copy dim+i would duplicate copy i's
+          // vector set under new ids. Negation (an isometry — norms and
+          // within-copy cosine structure exactly preserved) on every
+          // second dim-block pushes the family's cycle to 2·dim;
+          // identity for i < dim, so factors ≤ dim reproduce the
+          // original generator byte-for-byte.
+          val iso = if (i / dim % 2 == 1) transform(rotated, x => -x) else rotated
           base.withColumn("vec_id", col("vec_id") + off)
-            .withColumn("embedding", rotated)
+            .withColumn("embedding", iso)
         case other => sys.error(s"unknown table $other")
       }
     }
@@ -90,10 +110,64 @@ object ScaleData {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
+  // ----------------------------------------------- clustered embeddings
+  /** Deterministic CLUSTERED unit-vector corpus — the realistic-geometry
+    * twin of the driver's isotropic `embeddings` table. Real text/image
+    * embeddings are never isotropic: they concentrate around topical
+    * modes, which is exactly the structure IVF/PQ exploit (the coarse
+    * quantizer recovers the modes; the residual after subtracting a mode
+    * centroid is SMALL, so a few PQ codewords describe it well). The
+    * driver's isotropic vectors are the adversarial floor for any
+    * bucketing scheme (recall ≈ probe fraction — [[graft.queries.Lsh]]'s
+    * scaladoc); this corpus is the geometry a production recall claim
+    * should be measured on. AnnSpec pins recall@5 ≥ 0.9 for the IVFADC
+    * path here, at the production ks=256 dial.
+    *
+    * Shape: `nCenters` seeded Gaussian directions on the unit sphere;
+    * vector i = normalize(center(i mod nCenters) + noise·gaussian),
+    * per-id seeded — fully deterministic, embarrassingly parallel
+    * (spark.range → map, no shuffle), written in the exact
+    * `embeddings.parquet` schema (vec_id BIGINT, embedding
+    * ARRAY<FLOAT>, label INT = the center index mod 10, so the
+    * filtered-search queries work unchanged).
+    */
+  def clusteredEmbeddings(spark: SparkSession, n: Long, dim: Int = 64,
+                          nCenters: Int = 25, noise: Double = 0.35,
+                          seed: Long = 97L): DataFrame = {
+    import spark.implicits._
+    def normalize(v: Array[Double]): Array[Double] = {
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      if (nrm == 0) v else v.map(_ / nrm)
+    }
+    val rng = new scala.util.Random(seed)
+    val centers = Array.fill(nCenters)(normalize(Array.fill(dim)(rng.nextGaussian())))
+    spark.range(n).map { id =>
+      val r = new scala.util.Random(seed ^ (id * 0x9E3779B97F4A7C15L))
+      val c = centers((id % nCenters).toInt)
+      val v = normalize(Array.tabulate(dim)(i => c(i) + noise * r.nextGaussian()))
+      (id, v.map(_.toFloat), (id % 10).toInt)
+    }.toDF("vec_id", "embedding", "label")
+  }
+
+  /** Write a clustered corpus dir usable by every embeddings-table query
+    * (t10/t12/t14/t36/t47/...): `<dst>/embeddings.parquet`.
+    */
+  def writeClusteredCorpus(spark: SparkSession, dst: String, n: Long,
+                           dim: Int = 64, nCenters: Int = 25,
+                           noise: Double = 0.35, seed: Long = 97L): Unit =
+    clusteredEmbeddings(spark, n, dim, nCenters, noise, seed)
+      .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+
+  /** Usage: runMain graft.tools.ScaleData <srcDir> <dstDir> [factor]
+    * [tables] — `tables` a comma list restricting the output (e.g.
+    * `documents,embeddings` for the lifecycle-tail decade² subset);
+    * default all.
+    */
   def main(args: Array[String]): Unit = {
     val src = args(0)
     val dst = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
+    val only = if (args.length > 3) args(3).split(",").map(_.trim).toSet else Tables.toSet
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -101,7 +175,7 @@ object ScaleData {
       .appName("graft-scaledata")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    for (t <- Tables) {
+    for (t <- Tables if only(t)) {
       scaleTable(spark, t, src, factor)
         .write.mode("overwrite").parquet(s"$dst/$t.parquet")
       println(s"[scaledata] wrote $t x$factor")

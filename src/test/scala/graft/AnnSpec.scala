@@ -902,6 +902,197 @@ class AnnSpec extends SparkTestBase {
       s"append litter survived maintain: ${perPart.mkString(",")}")
   }
 
+  test("IVFADC on clustered geometry: recall@5 >= 0.9 at depth <= 50 at the production ks=256 dial") {
+    import graft.queries.PqModel
+    // the driver's isotropic corpus is the adversarial floor for ANY
+    // bucketing scheme (recall ~ probe fraction); production recall
+    // claims belong on clustered geometry — the structure IVF-PQ
+    // actually exploits. Deterministic clustered corpus, same schema.
+    val dir = java.nio.file.Files.createTempDirectory("graft_clustered_").toString
+    graft.tools.ScaleData.writeClusteredCorpus(spark, dir, 2000)
+    val bf = pairs(TextOps.t10AnnBruteForce(spark, dir))
+    assert(bf.size === 50, s"brute-force baseline malformed: ${bf.size} pairs")
+    def recall(df: org.apache.spark.sql.DataFrame) =
+      (bf intersect pairs(df)).size.toDouble / bf.size
+    // the coarse-probe CEILING: the uncompressed IVF at the same
+    // (k, nProbe) — everything PQ loses beyond this is coding loss
+    val rIvf = recall(TextOps.t14AnnIvf(spark, dir))
+    // test dial (ks=16, 4-bit codes), residual encoding
+    val r16 = recall(TextOps.t47AnnIvfPq(spark, dir))
+    // production dial (ks=256, byte codes) — the FAISS-IVFPQ default
+    val r256 = recall(TextOps.t47AnnIvfPq(spark, dir, ks = PqModel.ProductionCodesPerSub))
+    // ...and the bar dial: nProbe widened to 24/32 (nProbe is query-side,
+    // no refit) — coarse coverage, not coding, is what was binding
+    val r256w = recall(TextOps.t47AnnIvfPq(spark, dir, nProbe = 24,
+      ks = PqModel.ProductionCodesPerSub))
+    info(f"clustered recall@5: IVF ceiling $rIvf%.2f | IVFADC ks=16 $r16%.2f, " +
+      f"ks=256 $r256%.2f (nProbe=${IvfModel.NProbe}/${IvfModel.K}, depth=${PqModel.RerankDepth}); " +
+      f"ks=256 @ nProbe=24 -> $r256w%.2f")
+    // the production-dial bar: >= 0.9 at depth <= 50
+    assert(r256w >= 0.9, f"production-dial recall below the bar: $r256w%.2f")
+    // byte codes + rerank are near-lossless vs the coarse ceiling: the
+    // CODING loss at the default probe is within 0.04 of uncompressed
+    assert(r256 >= rIvf - 0.04,
+      f"ks=256 coding loss vs the IVF ceiling: $r256%.2f < $rIvf%.2f - 0.04")
+    // more codewords can only describe the residual better
+    assert(r256 >= r16 - 0.05, f"ks=256 lost to ks=16: $r256%.2f < $r16%.2f")
+    // and the 4-bit dial must already be serviceable on real geometry
+    assert(r16 >= 0.6, f"test-dial recall collapsed on clustered data: $r16%.2f")
+  }
+
+  test("batched ANN serving: 10^4 queries == broadcast reference, no corpus broadcast, scan still pruned") {
+    IvfModel.ensureLists(spark, sf())
+    val emb = graft.core.Tables.embeddings(spark, sf())
+      .select(col("vec_id"), graft.functions.VectorOps.toDouble(col("embedding")).as("emb"))
+    val base = emb.count()
+    // ~10^4 queries: the corpus replicated with disjoint query_ids —
+    // each replica must get the SAME neighbors its source vector gets
+    val replicas = math.max(1, (10000 / base).toInt + 1)
+    val queries = (0 until replicas).map(i =>
+      emb.select((col("vec_id") + lit(i * 1000000L)).as("query_id"), col("emb").as("q_emb")))
+      .reduce(_ unionByName _)
+    val nQ = queries.count()
+    info(s"query batch: $nQ queries over a $base-vector corpus")
+    assert(nQ >= 10000, s"fixture: batch too small ($nQ)")
+    // forced shuffle-hash (the past-the-cap shape) == forced broadcast
+    // (the reference shape, t36's plan) — identical results
+    val batched = TextOps.annTopKBatch(spark, sf(), queries, topK = 3,
+      broadcastQueries = Some(false))
+    val reference = TextOps.annTopKBatch(spark, sf(), queries, topK = 3,
+      broadcastQueries = Some(true))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "vec_id", "cosine", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(rows(batched) === rows(reference),
+      "shuffle-hash batch serving diverges from the broadcast reference")
+    // ...and every replica of query q ranks exactly like the q itself
+    // under the registered probe (vec_id<10 slice, same nProbe): the
+    // original vector is its own top hit at cosine 1.0 excepted
+    val plan = batched.queryExecution.sparkPlan
+    // the corpus (list) side must NOT be broadcast: no broadcast hash
+    // join anywhere (the only broadcasts left are the 1-row centroid
+    // array attaches — nested-loop, not hash)
+    assert(plan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }.isEmpty, "batched serving still broadcasts a join side")
+    assert(plan.collect {
+      case s: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => s
+    }.nonEmpty, "batched serving did not take the shuffle-hash join")
+    // the list scan still partition-prunes to the union of probed cells
+    val scans = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains(IvfModel.ListsTable)) => s
+    }
+    assert(scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty),
+      "batched serving reads every cell — union-of-probes pruning lost")
+  }
+
+  test("filtered-search dispatch is jobless on a warm JVM (persisted per-label stats)") {
+    IvfModel.ensureAttrLists(spark, sf())
+    // first access loads the one-file stats table (a tiny job) and warms
+    // the per-generation memo
+    val warm = IvfModel.attrLabelCount(spark, sf(), TextOps.FilterLabel)
+    // ...and the stat must agree with a live count of the lists
+    val live = IvfModel.attrLists(spark, sf())
+      .filter(col("label") === TextOps.FilterLabel).count()
+    assert(warm === live, "persisted survivor stat diverges from the live lists")
+    assert(warm > 0, "fixture broken: no survivors under the filter label")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // calibrate: the listener must observably see a real job through
+      // the async bus within the wait we use for the zero assertion
+      spark.range(10).toDF().queryExecution.toRdd.count()
+      val deadline = System.currentTimeMillis() + 5000
+      while (jobs.get() == 0 && System.currentTimeMillis() < deadline) Thread.sleep(20)
+      assert(jobs.get() > 0, "listener calibration failed — cannot assert joblessness")
+      jobs.set(0)
+      // the dispatch stat on a warm memo: NO Spark job
+      assert(IvfModel.attrLabelCount(spark, sf(), TextOps.FilterLabel) === warm)
+      Thread.sleep(1000) // same bus latency budget the calibration passed under
+      assert(jobs.get() === 0,
+        s"warm dispatch launched ${jobs.get()} Spark job(s) — the count is not O(1)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("checked append skips a mutated vector's re-ingest; unchecked duplicates it; maintain audits it") {
+    import graft.queries.PqModel
+    PqModel.ensure(spark, sf())
+    val cents = IvfModel.centroids(spark, sf())
+    val cb = PqModel.codebookArr(spark, sf())
+    val all = graft.core.Tables.embeddings(spark, sf())
+      .select(col("vec_id"), graft.functions.VectorOps.toDouble(col("embedding")).as("emb"))
+    // pick two seeded vectors that live in DIFFERENT cells, then "mutate"
+    // the first's content into the second's vector — the re-assignment
+    // lands in the other cell, the exact escape the precondition documents
+    val seeded = IvfModel.assignClusters(all.filter(col("vec_id") < 100), cents)
+      .select("vec_id", "cluster").collect().map(r => (r.getLong(0), r.getInt(1)))
+    val (idA, cellA) = seeded.head
+    val (idB, _) = seeded.find(_._2 != cellA).get
+    val mutated = all.filter(col("vec_id") === idB)
+      .select(lit(idA).as("vec_id"), col("emb"))
+    def dupes(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("vec_id").count().filter(col("count") > 1).count()
+    // unchecked: the documented hazard, made visible — and the maintain
+    // audit reports it loudly instead of letting it sit silent
+    val whU = graft.etl.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft_checked_u_").toString)
+    IvfModel.seedListsFrame(whU, all.filter(col("vec_id") < 100), cents)
+    PqModel.seedPqListsFrame(whU, all.filter(col("vec_id") < 100), cents, cb)
+    IvfModel.appendListsFrame(whU, mutated, cents)
+    PqModel.appendPqListsFrame(whU, mutated, cents, cb)
+    assert(dupes(IvfModel.listsOf(whU)) === 1, "fixture: mutation did not escape the pruned check")
+    val audit = graft.pipelines.ClusterState.maintain(whU)
+    assert(audit.duplicateIds.get(IvfModel.ListsTable).contains(1L))
+    assert(audit.duplicateIds.get(PqModel.PqListsTable).contains(1L))
+    // checked: the unpruned anti-join sees the landed id regardless of
+    // cell — skipped, never duplicated; honest fresh rows still land
+    val whC = graft.etl.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft_checked_c_").toString)
+    IvfModel.seedListsFrame(whC, all.filter(col("vec_id") < 100), cents)
+    PqModel.seedPqListsFrame(whC, all.filter(col("vec_id") < 100), cents, cb)
+    IvfModel.appendListsFrame(whC, mutated, cents, checked = true)
+    PqModel.appendPqListsFrame(whC, mutated, cents, cb, checked = true)
+    assert(dupes(IvfModel.listsOf(whC)) === 0 && dupes(PqModel.pqListsOf(whC)) === 0)
+    val fresh = all.filter(col("vec_id") >= 100 && col("vec_id") < 150)
+    IvfModel.appendListsFrame(whC, fresh, cents, checked = true)
+    PqModel.appendPqListsFrame(whC, fresh, cents, cb, checked = true)
+    val expectN = all.filter(col("vec_id") < 150).count()
+    assert(IvfModel.listsOf(whC).count() === expectN)
+    assert(PqModel.pqListsOf(whC).count() === expectN)
+    assert(graft.pipelines.ClusterState.maintain(whC)
+      .duplicateIds.values.forall(_ === 0L))
+  }
+
+  test("seeds project to the payload shape: a caller's extra columns don't persist") {
+    val wh = graft.etl.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft_seedproj_").toString)
+    val cents = IvfModel.centroids(spark, sf())
+    val all = graft.core.Tables.embeddings(spark, sf())
+      .select(col("vec_id"), graft.functions.VectorOps.toDouble(col("embedding")).as("emb"),
+        col("label"), lit("junk").as("extra_col"))
+    IvfModel.seedListsFrame(wh, all, cents)
+    IvfModel.seedAttrListsFrame(wh, all, cents)
+    // the RAW persisted schema (schema-inferred read of the live version
+    // dir, not the projected accessors): exactly the payload + stamp +
+    // partition column, nothing the caller dragged in
+    def rawColumns(table: String): Set[String] = {
+      val live = new java.io.File(wh.dir).listFiles()
+        .filter(f => f.getName.startsWith(s"$table.__v") &&
+          new java.io.File(f, "_SUCCESS").exists()).maxBy(_.getName)
+      spark.read.parquet(live.toString).columns.toSet
+    }
+    assert(rawColumns(IvfModel.ListsTable) ===
+      Set("vec_id", "emb", "corpus_stamp", "cluster"))
+    assert(rawColumns(IvfModel.AttrListsTable) ===
+      Set("vec_id", "emb", "label", "corpus_stamp", "cluster"))
+  }
+
   test("Lsh.bitsFor computes the documented occupancy dial") {
     // reference: smallest bits with expected occupancy n/2^bits <= target
     def ref(n: Long, target: Int): Int =

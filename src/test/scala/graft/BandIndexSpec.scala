@@ -185,6 +185,35 @@ class BandIndexSpec extends SparkTestBase {
       docsAll.select(col("doc_id")).distinct(), TextOps.minhashPairsOf(docsAll))))
   }
 
+  test("checked append: a changed doc's re-ingest yields no duplicate (doc_id, band) rows") {
+    val text1 = "alpha beta gamma delta epsilon zeta"
+    val text2 = "one two three four five six seven eight"
+    def docs(t: String) = Seq((1L, t)).toDF("doc_id", "text")
+    // fixture sanity: the edit moves at least one band into a different
+    // bk_bucket — the exact escape hatch of the pruned check
+    val (b1, b2) = (BandIndex.bandedOf(docs(text1)), BandIndex.bandedOf(docs(text2)))
+    def buckets(df: DataFrame) = df.select("band", "bk_bucket").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(buckets(b1) !== buckets(b2), "fixture: edit did not move any band's bucket")
+    val wh = tmpWh()
+    BandIndex.seed(wh, docs(text1))
+    // mutable-corpus posture: checked append sees the landed (doc_id,
+    // band) keys UNPRUNED, so the edited doc is skipped, never duplicated
+    BandIndex.appendBatchBanded(wh, b2, checked = true)
+    val perKey = BandIndex.banded(wh).groupBy("doc_id", "band").count()
+    assert(perKey.filter(col("count") > 1).count() === 0,
+      "checked append duplicated a (doc_id, band) row")
+    // stale-but-consistent: the index still holds the SEED's content
+    assert(pairRows(BandIndex.banded(wh)) === pairRows(b1))
+    // default path unchanged: replay of IDENTICAL content is still a no-op
+    BandIndex.appendBatchBanded(wh, b1)
+    assert(perKey.filter(col("count") > 1).count() === 0)
+  }
+
+  private def pairRows(df: DataFrame) = df
+    .select("doc_id", "band", "band_key").collect()
+    .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
   test("a torn append repairs at (doc_id, band) granularity — missing bands complete, nothing duplicates") {
     val wh = tmpWh()
     BandIndex.seed(wh, partA)

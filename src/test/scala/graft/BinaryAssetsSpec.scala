@@ -15,7 +15,10 @@ class BinaryAssetsSpec extends SparkTestBase {
     assert(schema("payload").dataType === BinaryType)
     val meta = decodeMeta(assets).collect()
     assert(meta.length === 99)
-    assert(meta.forall(m => m.width >= 64 && m.height >= 64 && m.n_bytes >= 80))
+    // audio has no dimensions (real WAV tier); image/video carry the dims
+    assert(meta.filter(_.kind != "audio").forall(m => m.width >= 64 && m.height >= 64))
+    assert(meta.filter(_.kind == "audio").forall(m => m.width === 0 && m.height === 0))
+    assert(meta.forall(_.n_bytes >= 80))
     assert(meta.map(_.kind).toSet === Set("image", "audio", "video"))
   }
 
@@ -31,20 +34,26 @@ class BinaryAssetsSpec extends SparkTestBase {
     assert(schema("embedding").dataType === ArrayType(FloatType, containsNull = false))
   }
 
-  test("resize: images REALLY rescale (re-encoded PNG decodes at target dims), stub kinds rewrite headers") {
+  test("resize: images REALLY rescale (re-encoded PNG decodes at target dims), video rewrites headers, audio passes through") {
     val resized = resize(assets, 640, 480)
     val meta = decodeMeta(resized).collect()
-    // every kind reports the target dims — images because the re-encoded
-    // container actually IS 640x480 (real decode on the way back out),
-    // stub kinds because the header was rewritten
     assert(meta.length === 99)
-    assert(meta.forall(m => m.width === 640 && m.height === 480))
-    // stub kinds: payload body untouched → features unchanged
+    // images report the target dims because the re-encoded container
+    // actually IS 640x480 (real decode on the way back out); video
+    // because the stub header was rewritten; audio is untouched — a
+    // spatial resize is meaningless for a waveform
+    assert(meta.filter(_.kind != "audio").forall(m => m.width === 640 && m.height === 480))
+    assert(meta.filter(_.kind == "audio").forall(m => m.width === 0 && m.height === 0))
+    // audio payloads byte-identical; video payload body untouched →
+    // features unchanged on both
     val nonImage = assets.filter(a => a.kind != "image")
     val f0 = extractFeatures(nonImage).orderBy("asset_id").collect()
     val f1 = extractFeatures(resized.filter(a => a.kind != "image")).orderBy("asset_id").collect()
     assert(f0.nonEmpty)
     assert(f0.zip(f1).forall { case (a, b) => a.embedding.sameElements(b.embedding) })
+    val a0 = assets.filter(a => a.kind == "audio").collect().sortBy(_.asset_id)
+    val a1 = resized.filter(a => a.kind == "audio").collect().sortBy(_.asset_id)
+    assert(a0.zip(a1).forall { case (x, y) => x.payload.sameElements(y.payload) })
   }
 
   test("image tier is a REAL PNG path: container magic + ImageIO dims matching the encoded contract") {
@@ -63,6 +72,45 @@ class BinaryAssetsSpec extends SparkTestBase {
       assert(m.height === 64 + (m.asset_id % 3).toInt * 64, s"asset ${m.asset_id} height")
       assert(m.format === "image/png" && m.duration_ms === 0L)
     }
+  }
+
+  test("audio tier is a REAL WAV path: RIFF container + AudioSystem duration matching the encoded contract") {
+    val wavs = assets.filter(a => a.kind == "audio").collect()
+    assert(wavs.nonEmpty)
+    // payloads are genuine RIFF/WAVE containers, not fake headers
+    wavs.foreach { a =>
+      assert(a.payload.take(4).sameElements("RIFF".getBytes) &&
+        a.payload.slice(8, 12).sameElements("WAVE".getBytes),
+        s"asset ${a.asset_id} payload is not a WAV container")
+    }
+    // the real header reader recovers the contract duration and media type
+    val meta = decodeMeta(assets).filter(_.kind == "audio").collect()
+    assert(meta.length === wavs.length)
+    meta.foreach { m =>
+      assert(m.duration_ms === 1000L + m.asset_id * 10, s"asset ${m.asset_id} duration")
+      assert(m.format === "audio/wav" && m.width === 0 && m.height === 0)
+    }
+    // ...and the parsed sample rate is the generator's contract rate
+    val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+      new java.io.ByteArrayInputStream(wavs.head.payload))
+    assert(aff.getFormat.getSampleRate === WavCodec.SampleRateHz)
+  }
+
+  test("a corrupt audio payload is skipped with a log line, never fatal") {
+    import spark.implicits._
+    val good = syntheticAssets(spark, 6)
+    val corrupt = Seq(
+      BinaryAssets.Asset(2000L, "audio", Array[Byte](9, 9, 9, 9)),          // not a container
+      BinaryAssets.Asset(2001L, "audio", Array.empty[Byte]),                // empty blob
+      // a RIFF prefix torn mid-header — parse must fail cleanly, not throw
+      BinaryAssets.Asset(2002L, "audio",
+        WavCodec.synthesize(0L, 100L).take(20))).toDS()
+    val meta = decodeMeta(good.union(corrupt)).collect()
+    assert(meta.length === 6)
+    assert(!meta.exists(_.asset_id >= 2000L))
+    // resize passes audio through (corrupt or not) instead of dying
+    val out = resize(corrupt, 32, 32).collect().sortBy(_.asset_id)
+    assert(out.length === 3 && out(0).payload.sameElements(Array[Byte](9, 9, 9, 9)))
   }
 
   test("a corrupt image payload is skipped with a log line, never fatal") {

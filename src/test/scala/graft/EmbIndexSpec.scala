@@ -116,6 +116,53 @@ class EmbIndexSpec extends SparkTestBase {
     assert(ClusterState.clusters(wh).count() === 0L)
   }
 
+  test("checked append skips a changed vector's re-ingest instead of duplicating it") {
+    val v1 = Array.fill(Lsh.Dim)(0.25f)
+    // a vector aligned with plane 0 — guaranteed opposite side of at
+    // least that hyperplane is NOT guaranteed vs v1, so assert the
+    // fixture's codes actually differ before relying on it
+    val v2 = Lsh.allPlanes(0).map(d => -d.toFloat * 0.5f).toArray
+    def frame(v: Array[Float]) = Seq((1L, v)).toDF("vec_id", "embedding")
+    val (c1, c2) = (EmbIndex.codedOf(frame(v1)), EmbIndex.codedOf(frame(v2)))
+    def bucket(df: DataFrame) = df.select("bucket").collect().head.getLong(0)
+    assert(bucket(c1) !== bucket(c2), "fixture: mutation kept the same sign code")
+    // unchecked: the documented hazard — the mutated row escapes the
+    // pruned anti-join and duplicates vec_id 1
+    val whU = tmpWh()
+    EmbIndex.seed(whU, frame(v1))
+    EmbIndex.appendBatchCoded(whU, c2)
+    assert(EmbIndex.coded(whU).count() === 2L)
+    // checked: the unpruned anti-join sees the landed vec_id — skipped
+    val whC = tmpWh()
+    EmbIndex.seed(whC, frame(v1))
+    EmbIndex.appendBatchCoded(whC, c2, checked = true)
+    assert(EmbIndex.coded(whC).count() === 1L,
+      "checked append duplicated a mutated vector's row")
+  }
+
+  test("maintain runs the drift reconcile: a cap-crossed state is repaired and the drift surfaces") {
+    // the cap-crossed fixture from the reconcileEmbeddings test, driven
+    // through the scheduled-maintenance front: maintain must REPAIR the
+    // state (full rebuild) and surface the measured drift + alert
+    val wh = tmpWh()
+    val v = Array.fill(Lsh.Dim)(0.25f)
+    def frame(ids: Long*) = ids.map(i => (i, v)).toDF("vec_id", "embedding")
+    ClusterState.seedEmbeddings(wh, frame(1L, 2L), maxBucket = 3)
+    ClusterState.ingestEmbeddingBatch(wh, frame(3L, 4L), maxBucket = 3)
+    assert(ClusterState.clusters(wh).count() === 2L, "fixture: seed did not cluster (1,2)")
+    val rep = ClusterState.maintain(wh,
+      reconcileEmb = Some(frame(1L, 2L, 3L, 4L)), embMaxBucket = 3)
+    assert(rep.drift === Some(1L), s"expected the one stale label, got ${rep.drift}")
+    assert(rep.driftAlerted, "drift above the threshold did not alert")
+    assert(ClusterState.clusters(wh).count() === 0L, "maintain did not repair the state")
+    // a second pass over the repaired state measures zero drift, no alert
+    val rep2 = ClusterState.maintain(wh,
+      reconcileEmb = Some(frame(1L, 2L, 3L, 4L)), embMaxBucket = 3)
+    assert(rep2.drift === Some(0L) && !rep2.driftAlerted)
+    // maintenance without a reconcile corpus stays measurement-free
+    assert(ClusterState.maintain(wh).drift.isEmpty)
+  }
+
   test("appendBatch is replay-idempotent; grown index probes like a reseeded one") {
     val wh = tmpWh()
     EmbIndex.seed(wh, partA)
