@@ -27,11 +27,18 @@ object Bench {
     // swallowed seed failure resurfaces as a mysterious 2-5x lifecycle
     // slowdown (the query re-seeds inside the measured region). Loud +
     // non-fatal: name the stage, print the exception, keep going.
+    // Dev aid for partial-corpus runs (e.g. the documents+embeddings
+    // decade² subset): SPARK_GRAFT_SKIP_WARM=assets,pq,... skips named
+    // warm stages whose artifacts the selected queries don't touch. The
+    // driver leaves it unset and warms everything.
+    val skipWarm = sys.env.get("SPARK_GRAFT_SKIP_WARM")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     def warm(stage: String)(body: => Unit): Unit =
-      try body catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] warmup $stage failed: ${e.getClass.getName}: ${e.getMessage}")
-      }
+      if (!skipWarm(stage))
+        try body catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] warmup $stage failed: ${e.getClass.getName}: ${e.getMessage}")
+        }
     // JVM/codegen warmup so the first measured query doesn't absorb
     // class-loading + Janino + JIT cost (~3s observed on q23)
     warm("jit") {

@@ -420,7 +420,17 @@ case class Warehouse(spark: SparkSession, dir: String) {
     */
   def appendLive(name: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit =
     withWriterLease(s"appendLive:$name") {
-      df.write.mode("append").partitionBy(partitionBy: _*).parquet(resolve(name).toString)
+      // same one-file-per-touched-dir shaping as [[rewrite]]: a batch
+      // left on its arrival partitioning writes (tasks holding the dir's
+      // rows) files per dir per batch, and a year of appends turns every
+      // partition dir into thousands of files before compact can catch
+      // up. The shuffle is batch-sized — the cheapest stage of any
+      // append.
+      val shaped =
+        if (partitionBy.nonEmpty) df.repartition(partitionBy.map(df.col): _*) else df
+      shaped.write.mode("append")
+        .option("maxRecordsPerFile", MaxRecordsPerFile)
+        .partitionBy(partitionBy: _*).parquet(resolve(name).toString)
     }
 
   /** Compact a table grown by [[appendLive]]: re-commit the live rows as
@@ -442,9 +452,9 @@ case class Warehouse(spark: SparkSession, dir: String) {
   def compact(name: String, schema: StructType, partitionBy: Seq[String] = Nil,
               numFiles: Int = 1): Unit = withWriterLease(s"compact:$name") {
     val df = read(name, schema)
-    val packed =
-      if (partitionBy.nonEmpty) df.repartition(partitionBy.map(df.col): _*)
-      else df.repartition(numFiles)
+    // partitioned tables: [[rewrite]] itself packs one file per
+    // `col=value` dir now — no second shuffle here
+    val packed = if (partitionBy.nonEmpty) df else df.repartition(numFiles)
     rewrite(name, packed, partitionBy)
   }
 
@@ -463,8 +473,26 @@ case class Warehouse(spark: SparkSession, dir: String) {
     val vname = versionName(name, next)
     // partitionBy gives a versioned table the Hive layout (col=value dirs
     // inside the version dir) so partition-pruned reads work under the
-    // same pointer-flip commit — the IVF inverted-list table's shape
-    df.write.mode("overwrite").partitionBy(partitionBy: _*).parquet(path(vname))
+    // same pointer-flip commit — the IVF inverted-list table's shape.
+    // Shuffle onto the partition columns FIRST: without it every write
+    // task fans a file into every partition dir it holds rows for —
+    // shuffle.partitions × |values| tiny files from a single seed
+    // (measured: a bits=13 seed wrote 144k sub-2KB files, and the
+    // open/footer overhead of that litter is exactly what this layout's
+    // probe reads must not pay; on an object store it is fatal). One
+    // value → one task → one file per dir; a skewed giant partition
+    // still splits via maxRecordsPerFile rather than stalling a reader
+    // on one huge file. Probe-index tables are value-partitioned fine-
+    // grained (hundreds to thousands of dirs), so task parallelism
+    // survives the shuffle; high-volume fact appends, where per-task
+    // parallelism INSIDE one partition value matters more than file
+    // count, go through [[appendPartitioned]], which deliberately keeps
+    // the parallel layout.
+    val shaped =
+      if (partitionBy.nonEmpty) df.repartition(partitionBy.map(df.col): _*) else df
+    shaped.write.mode("overwrite")
+      .option("maxRecordsPerFile", MaxRecordsPerFile)
+      .partitionBy(partitionBy: _*).parquet(path(vname))
 
     // commit: tmp pointer + rename. Rename is atomic on local FS and HDFS;
     // between delete and rename there is no pointer, and resolve() then
@@ -502,6 +530,15 @@ case class Warehouse(spark: SparkSession, dir: String) {
     * `vacuum` (not a routine rewrite) could break it.
     */
   val RetainVersions = 3
+
+  /** Per-file row cap on the one-task-per-partition-value layout
+    * [[rewrite]]/[[appendLive]] shape into: a skewed partition value
+    * splits into bounded files instead of becoming one unsplittable
+    * multi-GB parquet (a reader can parallelize across files; it cannot
+    * parallelize a single row group it has to open). 5M rows ≈
+    * 100-500 MB of the row shapes these tables hold.
+    */
+  val MaxRecordsPerFile = 5000000L
 
   /** Reclaim all superseded storage for `name` (older versions and the
     * legacy flat directory). Call when no reader holds a plan resolved

@@ -355,7 +355,12 @@ object BinaryAssets {
     */
   def t44FrameSample(s: SparkSession, dir: String): DataFrame = {
     ensureAssets(s, dir)
-    decodeMeta(assets(s, dir)).toDF()
+    // kind filter BELOW the decode: it reaches the parquet scan as a
+    // pushed predicate, so a video-only query never pays the real
+    // image/audio codec cost of the other two slices (those decodes are
+    // t45's job). Decode cost is per-row CPU — pruning the rows is the
+    // only lever.
+    decodeMeta(assets(s, dir).filter(col("kind") === "video")).toDF()
       .filter(col("kind") === "video")
       .withColumn("frame_idx",
         explode(sequence(lit(0L), expr(s"(duration_ms - 1) div $StrideMs"))))

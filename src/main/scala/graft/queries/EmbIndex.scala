@@ -147,7 +147,9 @@ object EmbIndex {
   private[graft] def incrementCosinePairsOf(index: DataFrame, batchCoded: DataFrame,
                                             bits: Int, radius: Int,
                                             maxBucket: Int,
-                                            maxInline: Int = BucketPrune.MaxInline): DataFrame = {
+                                            maxInline: Int = BucketPrune.MaxInline,
+                                            probeBroadcastMaxBytes: Long =
+                                              TextOps.ProbeBroadcastMaxBytes): DataFrame = {
     val cut = Frames.cut _
     // an already-materialized coded frame is not copied again
     val bc = Frames.cutIfPlain(batchCoded)
@@ -180,11 +182,51 @@ object EmbIndex {
       .join(broadcast(oversized), Seq("bucket"), "left_anti")
     val batchCapped = bc.join(broadcast(oversized), Seq("bucket"), "left_anti")
 
-    val probes = batchCapped.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"),
-      col("nrm").as("nrm_a"),
-      explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
-    corpus.join(probes, Seq("bucket"))
-      .filter(col("vec_a") =!= col("vec_id"))
+    // the pair join mirrors t15's two shapes EXACTLY — but, being an
+    // INCREMENT, the probe side is batch-sized, and a small batch's
+    // exploded probe frame can legitimately broadcast (the index scan
+    // then stays in place: ZERO corpus bytes moved, the ideal shape for
+    // a small increment against a huge index). The planner must not
+    // make that call: the probe's true size is |batch| × |masks| but the
+    // planner sees only the pre-Generate estimate, so left alone a wide
+    // dial (bits=10, radius 4 → 386 masks) elects the ~2 GB exploded
+    // frame for BroadcastExchange and OOMs the driver — measured at the
+    // round-11 sf1.0 decade run. So the choice is EXPLICIT, from the
+    // honest pre-explode estimate (the batch is a materialized
+    // checkpoint) × the fan-out: under [[TextOps.ProbeBroadcastMaxBytes]]
+    // the probe frame is broadcast()-wrapped; over it, shuffle-hash
+    // pinned. The estimate uses the FULL batch row width even for the
+    // narrow (ids-only) probe shape, so it only ever errs toward the
+    // safe shuffle. Above [[TextOps.NarrowProbeMaskThreshold]] masks the
+    // probe also goes NARROW (ids only — the emb payload re-attaches per
+    // candidate from the batch-sized frame) so the per-candidate rows
+    // are ~16 B instead of 530 B — PROVIDED the batch attach side
+    // broadcasts (same [[TextOps.AttachBroadcastMaxBytes]] gate as t15:
+    // a planner-chosen shuffle attach would move the candidate
+    // intermediate, the disk-filling shape the sf10 run measured).
+    val batchBytes = bc.queryExecution.optimizedPlan.stats.sizeInBytes
+    val attachFits = batchBytes <= TextOps.AttachBroadcastMaxBytes
+    val probeFits =
+      batchBytes * masks.length <= probeBroadcastMaxBytes
+    def paired(probes: DataFrame): DataFrame =
+      if (probeFits) corpus.join(broadcast(probes), Seq("bucket"))
+      else corpus.hint("shuffle_hash").join(probes, Seq("bucket"))
+    val scored =
+      if (masks.length > TextOps.NarrowProbeMaskThreshold && attachFits) {
+        val probes = batchCapped.select(col("vec_id").as("vec_a"),
+          explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+        paired(probes)
+          .filter(col("vec_a") =!= col("vec_id"))
+          .join(broadcast(batchCapped.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"),
+            col("nrm").as("nrm_a"))), Seq("vec_a"))
+      } else {
+        val probes = batchCapped.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"),
+          col("nrm").as("nrm_a"),
+          explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+        paired(probes)
+          .filter(col("vec_a") =!= col("vec_id"))
+      }
+    scored
       .select(least(col("vec_a"), col("vec_id")).as("pair_a"),
         greatest(col("vec_a"), col("vec_id")).as("pair_b"),
         // cosine is symmetric, so orientation normalization cannot change

@@ -924,7 +924,15 @@ object TextOps {
     * queries against, rather than routing it through JVM-global state
     * that a concurrent or re-ordered ensure() could have repointed.
     */
-  def t14Sql(dir: String): String =
+  def t14Sql(dir: String): String = ivfProbeSql(dir, 10)
+
+  /** The IVF probe replay at an arbitrary query-set bound — t14/t36/t46
+    * use the registered 10-query set; t51 replays the batched-serving
+    * shape over [[BatchQueryBound]] queries (the SQL is bound-agnostic:
+    * result semantics don't depend on the join strategy the Spark side
+    * picked).
+    */
+  private def ivfProbeSql(dir: String, queryBound: Int): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
        |c AS (SELECT cid, cvec FROM read_parquet('${IvfModel.oraclePath(dir)}/*.parquet')),
        |ad AS (
@@ -938,7 +946,7 @@ object TextOps {
        |probes AS (
        |  SELECT vec_id AS query_id, emb AS q_emb, cid AS cluster FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS pr
-       |    FROM ad WHERE vec_id < 10)
+       |    FROM ad WHERE vec_id < $queryBound)
        |  WHERE pr <= $DialIvfNProbe),
        |scored AS (
        |  SELECT p.query_id, a.vec_id, a.cluster,
@@ -1343,6 +1351,32 @@ object TextOps {
        |SELECT query_id, vec_id, cluster, cosine, rk FROM ranked
        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
+  // ---------------------------------------------------------------- t51
+  /** BATCHED ANN serving as a registered, ORACLE-CHECKED query: the
+    * [[annTopKBatch]] path FORCED into its past-the-broadcast-cap shape
+    * (probe side shuffle-hashed, corpus never broadcast, list scan
+    * pruned to the union of probed cells) over a [[BatchQueryBound]]-
+    * query batch. The oracle is the same IVF replay as t14/t36 at the
+    * wider bound — the join strategy must be invisible in the results,
+    * which is exactly the claim batch serving has to prove. (AnnSpec
+    * additionally pins the 10⁴-query scale and the plan shape; this
+    * registered entry makes the driver's hash gate cover the serving
+    * path itself.)
+    */
+  val BatchQueryBound = 100
+
+  def t51AnnBatchServe(s: SparkSession, dir: String,
+                       k: Int = IvfModel.K, nProbe: Int = IvfModel.NProbe): DataFrame = {
+    IvfModel.ensureLists(s, dir, k = k)
+    val lists = IvfModel.lists(s, dir)
+    ivfListsProbeFor(lists, IvfModel.centroids(s, dir),
+      lists.filter(col("vec_id") < BatchQueryBound)
+        .select(col("vec_id").as("query_id"), col("emb").as("q_emb")),
+      nProbe, broadcastQueries = false)
+  }
+
+  def t51Sql(dir: String): String = ivfProbeSql(dir, BatchQueryBound)
+
   // ---------------------------------------------------------------- t16
   /** BPE-style token counting beside the whitespace count (t02): a GPT-2
     * pretokenizer-shaped regex (contraction suffixes, space-prefixed
@@ -1596,6 +1630,41 @@ object TextOps {
     */
   val NarrowProbeMaskThreshold = 64
 
+  /** The narrow probe's OTHER precondition, found by the round-11 sf10
+    * decade² run: its post-candidate attach join is only cheap while the
+    * attach side (the per-vector embedding frame) BROADCASTS. Auto-
+    * broadcast stops at 10 MB, and past that the planner silently flips
+    * the attach to a shuffle of the CANDIDATE intermediate —
+    * probe_fraction × n × occupancy rows × ~550 B, i.e. hundreds of GB
+    * of shuffle spill at 200k vectors (measured: filled the disk at
+    * bits=13). So the narrow shape now broadcasts the attach side
+    * EXPLICITLY while its plan-stats estimate fits this budget, and
+    * falls back to the WIDE shape beyond it: the wide probe shuffle is
+    * masks × n × row-width — linear in n — and its candidates reduce
+    * map-side (filter + partial agg) without ever being shuffled.
+    */
+  val AttachBroadcastMaxBytes: Long = 256L << 20
+
+  /** The increment pair join's OTHER side of the same coin: when the
+    * EXPLODED probe frame's true size — the batch's honest plan-stats
+    * bytes × the mask fan-out — provably fits this budget, broadcasting
+    * it EXPLICITLY is strictly better than shuffle-hash (the corpus/
+    * index scan stays in place; a small increment against a huge index
+    * moves ZERO corpus bytes). Past the budget, shuffle-hash on bucket.
+    * The planner cannot make this call either way: Generate keeps its
+    * child's estimate, so left alone it broadcasts a ~2 GB exploded
+    * frame (the sf1.0 decade OOM) — the gate multiplies the pre-explode
+    * estimate by the fan-out itself, and the estimate errs WIDE for the
+    * narrow (ids-only) probe shape, so over-budget only ever demotes to
+    * the shuffle that is already linear and safe. The budget is set
+    * against Catalyst's ESTIMATE, which over-counts array columns by
+    * ~10× (measured: a 110 KB coded batch estimates 1.33 MB) — 256 MB
+    * estimated is a few tens of MB on the wire, while the sf1.0 OOM
+    * case (2000-row batch × 386 masks ≈ 5 GB estimated) stays firmly on
+    * the shuffle side.
+    */
+  val ProbeBroadcastMaxBytes: Long = 256L << 20
+
   /** The t15 pipeline over an arbitrary (vec_id, embedding) frame — also
     * the spec hook for the [[EmbBucketCap]] skew guard on pathological
     * dense-bucket corpora.
@@ -1626,8 +1695,16 @@ object TextOps {
       .select(col("bucket"))
     val e = e0.join(broadcast(oversized), Seq("bucket"), "left_anti")
     val masks = Lsh.masksWithin(radius, bits)
+    // narrow is only safe while the attach side BROADCASTS (see
+    // [[AttachBroadcastMaxBytes]]): its attach join otherwise shuffles
+    // the candidate intermediate — probe_fraction × n × occupancy rows
+    // of ~550 B, the disk-filling shape the sf10 decade² run measured.
+    // The estimate is honest here: embSrc is scan-derived or a
+    // materialized checkpoint, no Generate in its lineage.
+    lazy val attachFits =
+      embSrc.queryExecution.optimizedPlan.stats.sizeInBytes <= AttachBroadcastMaxBytes
     val scored =
-      if (narrowProbe.getOrElse(masks.length > NarrowProbeMaskThreshold)) {
+      if (narrowProbe.getOrElse(masks.length > NarrowProbeMaskThreshold && attachFits)) {
         val probes = e.select(col("vec_id").as("vec_a"),
           explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
         // shuffle-hash PINNED: the probe side's true size is masks × n —
@@ -1640,8 +1717,12 @@ object TextOps {
           .filter(col("vec_a") < col("vec_id"))
           .select(col("vec_a"), col("vec_id").as("vec_b"),
             col("emb").as("emb_b"), col("nrm").as("nrm_b"))
-          .join(e.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"),
-            col("nrm").as("nrm_a")), Seq("vec_a"))
+          // EXPLICIT broadcast: the gate above guarantees it fits, and
+          // letting the planner decide flips this into a shuffle of the
+          // candidate intermediate the moment the frame crosses the
+          // 10 MB auto threshold
+          .join(broadcast(e.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"),
+            col("nrm").as("nrm_a"))), Seq("vec_a"))
           .select(col("vec_a"), col("vec_b"),
             R.halfUp(when(col("nrm_a") === 0.0 || col("nrm_b") === 0.0, 0.0)
               .otherwise(V.dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b"))), 6)
@@ -2184,6 +2265,8 @@ object TextOps {
     "t49_ann_filtered"    -> ((s: SparkSession, d: String) =>
       t49AnnFiltered(s, d, DialIvfK, DialIvfNProbe)),
     "t50_ann_filtered_exact" -> (t50AnnFilteredExact _),
+    "t51_ann_batch_serve" -> ((s: SparkSession, d: String) =>
+      t51AnnBatchServe(s, d, DialIvfK, DialIvfNProbe)),
     "t15_cosine_near_dup" -> ((s: SparkSession, d: String) =>
       cosineCandidatePairs(s, d, DialBits, DialRadius.getOrElse(PairRadius), DialEmbCap)),
     "t16_token_bpe"       -> (t16TokenBpe _),
@@ -2239,6 +2322,9 @@ object TextOps {
     // the crossover's exact branch: no probe restriction, every
     // label-constrained candidate scored
     "t50_ann_filtered_exact" -> t50Sql(dir),
+    // the batched-serving shape answers the same IVF replay at the
+    // wider query bound — strategy-invisible results ARE the claim
+    "t51_ann_batch_serve" -> t51Sql(dir),
     "t15_cosine_near_dup" -> t15Sql,
     "t16_token_bpe"       -> t16Sql,
     "t34_embed_dedup_clusters" -> t34Sql,

@@ -105,6 +105,43 @@ class PlanShapeSpec extends SparkTestBase {
     TextOps.invalidatePairCache()
   }
 
+  test("embedding INCREMENT pair join never broadcasts the exploded probe side past the budget") {
+    // the round-11 sf1.0 decade run at bits=10 OOM'd the driver here:
+    // t15's own pin (previous test) did not cover EmbIndex's increment
+    // path, whose batch × 386-mask probe frame sat under a Generate and
+    // got elected for broadcast. Past ProbeBroadcastMaxBytes (forced
+    // here with budget 0 — the production regime, where batch × masks
+    // does not fit) the increment must carry the narrow-probe +
+    // shuffle-hash shape with no Generate-hidden broadcast.
+    import graft.queries.EmbIndex
+    import org.apache.spark.sql.functions.col
+    val emb = graft.core.Tables.embeddings(spark, sf())
+    val idx = EmbIndex.codedOf(emb.filter(col("vec_id") < 250), 10)
+    val bat = EmbIndex.codedOf(emb.filter(col("vec_id") >= 250), 10)
+    val plan = EmbIndex.incrementCosinePairsOf(idx, bat, 10, TextOps.PairRadius,
+      TextOps.EmbBucketCap, probeBroadcastMaxBytes = 0L).queryExecution.sparkPlan
+    assert(plan.collectFirst {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }.nonEmpty, "wide-dial increment pair join is not shuffle-hash")
+    assert(broadcastOverGenerate(plan).isEmpty,
+      "the increment's exploded (batch × masks) probe frame sits under a BroadcastExchange")
+  }
+
+  test("increment pair join strategy is invisible in the results (broadcast vs shuffle-hash)") {
+    // under the budget the probe frame broadcasts EXPLICITLY (a small
+    // increment against a huge index moves zero corpus bytes); the gate
+    // may only change the join strategy, never a row
+    import graft.queries.EmbIndex
+    import org.apache.spark.sql.functions.col
+    val emb = graft.core.Tables.embeddings(spark, sf())
+    val idx = EmbIndex.codedOf(emb.filter(col("vec_id") < 250), 10)
+    val bat = EmbIndex.codedOf(emb.filter(col("vec_id") >= 250), 10)
+    def run(budget: Long) =
+      EmbIndex.incrementCosinePairsOf(idx, bat, 10, TextOps.PairRadius,
+        TextOps.EmbBucketCap, probeBroadcastMaxBytes = budget)
+    assert(run(Long.MaxValue).collect().toSeq == run(0L).collect().toSeq)
+  }
+
   test("t06/t07 banded self-joins never broadcast the exploded corpus side") {
     val docs = graft.core.Tables.documents(spark, sf())
     for (df <- Seq(TextOps.minhashPairsOf(docs), TextOps.simhashPairsOf(docs))) {

@@ -38,6 +38,41 @@ class WarehouseSpec extends SparkTestBase {
     assert(names(wh) === Set("v5"))
   }
 
+  test("partitioned rewrite/appendLive pack one file per partition dir (no task fan-out litter)") {
+    // without the pre-write shuffle a seed fans shuffle.partitions files
+    // into EVERY value dir (measured at the sf10 decade²: a bits=13 seed
+    // wrote 144k sub-2KB files). One value → one task → one file per dir,
+    // for the initial rewrite AND for each subsequent appended batch.
+    val wh = fresh()
+    val pschema = StructType(Seq(
+      StructField("id", LongType), StructField("bucket", LongType)))
+    def filesPerDir(n: String): Map[String, Int] = {
+      val fs = new Path(wh.dir).getFileSystem(spark.sessionState.newHadoopConf())
+      // one rewrite ran → exactly one version dir is the live one
+      val live = fs.globStatus(new Path(wh.dir, s"$n.__v*")).map(_.getPath).toSeq match {
+        case Seq(p) => p
+        case other  => fail(s"expected one version dir, got $other")
+      }
+      fs.listStatus(live).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+        .map(s => s.getPath.getName ->
+          fs.listStatus(s.getPath).count(_.getPath.getName.endsWith(".parquet"))).toMap
+    }
+    val seed = spark.range(0, 1000).selectExpr("id", "id % 16 AS bucket")
+      .repartition(8) // adversarial arrival partitioning: every task holds every bucket
+    wh.rewrite("pt", seed, partitionBy = Seq("bucket"))
+    val afterSeed = filesPerDir("pt")
+    assert(afterSeed.size === 16)
+    assert(afterSeed.values.forall(_ === 1), s"seed litter: $afterSeed")
+    wh.appendLive("pt",
+      spark.range(1000, 1100).selectExpr("id", "id % 4 AS bucket").repartition(8),
+      partitionBy = Seq("bucket"))
+    val afterAppend = filesPerDir("pt")
+    assert((0 until 4).forall(b => afterAppend(s"bucket=$b") === 2), s"append litter: $afterAppend")
+    assert((4 until 16).forall(b => afterAppend(s"bucket=$b") === 1))
+    assert(wh.read("pt", pschema).count() === 1100)
+  }
+
   test("vacuum(retainLast): bounded retention keeps live + N committed generations") {
     val wh = fresh()
     (1 to 6).foreach(i => wh.rewrite("t", Seq((1L, s"v$i")).toDF("id", "name")))
