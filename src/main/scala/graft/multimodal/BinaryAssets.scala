@@ -18,10 +18,13 @@ import org.apache.spark.sql.functions._
   * REAL WAVs, generated with and decoded by the JDK's own
   * `javax.sound.sampled` ([[WavCodec]]) — sample rate, channel count and
   * frame length come from the actual RIFF header, with the same
-  * corrupt-payload skip-and-log policy. Video stays on the declared
-  * deterministic stub ([[FakeCodec]] — no video libraries in this
-  * container); swapping in a real one changes only the marked lines,
-  * exactly as the PNG and WAV tiers demonstrate.
+  * corrupt-payload skip-and-log policy. `kind == "video"` payloads are
+  * REAL RIFF/AVI containers parsed by a hand-rolled bounds-checked
+  * chunk walker ([[AviCodec]] — the JDK ships no AVI reader; a
+  * metadata crawl pass parses headers, it does not open a decoder).
+  * FRAME decode stays out of scope on the declared boundary (no video
+  * codec in this container): header metadata real, pixel data
+  * synthetic, feature pooling ([[FakeCodec]]) deterministic.
   *
   * Scale notes: payloads ride in the row, so (1) project payload-free
   * columns before any shuffle — metadata joins must never move bytes;
@@ -150,24 +153,176 @@ object BinaryAssets {
   }
   // ================= end real codec ================================
 
-  /** =============== STUB CODEC — deterministic fake =================
-    * A real implementation would call a video decoder here (none ships
-    * with the JDK — the swap-in point, demonstrated by the PNG and WAV
-    * tiers above). The fake reads our synthetic 16-byte header and
-    * derives samples from a seeded hash so every metric downstream is
-    * reproducible.
+  /** =============== REAL CONTAINER — RIFF/AVI, hand-rolled ==========
+    * The video tier's METADATA pass is now a real container parse: the
+    * generator writes spec-conformant RIFF/AVI files (`avih` main
+    * header + a `vids` stream with a BITMAPINFOHEADER + a `movi` list
+    * carrying a seeded `00db` frame chunk) and decode walks the actual
+    * chunk structure — no fixed offsets, every read bounds-checked, any
+    * malformed byte yields None (skip-and-log, same policy as the PNG
+    * and WAV tiers). The JDK ships no AVI reader, so the walker is
+    * hand-rolled, which is exactly what a metadata-only crawl pass does
+    * in production (opening a full video decoder to read width/height/
+    * duration is the expensive wrong tool). FRAME decode remains out of
+    * scope (no codec in this container) — the honest boundary: header
+    * metadata real, pixel data synthetic.
+    *
+    * Duration contract mirrors the WAV tier's 1 kHz trick:
+    * dwMicroSecPerFrame = 1000 (a 1000 fps stream), so dwTotalFrames ≡
+    * duration in milliseconds exactly — integer-recoverable on both
+    * engines, a wrong offset or endianness hash-mismatches the oracle.
     */
-  object FakeCodec {
-    def decodeMeta(a: Asset): AssetMeta = {
-      val b = java.nio.ByteBuffer.wrap(a.payload.take(16))
-      AssetMeta(a.asset_id, a.kind, b.getInt(0), b.getInt(4), b.getLong(8),
-        "fake/mp4", a.payload.length)
+  object AviCodec {
+    private val LE = java.nio.ByteOrder.LITTLE_ENDIAN
+    val MicroSecPerFrame = 1000
+
+    private def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+    /** Deterministic synthetic AVI — real chunk structure, one seeded
+      * frame chunk as the movi body.
+      */
+    def synthesize(id: Long, w: Int, h: Int, durationMs: Long): Array[Byte] = {
+      val rnd = new scala.util.Random(id)
+      val frame = Array.fill[Byte](64 + rnd.nextInt(64))(rnd.nextInt(256).toByte)
+      val framePad = frame.length & 1 // RIFF chunks are word-aligned
+      val moviContent = 4 + 8 + frame.length + framePad
+      val hdrlContent = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+      val riffSize = 4 + (8 + hdrlContent) + (8 + moviContent)
+      val bb = java.nio.ByteBuffer.allocate(8 + riffSize).order(LE)
+      bb.put(fourcc("RIFF")).putInt(riffSize).put(fourcc("AVI "))
+      bb.put(fourcc("LIST")).putInt(hdrlContent).put(fourcc("hdrl"))
+      bb.put(fourcc("avih")).putInt(56)
+        .putInt(MicroSecPerFrame)     // dwMicroSecPerFrame: the 1000 fps contract
+        .putInt(0).putInt(0).putInt(0)
+        .putInt(durationMs.toInt)     // dwTotalFrames ≡ duration_ms
+        .putInt(0).putInt(1).putInt(0)
+        .putInt(w).putInt(h)          // dwWidth, dwHeight
+        .putInt(0).putInt(0).putInt(0).putInt(0)
+      bb.put(fourcc("LIST")).putInt(4 + (8 + 56) + (8 + 40)).put(fourcc("strl"))
+      bb.put(fourcc("strh")).putInt(56)
+        .put(fourcc("vids")).put(fourcc("DIB "))
+        .putInt(0).putShort(0).putShort(0).putInt(0)
+        .putInt(1).putInt(1000)       // dwScale/dwRate: 1000 fps again
+        .putInt(0).putInt(durationMs.toInt)
+        .putInt(0).putInt(0).putInt(0)
+        .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+      bb.put(fourcc("strf")).putInt(40)
+        .putInt(40).putInt(w).putInt(h)
+        .putShort(1).putShort(24).putInt(0).putInt(w * h * 3)
+        .putInt(0).putInt(0).putInt(0).putInt(0)
+      bb.put(fourcc("LIST")).putInt(moviContent).put(fourcc("movi"))
+      bb.put(fourcc("00db")).putInt(frame.length).put(frame)
+      if (framePad == 1) bb.put(0.toByte)
+      bb.array()
     }
 
-    /** Fake "pixel decode + pooled embedding": bytes → 8 pooled buckets. */
+    private def cc(p: Array[Byte], off: Int): String =
+      if (off + 4 > p.length) "" else new String(p, off, 4, "US-ASCII")
+
+    private def u32(p: Array[Byte], off: Int): Long =
+      if (off + 4 > p.length) -1L
+      else java.nio.ByteBuffer.wrap(p, off, 4).order(LE).getInt.toLong & 0xFFFFFFFFL
+
+    /** Payload offset of the `avih` chunk body, found by WALKING the
+      * chunk tree (RIFF → hdrl LIST → avih) — None on any malformed
+      * structure.
+      */
+    private def avihOffset(p: Array[Byte]): Option[Int] = {
+      if (cc(p, 0) != "RIFF" || cc(p, 8) != "AVI ") return None
+      val end = math.min(p.length.toLong, 8 + u32(p, 4))
+      var off = 12L
+      while (off + 12 <= end) {
+        val size = u32(p, off.toInt + 4)
+        if (size < 0) return None
+        if (cc(p, off.toInt) == "LIST" && cc(p, off.toInt + 8) == "hdrl") {
+          var in = off + 12
+          val listEnd = math.min(end, off + 8 + size)
+          while (in + 8 <= listEnd) {
+            val innerSize = u32(p, in.toInt + 4)
+            if (innerSize < 0) return None
+            if (cc(p, in.toInt) == "avih")
+              return if (in + 8 + 56 <= listEnd) Some(in.toInt + 8) else None
+            in += 8 + innerSize + (innerSize & 1)
+          }
+          return None
+        }
+        off += 8 + size + (size & 1)
+      }
+      None
+    }
+
+    /** Real decode: width/height/duration from the walked avih header.
+      * duration_ms = dwTotalFrames × dwMicroSecPerFrame / 1000.
+      */
+    def decodeMeta(a: Asset): Option[AssetMeta] =
+      avihOffset(a.payload).flatMap { at =>
+        val p = a.payload
+        val uspf = u32(p, at)
+        val frames = u32(p, at + 16)
+        val w = u32(p, at + 32)
+        val h = u32(p, at + 36)
+        if (uspf <= 0 || frames < 0 || w <= 0 || h <= 0) None
+        else Some(AssetMeta(a.asset_id, a.kind, w.toInt, h.toInt,
+          frames * uspf / 1000, "video/avi", p.length))
+      }
+
+    /** Header-level "resize": patch dwWidth/dwHeight in the walked avih;
+      * the strf BITMAPINFOHEADER is patched too when it sits at the
+      * generator's layout (fourcc-verified before writing — a foreign
+      * AVI just keeps its strf). Container stays valid; frame bytes
+      * untouched.
+      */
+    def withDims(a: Asset, w: Int, h: Int): Option[Asset] =
+      avihOffset(a.payload).map { at =>
+        val p = a.payload.clone()
+        val bb = java.nio.ByteBuffer.wrap(p).order(LE)
+        bb.putInt(at + 32, w).putInt(at + 36, h)
+        // strf follows strh inside the strl LIST that follows avih:
+        // avih body (56) + LIST header (12) + strh chunk (8+56) + 'strf' + size
+        val strfAt = at + 56 + 12 + 64 + 8
+        if (strfAt + 40 <= p.length && cc(p, strfAt - 8) == "strf") {
+          bb.putInt(strfAt + 4, w).putInt(strfAt + 8, h)
+        }
+        a.copy(payload = p)
+      }
+
+    /** The movi list's bytes (frame chunks) — the "pixel data" slice
+      * feature pooling reads, so header patches (withDims) cannot move a
+      * downstream feature.
+      */
+    def frameBytes(p: Array[Byte]): Array[Byte] = {
+      if (cc(p, 0) != "RIFF" || cc(p, 8) != "AVI ") return Array.emptyByteArray
+      val end = math.min(p.length.toLong, 8 + u32(p, 4))
+      var off = 12L
+      while (off + 12 <= end) {
+        val size = u32(p, off.toInt + 4)
+        if (size < 0) return Array.emptyByteArray
+        if (cc(p, off.toInt) == "LIST" && cc(p, off.toInt + 8) == "movi") {
+          val from = off.toInt + 12
+          val to = math.min(end, off + 8 + size).toInt
+          return if (from <= to) p.slice(from, to) else Array.emptyByteArray
+        }
+        off += 8 + size + (size & 1)
+      }
+      Array.emptyByteArray
+    }
+  }
+  // ================= end real container =============================
+
+  /** =============== POOLING (deterministic, all tiers) ==============
+    * Byte-pooled embeddings — the stand-in for a learned feature
+    * extractor (none ships with the JDK; the swap-in point). Video
+    * pools its movi FRAME bytes (via the real chunk walk) so container-
+    * header edits never move a feature; other kinds pool the payload
+    * past a fixed prefix.
+    */
+  object FakeCodec {
+    /** "Pixel decode + pooled embedding": bytes → `dim` pooled buckets. */
     def extractFeatures(a: Asset, dim: Int): Array[Float] = {
       val out = new Array[Float](dim)
-      val body = a.payload.drop(16)
+      val body =
+        if (a.kind == "video") AviCodec.frameBytes(a.payload)
+        else a.payload.drop(16)
       var i = 0
       while (i < body.length) {
         out(i % dim) += (body(i) & 0xFF) / 255.0f
@@ -177,7 +332,7 @@ object BinaryAssets {
       out.map(_ / n)
     }
   }
-  // ================= end stub codec ================================
+  // ================= end pooling ===================================
 
   /** Deterministic synthetic asset table. Stands in for
     * `spark.read.format("binaryFile")` ingest. Image payloads are REAL
@@ -185,8 +340,10 @@ object BinaryAssets {
     * 64 + (id%3)·64 — encoded into the container, recovered by the real
     * decoder); audio payloads are REAL WAVs carrying the contract
     * duration (1000 + id·10 ms at the 1 kHz rate — in the RIFF header,
-    * recovered by the real decoder); video payloads are the 16-byte
-    * synthetic header + seeded bytes the stub codec reads.
+    * recovered by the real decoder); video payloads are REAL RIFF/AVI
+    * containers carrying the contract dims + duration (1000 + id·10
+    * frames at 1000 fps — in the avih header, recovered by the real
+    * chunk walker) around a seeded frame chunk.
     */
   def syntheticAssets(spark: SparkSession, n: Int): Dataset[Asset] = {
     import spark.implicits._
@@ -196,15 +353,7 @@ object BinaryAssets {
       (id % 3) match {
         case 0 => Asset(id, "image", PngCodec.synthesize(id, w, h))
         case 1 => Asset(id, "audio", WavCodec.synthesize(id, 1000L + id * 10))
-        case _ =>
-          val rnd = new scala.util.Random(id)
-          val body = Array.fill[Byte](64 + rnd.nextInt(64))(rnd.nextInt(256).toByte)
-          val header = java.nio.ByteBuffer.allocate(16)
-            .putInt(0, w)
-            .putInt(4, h)
-            .putLong(8, 1000L + id * 10) // duration_ms
-            .array()
-          Asset(id, "video", header ++ body)
+        case _ => Asset(id, "video", AviCodec.synthesize(id, w, h, 1000L + id * 10))
       }
     }
   }
@@ -231,7 +380,7 @@ object BinaryAssets {
         a.kind match {
           case "image" => skipLogged(a, PngCodec.decodeMeta(a))
           case "audio" => skipLogged(a, WavCodec.decodeMeta(a))
-          case _       => Some(FakeCodec.decodeMeta(a))
+          case _       => skipLogged(a, AviCodec.decodeMeta(a))
         }
       }
     }
@@ -263,11 +412,10 @@ object BinaryAssets {
           a
         }
         case "audio" => a
-        case _ =>
-          val p = a.payload.clone()
-          val bb = java.nio.ByteBuffer.wrap(p)
-          bb.putInt(0, w); bb.putInt(4, h)
-          a.copy(payload = p)
+        case _ => AviCodec.withDims(a, w, h).getOrElse {
+          System.err.println(s"[assets] resize: corrupt video payload asset_id=${a.asset_id}, passing through")
+          a
+        }
       }
     })
   }
@@ -327,9 +475,10 @@ object BinaryAssets {
     import graft.queries.{IvfModel, StampedTable}
     val wh = IvfModel.warehouseFor(spark, dir)
     // v2: image payloads became real PNGs; v3: audio payloads became
-    // real WAVs — existing warehouses must re-materialize, not serve
-    // older fake-header blobs to the real decoders
-    val stamp = s"assets-v3\n$dir\n" +
+    // real WAVs; v4: video payloads became real RIFF/AVI containers —
+    // existing warehouses must re-materialize, not serve older
+    // fake-header blobs to the real decoders
+    val stamp = s"assets-v4\n$dir\n" +
       graft.core.Tables.contentStamp(spark, s"$dir/documents.parquet")
     StampedTable.ensure(wh, TableName, AssetSchema, stamp) {
       // one count at materialization time only (stamped thereafter)
@@ -389,8 +538,10 @@ object BinaryAssets {
     * rate = the duration in ms), so the Spark side's REAL `ImageIO` /
     * `AudioSystem` decodes must recover them (an offset/endianness/
     * frame-rate bug hash-mismatches); n_bytes from the blob itself
-    * cross-checks the binary round-trip. Images have no duration, audio
-    * no dimensions; both real tiers carry the real media type.
+    * cross-checks the binary round-trip. Video goes the same way: dims
+    * + duration sit in the real avih header [[AviCodec]] walks. Images
+    * have no duration, audio no dimensions; all three tiers carry the
+    * real media type.
     */
   def t45SqlFor(dir: String): String =
     s"""SELECT asset_id, kind,
@@ -398,7 +549,7 @@ object BinaryAssets {
        |  CAST(CASE WHEN kind = 'audio' THEN 0 ELSE 64 + (asset_id % 3) * 64 END AS INT) AS height,
        |  CASE WHEN kind = 'image' THEN 0 ELSE 1000 + asset_id * 10 END AS duration_ms,
        |  CASE kind WHEN 'image' THEN 'image/png' WHEN 'audio' THEN 'audio/wav'
-       |       ELSE 'fake/mp4' END AS format,
+       |       ELSE 'video/avi' END AS format,
        |  CAST(octet_length(payload) AS INT) AS n_bytes
        |FROM read_parquet('${graft.queries.IvfModel.oraclePathFor(dir, TableName)}/*.parquet')
        |ORDER BY asset_id""".stripMargin
@@ -406,9 +557,9 @@ object BinaryAssets {
   /** DuckDB replay over the SAME persisted parquet: payload length from
     * the blob itself, header fields from the generator's arithmetic
     * (width = 64 + (id % 4)·64, height = 64 + (id % 3)·64, duration_ms =
-    * 1000 + id·10 — the contract [[syntheticAssets]] writes and
-    * [[FakeCodec.decodeMeta]] must read back), frames = one row per
-    * stride start inside the duration.
+    * 1000 + id·10 — the contract [[syntheticAssets]] writes into the
+    * AVI's avih header and [[AviCodec.decodeMeta]] must walk back out),
+    * frames = one row per stride start inside the duration.
     */
   def t44SqlFor(dir: String): String =
     s"""WITH a AS (

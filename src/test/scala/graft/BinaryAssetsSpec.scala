@@ -113,6 +113,47 @@ class BinaryAssetsSpec extends SparkTestBase {
     assert(out.length === 3 && out(0).payload.sameElements(Array[Byte](9, 9, 9, 9)))
   }
 
+  test("video tier is a REAL AVI path: RIFF container + walked avih matching the encoded contract") {
+    val avis = assets.filter(a => a.kind == "video").collect()
+    assert(avis.nonEmpty)
+    // payloads are genuine RIFF/AVI containers, not fake headers
+    avis.foreach { a =>
+      assert(a.payload.take(4).sameElements("RIFF".getBytes) &&
+        a.payload.slice(8, 12).sameElements("AVI ".getBytes),
+        s"asset ${a.asset_id} payload is not an AVI container")
+    }
+    // the chunk walker recovers the contract dims + duration (1000 fps:
+    // dwTotalFrames == duration_ms) and the real media type
+    val meta = decodeMeta(assets).filter(_.kind == "video").collect()
+    assert(meta.length === avis.length)
+    meta.foreach { m =>
+      assert(m.width === 64 + (m.asset_id % 4).toInt * 64, s"asset ${m.asset_id} width")
+      assert(m.height === 64 + (m.asset_id % 3).toInt * 64, s"asset ${m.asset_id} height")
+      assert(m.duration_ms === 1000L + m.asset_id * 10, s"asset ${m.asset_id} duration")
+      assert(m.format === "video/avi")
+    }
+  }
+
+  test("a corrupt video payload is skipped with a log line, never fatal") {
+    import spark.implicits._
+    val good = syntheticAssets(spark, 6)
+    val corrupt = Seq(
+      BinaryAssets.Asset(3000L, "video", Array[Byte](7, 7, 7, 7)),           // not a container
+      BinaryAssets.Asset(3001L, "video", Array.empty[Byte]),                 // empty blob
+      // a RIFF prefix torn before the avih body — walk must fail cleanly
+      BinaryAssets.Asset(3002L, "video",
+        AviCodec.synthesize(0L, 64, 64, 100L).take(30)),
+      // right magic, hdrl list truncated mid-declared-size
+      BinaryAssets.Asset(3003L, "video",
+        AviCodec.synthesize(0L, 64, 64, 100L).take(60))).toDS()
+    val meta = decodeMeta(good.union(corrupt)).collect()
+    assert(meta.length === 6)
+    assert(!meta.exists(_.asset_id >= 3000L))
+    // resize passes a corrupt video through untouched instead of dying
+    val out = resize(corrupt, 32, 32).collect().sortBy(_.asset_id)
+    assert(out.length === 4 && out(0).payload.sameElements(Array[Byte](7, 7, 7, 7)))
+  }
+
   test("a corrupt image payload is skipped with a log line, never fatal") {
     import spark.implicits._
     val good = syntheticAssets(spark, 6)
