@@ -339,12 +339,23 @@ object BinaryAssets {
     * PNGs at the contract dims (width = 64 + (id%4)·64, height =
     * 64 + (id%3)·64 — encoded into the container, recovered by the real
     * decoder); audio payloads are REAL WAVs carrying the contract
-    * duration (1000 + id·10 ms at the 1 kHz rate — in the RIFF header,
+    * duration (1000 + (id mod 500)·10 ms at the 1 kHz rate — in the RIFF header,
     * recovered by the real decoder); video payloads are REAL RIFF/AVI
-    * containers carrying the contract dims + duration (1000 + id·10
+    * containers carrying the contract dims + duration (1000 + (id mod 500)·10
     * frames at 1000 fps — in the avih header, recovered by the real
     * chunk walker) around a seeded frame chunk.
     */
+  /** The duration contract, CAPPED: 1000 + (id mod 500)·10 ms. The cap
+    * is a scale bug fix found by the round-11 sf1.0 verify: an uncapped
+    * `1000 + id·10` makes the WAV payload (1 byte/ms) grow linearly
+    * with asset_id, and at 60k assets the vectorized parquet reader
+    * must reserve batch-rows × ~600 KB contiguous — OOM on read. Real
+    * corpora have bounded blob sizes; the synthetic contract now does
+    * too (≤ ~6 KB audio). Real 100 TB blob scans with genuinely large
+    * payloads drop `spark.sql.parquet.columnarReaderBatchSize` instead.
+    */
+  def contractDurationMs(id: Long): Long = 1000L + (id % 500) * 10
+
   def syntheticAssets(spark: SparkSession, n: Int): Dataset[Asset] = {
     import spark.implicits._
     spark.range(n).map { id =>
@@ -352,8 +363,8 @@ object BinaryAssets {
       val h = 64 + (id % 3).toInt * 64
       (id % 3) match {
         case 0 => Asset(id, "image", PngCodec.synthesize(id, w, h))
-        case 1 => Asset(id, "audio", WavCodec.synthesize(id, 1000L + id * 10))
-        case _ => Asset(id, "video", AviCodec.synthesize(id, w, h, 1000L + id * 10))
+        case 1 => Asset(id, "audio", WavCodec.synthesize(id, contractDurationMs(id)))
+        case _ => Asset(id, "video", AviCodec.synthesize(id, w, h, contractDurationMs(id)))
       }
     }
   }
@@ -475,10 +486,11 @@ object BinaryAssets {
     import graft.queries.{IvfModel, StampedTable}
     val wh = IvfModel.warehouseFor(spark, dir)
     // v2: image payloads became real PNGs; v3: audio payloads became
-    // real WAVs; v4: video payloads became real RIFF/AVI containers —
-    // existing warehouses must re-materialize, not serve older
-    // fake-header blobs to the real decoders
-    val stamp = s"assets-v4\n$dir\n" +
+    // real WAVs; v4: video payloads became real RIFF/AVI containers;
+    // v5: the duration contract gained its scale cap — existing
+    // warehouses must re-materialize, not serve older blobs to the
+    // real decoders / capped oracle
+    val stamp = s"assets-v5\n$dir\n" +
       graft.core.Tables.contentStamp(spark, s"$dir/documents.parquet")
     StampedTable.ensure(wh, TableName, AssetSchema, stamp) {
       // one count at materialization time only (stamped thereafter)
@@ -534,7 +546,7 @@ object BinaryAssets {
   /** t45's oracle: width/height/duration via the GENERATOR's contract
     * arithmetic — for images that is exactly what the real encoder wrote
     * into the PNG container, and for audio what the real WAV writer put
-    * in the RIFF header (1000 + id·10 frames at the 1 kHz contract
+    * in the RIFF header (1000 + (id mod 500)·10 frames at the 1 kHz contract
     * rate = the duration in ms), so the Spark side's REAL `ImageIO` /
     * `AudioSystem` decodes must recover them (an offset/endianness/
     * frame-rate bug hash-mismatches); n_bytes from the blob itself
@@ -547,7 +559,7 @@ object BinaryAssets {
     s"""SELECT asset_id, kind,
        |  CAST(CASE WHEN kind = 'audio' THEN 0 ELSE 64 + (asset_id % 4) * 64 END AS INT) AS width,
        |  CAST(CASE WHEN kind = 'audio' THEN 0 ELSE 64 + (asset_id % 3) * 64 END AS INT) AS height,
-       |  CASE WHEN kind = 'image' THEN 0 ELSE 1000 + asset_id * 10 END AS duration_ms,
+       |  CASE WHEN kind = 'image' THEN 0 ELSE 1000 + (asset_id % 500) * 10 END AS duration_ms,
        |  CASE kind WHEN 'image' THEN 'image/png' WHEN 'audio' THEN 'audio/wav'
        |       ELSE 'video/avi' END AS format,
        |  CAST(octet_length(payload) AS INT) AS n_bytes
@@ -557,7 +569,7 @@ object BinaryAssets {
   /** DuckDB replay over the SAME persisted parquet: payload length from
     * the blob itself, header fields from the generator's arithmetic
     * (width = 64 + (id % 4)·64, height = 64 + (id % 3)·64, duration_ms =
-    * 1000 + id·10 — the contract [[syntheticAssets]] writes into the
+    * 1000 + (id mod 500)·10 — the contract [[syntheticAssets]] writes into the
     * AVI's avih header and [[AviCodec.decodeMeta]] must walk back out),
     * frames = one row per stride start inside the duration.
     */
@@ -569,7 +581,7 @@ object BinaryAssets {
        |  SELECT asset_id, n_bytes,
        |    CAST(64 + (asset_id % 4) * 64 AS INT) AS width,
        |    CAST(64 + (asset_id % 3) * 64 AS INT) AS height,
-       |    1000 + asset_id * 10 AS duration_ms
+       |    1000 + (asset_id % 500) * 10 AS duration_ms
        |  FROM a WHERE kind = 'video'),
        |f AS (
        |  SELECT asset_id, width, height, n_bytes,

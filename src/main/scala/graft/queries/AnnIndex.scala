@@ -45,9 +45,19 @@ object Lsh {
 
   /** Widest supported code — bounds the plane family and keeps the mask
     * enumeration (≤ sum C(bits, r)) and the bucket-code arithmetic safely
-    * inside a BIGINT.
+    * inside a BIGINT. 30 bits puts [[bitsFor]]'s saturation point at
+    * 32 × 2^30 ≈ 34B vectors — the 100 TB regime — where the previous
+    * clamp of 20 topped out at ~34M, two orders short (past saturation
+    * the occupancy, and with it every pair join's per-probe candidate
+    * count, grows linearly with n again). The costs of a wide dial are
+    * the ones already documented: bucketOf evaluates `bits` plane dots
+    * per row (paid only when dialed — the plane family is lazy and
+    * prefix-consistent, so existing narrow-coded tables refine, never
+    * reshuffle), and the radius-4 mask count C(bits, ≤4) is the
+    * super-linear probe term the decade² measured — at bits ≥ 13 the
+    * radius dial (4 → 3) is the published first lever.
     */
-  val MaxBits = 20
+  val MaxBits = 30
 
   /** Seeded Rademacher (±1) hyperplanes — fixed literals, identical in the
     * DataFrame plan and the oracle SQL. Seed 6 was selected by sweeping

@@ -87,7 +87,7 @@ class BinaryAssetsSpec extends SparkTestBase {
     val meta = decodeMeta(assets).filter(_.kind == "audio").collect()
     assert(meta.length === wavs.length)
     meta.foreach { m =>
-      assert(m.duration_ms === 1000L + m.asset_id * 10, s"asset ${m.asset_id} duration")
+      assert(m.duration_ms === 1000L + (m.asset_id % 500) * 10, s"asset ${m.asset_id} duration")
       assert(m.format === "audio/wav" && m.width === 0 && m.height === 0)
     }
     // ...and the parsed sample rate is the generator's contract rate
@@ -129,7 +129,7 @@ class BinaryAssetsSpec extends SparkTestBase {
     meta.foreach { m =>
       assert(m.width === 64 + (m.asset_id % 4).toInt * 64, s"asset ${m.asset_id} width")
       assert(m.height === 64 + (m.asset_id % 3).toInt * 64, s"asset ${m.asset_id} height")
-      assert(m.duration_ms === 1000L + m.asset_id * 10, s"asset ${m.asset_id} duration")
+      assert(m.duration_ms === 1000L + (m.asset_id % 500) * 10, s"asset ${m.asset_id} duration")
       assert(m.format === "video/avi")
     }
   }
