@@ -881,6 +881,25 @@ object PqModel {
     */
   val RerankDepth = 50
 
+  /** The rerank-depth SCALING LAW, measured (tools/RecallProbe, 20k
+    * clustered vectors): recall is governed by depth ÷ probed-candidate
+    * count, not by depth alone. At n=2k the default 50 is 5% of the
+    * ~1k probed candidates and recall\@5 sits within 0.04 of the coarse
+    * ceiling; at n=20k the same 50 is 0.5% of ~10k probed and recall
+    * falls to 0.74-0.78 regardless of nProbe (widening probes adds
+    * candidates as fast as coverage, so it cannot help — measured flat).
+    * Holding the RATIO at the audited 1/50 of probed candidates
+    * restores ceiling-tracking: depth 200 at 20k → 0.88 at the default
+    * probe, 0.92-0.94 widened (≥ the 0.9 bar), within 0.04-0.06 of the
+    * uncompressed ceiling at BOTH (k=32, nProbe=16) and the
+    * fraction-matched (k=128, nProbe=64). Use this for any corpus the
+    * spec dial wasn't audited at: probedCandidates ≈ n × nProbe / k.
+    * Cost stays sublinear — the rerank fetch is depth × queries rows,
+    * and the ADC scan it follows already paid the probed candidates.
+    */
+  def depthFor(probedCandidates: Long): Int =
+    math.max(RerankDepth.toLong, probedCandidates / 50).min(Int.MaxValue).toInt
+
   val Seed = 77L
   val MaxIter = 10
 

@@ -1093,6 +1093,18 @@ class AnnSpec extends SparkTestBase {
       Set("vec_id", "emb", "label", "corpus_stamp", "cluster"))
   }
 
+  test("PqModel.depthFor holds the audited depth/probed-candidates ratio") {
+    import graft.queries.PqModel
+    // the audited spec dial: ~1k probed candidates at n=2k -> depth 50
+    assert(PqModel.depthFor(1000) === PqModel.RerankDepth)
+    // the 20k measurement: ~10k probed -> depth 200 restores
+    // ceiling-tracking (SCALE.md round-11 recall table)
+    assert(PqModel.depthFor(10000) === 200)
+    // floor at the audited default, monotone above it
+    assert(PqModel.depthFor(0) === PqModel.RerankDepth)
+    assert(PqModel.depthFor(5000000L) === 100000)
+  }
+
   test("Lsh.bitsFor computes the documented occupancy dial") {
     // reference: smallest bits with expected occupancy n/2^bits <= target
     def ref(n: Long, target: Int): Int =
