@@ -455,6 +455,55 @@ object IvfModel {
         .select(col("vec_id"), V.toDouble(col("embedding")).as("emb"))
       assignClusters(e, centroids(s, dir))
     }
+    // corpus-count stat rides the same build (one count over the lists
+    // generation just committed) — the jobless input to the serving-side
+    // rerank-depth law, same pattern as the per-label dispatch stats
+    StampedTable.ensure(wh, CorpusStatsTable, CorpusStatsSchema,
+      corpusStatsStamp(s, dir, fitSampleCap, k)) {
+      lists(s, dir).groupBy().agg(count(lit(1)).as("n")).coalesce(1)
+    }
+  }
+
+  /** One-row corpus-size stat, persisted at list-build time: the probed
+    * candidate count (n × nProbe / k) that [[PqModel.depthFor]]'s
+    * scaling law needs must not cost a scan-shaped job on the serving
+    * path — the build already pays one grouped pass.
+    */
+  val CorpusStatsTable = "ann_corpus_stats"
+
+  val CorpusStatsSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("n", LongType),
+      StructField("corpus_stamp", StringType)))
+  }
+
+  private val corpusStatsMemo =
+    scala.collection.concurrent.TrieMap.empty[String, (String, Long)]
+
+  private[graft] def resetCorpusStatsMemo(): Unit = corpusStatsMemo.clear()
+
+  private def corpusStatsStamp(s: SparkSession, dir: String,
+                               fitSampleCap: Long, k: Int): String =
+    s"corpus-stats\n$dir\ncap=$fitSampleCap\nk=$k\n${Tables.contentStamp(s, s"$dir/embeddings.parquet")}"
+
+  /** Corpus size under the CURRENT list generation — one-file read on
+    * first access per (JVM, generation), a map lookup after (jobless on
+    * a warm JVM, same contract as the label dispatch stats). Caller
+    * runs [[ensureLists]] first.
+    */
+  def corpusCount(s: SparkSession, dir: String,
+                  fitSampleCap: Long = FitSampleCap, k: Int = K): Long = {
+    val key = s"${rootFor(dir)}/$CorpusStatsTable"
+    val stamp = corpusStatsStamp(s, dir, fitSampleCap, k)
+    corpusStatsMemo.get(key) match {
+      case Some((st, n)) if st == stamp => n
+      case _ =>
+        val n = warehouseFor(s, dir).read(CorpusStatsTable, CorpusStatsSchema)
+          .select(col("n")).collect().headOption.map(_.getLong(0)).getOrElse(0L)
+        corpusStatsMemo.put(key, (stamp, n))
+        n
+    }
   }
 
   /** The partitioned inverted-list table (vec_id, emb, cluster). */
@@ -899,6 +948,17 @@ object PqModel {
     */
   def depthFor(probedCandidates: Long): Int =
     math.max(RerankDepth.toLong, probedCandidates / 50).min(Int.MaxValue).toInt
+
+  /** [[depthFor]] evaluated for the CURRENT list generation's corpus at
+    * (k, nProbe) — jobless on a warm JVM (the corpus count comes from
+    * the stamped one-row stat [[IvfModel.ensureLists]] persists at
+    * build time, memoized per generation). The auto dial batched
+    * serving defaults to: an audited fixed depth is right for an
+    * audited corpus, wrong for an arbitrary one.
+    */
+  def servingDepth(s: org.apache.spark.sql.SparkSession, dir: String,
+                   k: Int = IvfModel.K, nProbe: Int = IvfModel.NProbe): Int =
+    depthFor(IvfModel.corpusCount(s, dir, k = k) * nProbe / math.max(1, k))
 
   val Seed = 77L
   val MaxIter = 10

@@ -1076,18 +1076,26 @@ object TextOps {
 
   /** [[annTopKBatch]] over the COMPRESSED lists — batched IVF-PQ
     * serving for an arbitrary (query_id, q_emb) frame at any ks dial;
-    * same strategy flip past `broadcastQueryCap` queries.
+    * same strategy flip past `broadcastQueryCap` queries. `rerankDepth`
+    * defaults to AUTO ([[PqModel.servingDepth]] — the measured
+    * depth/probed-candidates law applied to the current generation's
+    * corpus count, jobless dispatch): a fixed depth audited at one
+    * corpus size under-reranks at ten times it (recall 0.74 where the
+    * law holds 0.92; SCALE.md round-11 recall table). Pass an explicit
+    * depth to reproduce a pinned dial (t47's oracle replays the audited
+    * 50).
     */
   def annTopKBatchPq(s: SparkSession, dir: String, queries: DataFrame,
                      k: Int = IvfModel.K, nProbe: Int = IvfModel.NProbe,
-                     rerankDepth: Int = PqModel.RerankDepth,
+                     rerankDepth: Option[Int] = None,
                      ks: Int = DialPqKs, topK: Int = 5,
                      broadcastQueryCap: Long = 10000,
                      broadcastQueries: Option[Boolean] = None): DataFrame = {
     PqModel.ensure(s, dir, k = k, ks = ks)
+    val depth = rerankDepth.getOrElse(PqModel.servingDepth(s, dir, k, nProbe))
     val q = Frames.cutIfPlain(queries.select(col("query_id"), col("q_emb")))
     val bc = broadcastQueries.getOrElse(q.count() <= broadcastQueryCap)
-    ivfPqProbeFor(s, dir, PqModel.pqLists(s, dir), q, nProbe, rerankDepth, ks,
+    ivfPqProbeFor(s, dir, PqModel.pqLists(s, dir), q, nProbe, depth, ks,
       broadcastQueries = bc, topK = topK)
   }
 

@@ -1093,6 +1093,48 @@ class AnnSpec extends SparkTestBase {
       Set("vec_id", "emb", "label", "corpus_stamp", "cluster"))
   }
 
+  test("servingDepth: auto rerank depth from the stamped corpus stat, jobless when warm") {
+    import graft.queries.PqModel
+    IvfModel.ensureLists(spark, sf())
+    // the stamped one-row stat agrees with a live count
+    val live = IvfModel.lists(spark, sf()).count()
+    assert(IvfModel.corpusCount(spark, sf()) === live)
+    // at the audited test corpus the law lands exactly on the spec dial
+    assert(PqModel.servingDepth(spark, sf()) === PqModel.RerankDepth)
+    // at a 20k-corpus shape it scales (the SCALE.md measurement): the
+    // formula, not the persisted stat, carries the law
+    assert(PqModel.depthFor(20000L * IvfModel.NProbe / IvfModel.K) === 200)
+    // warm dispatch runs ZERO jobs — same contract as the label stats
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.range(10).toDF().queryExecution.toRdd.count()
+      val deadline = System.currentTimeMillis() + 5000
+      while (jobs.get() == 0 && System.currentTimeMillis() < deadline) Thread.sleep(20)
+      assert(jobs.get() > 0, "listener calibration failed — cannot assert joblessness")
+      jobs.set(0)
+      assert(PqModel.servingDepth(spark, sf()) === PqModel.RerankDepth)
+      Thread.sleep(1000)
+      assert(jobs.get() === 0,
+        s"warm servingDepth launched ${jobs.get()} Spark job(s) — the dial is not O(1)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // the batched PQ entry point's AUTO default equals the explicit dial
+    import org.apache.spark.sql.functions.col
+    val queries = graft.core.Tables.embeddings(spark, sf())
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"),
+        graft.functions.VectorOps.toDouble(col("embedding")).as("q_emb"))
+    val auto = TextOps.annTopKBatchPq(spark, sf(), queries).collect().toSeq
+    val pinned = TextOps.annTopKBatchPq(spark, sf(), queries,
+      rerankDepth = Some(PqModel.servingDepth(spark, sf()))).collect().toSeq
+    assert(auto === pinned)
+  }
+
   test("PqModel.depthFor holds the audited depth/probed-candidates ratio") {
     import graft.queries.PqModel
     // the audited spec dial: ~1k probed candidates at n=2k -> depth 50
