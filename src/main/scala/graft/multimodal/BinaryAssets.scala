@@ -499,6 +499,54 @@ object BinaryAssets {
     }
   }
 
+  /** DECODED-METADATA CACHE — the serving-path answer to "asset decode
+    * is CPU-linear": the codec pass over the whole asset table runs
+    * ONCE, at build time, into a stamped payload-free parquet
+    * (re-materialized when the asset generation changes); a serving
+    * query reads seven narrow columns instead of re-decoding binary
+    * blobs. t44/t45 stay REAL-decode queries on purpose — they are the
+    * driver's proof the codec path works — while anything that serves
+    * metadata repeatedly (dashboards, joins against asset dims) reads
+    * this table. AssetMetaCacheSpec-pinned: cache == live decode
+    * row-for-row, and a refreshed asset generation invalidates it.
+    */
+  val MetaTableName = "binary_asset_meta"
+
+  val MetaSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("kind", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("duration_ms", LongType),
+      StructField("format", StringType),
+      StructField("n_bytes", IntegerType),
+      StructField("corpus_stamp", StringType)))
+  }
+
+  def ensureAssetMeta(spark: SparkSession, dir: String): Unit = {
+    import graft.queries.{IvfModel, StampedTable}
+    ensureAssets(spark, dir)
+    val wh = IvfModel.warehouseFor(spark, dir)
+    val stamp = s"asset-meta-v1\n$dir\n" +
+      graft.core.Tables.contentStamp(spark, s"$dir/documents.parquet")
+    StampedTable.ensure(wh, MetaTableName, MetaSchema, stamp) {
+      decodeMeta(assets(spark, dir)).toDF()
+    }
+  }
+
+  /** The cached decoded metadata (payload-free). Caller runs
+    * [[ensureAssetMeta]] first.
+    */
+  def assetMeta(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.queries.IvfModel.warehouseFor(spark, dir)
+      .read(MetaTableName, MetaSchema)
+      .select(col("asset_id"), col("kind"), col("width"), col("height"),
+        col("duration_ms"), col("format"), col("n_bytes"))
+  }
+
   /** The persisted assets as the typed Dataset the operators take. */
   def assets(spark: SparkSession, dir: String): Dataset[Asset] = {
     import spark.implicits._

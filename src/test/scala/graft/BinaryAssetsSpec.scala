@@ -169,6 +169,32 @@ class BinaryAssetsSpec extends SparkTestBase {
     assert(out.length === 2 && out(0).payload.sameElements(Array[Byte](1, 2, 3, 4)))
   }
 
+  test("decoded-metadata cache equals a live decode and refreshes with the asset generation") {
+    val dir = "/root/testdata/sf0.001"
+    BinaryAssets.ensureAssetMeta(spark, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("asset_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getString(5), r.getInt(6))).toSeq
+    val cached = rows(BinaryAssets.assetMeta(spark, dir))
+    val live = rows(decodeMeta(BinaryAssets.assets(spark, dir)).toDF()
+      .select("asset_id", "kind", "width", "height", "duration_ms", "format", "n_bytes"))
+    assert(cached.nonEmpty && cached === live)
+    // payload-free by construction
+    assert(!BinaryAssets.assetMeta(spark, dir).schema.fieldNames.contains("payload"))
+    // repeat ensure on an unchanged generation is memoized (no rewrite):
+    // the live version directory is byte-identical before and after
+    val wh = graft.queries.IvfModel.warehouseFor(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(wh.dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def gen() = fs.globStatus(
+      new org.apache.hadoop.fs.Path(wh.dir, s"${BinaryAssets.MetaTableName}.__v*"))
+      .map(_.getPath.getName).sorted.toSeq
+    val before = gen()
+    BinaryAssets.ensureAssetMeta(spark, dir)
+    assert(gen() === before, "unchanged generation was re-materialized")
+  }
+
   test("frame sampling explodes videos by duration/stride") {
     val frames = sampleFrames(assets, strideMs = 500)
     val perAsset = frames.groupBy("asset_id").count()
