@@ -56,6 +56,8 @@ object Bench {
     // ...and the attributed lists (t49's filtered-search artifact —
     // metadata denormalized into the index at build time)
     warm("attr-lists") { graft.queries.IvfModel.ensureAttrLists(spark, sfDir, k = graft.queries.TextOps.DialIvfK) }
+    // ...and the composite attributed lists (t52's two-attribute index)
+    warm("cattr-lists") { graft.queries.IvfModel.ensureCompAttrLists(spark, sfDir, k = graft.queries.TextOps.DialIvfK) }
     // ...and the PQ artifacts (codebook + coded lists) at the dialed ks,
     // so t47 measures the ADC probe + rerank, not the fit
     warm("pq") { graft.queries.PqModel.ensure(spark, sfDir,
@@ -63,6 +65,8 @@ object Bench {
     // ...and the t33 rarity vocab, same reasoning: scoring pipelines
     // materialize their vocab before serving
     warm("rarity-vocab") { graft.queries.QualityOps.ensureRarityVocab(spark, sfDir) }
+    // ...and the t53 5-gram LM (fit is setup; the query measures scoring)
+    warm("ngram-lm") { graft.queries.QualityOps.ensureNgramLm(spark, sfDir) }
     // ...and the lifecycle queries' persisted state (t37/t40 cluster
     // increments, t41-t43 incremental curation): a deployment seeds its
     // state ONCE and pays the per-batch ingest/probe per batch — so the
@@ -191,6 +195,12 @@ object Bench {
     writeQuiet(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_RESULT.json"), json)
     writeQuiet(sys.env.getOrElse("SPARK_GRAFT_BENCH_HEADLINE", "BENCH_HEADLINE.json"), headline)
     println(json)
+    // ... and AGAIN as the very last line: round 11 proved the driver
+    // captures the TAIL of output, where the long per-query line (its
+    // start truncated away) and the build tool's footer had pushed the
+    // head-printed headline out of the window. Printing the short line
+    // on BOTH ends means any bounded head OR tail capture contains it.
+    println(headline)
     spark.stop()
   }
 }

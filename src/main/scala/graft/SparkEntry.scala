@@ -28,7 +28,7 @@ object SparkEntry {
       ("t40_embed_cluster_increment" -> ((s: SparkSession, d: String) =>
         graft.pipelines.ClusterState.t40EmbedClusterIncrement(s, d,
           TextOps.DialBits,
-          TextOps.DialRadius.getOrElse(TextOps.PairRadius), TextOps.DialEmbCap))) +
+          TextOps.DialPairRadius, TextOps.DialEmbCap))) +
       ("t41_incremental_curation" ->
         (graft.pipelines.IncrementalCuration.t41IncrementalCuration _)) +
       ("t42_incremental_multisignal" ->
@@ -36,7 +36,8 @@ object SparkEntry {
       ("t43_incremental_clustered" ->
         (graft.pipelines.IncrementalCuration.t43IncrementalClustered _)) +
       ("t44_frame_sample" -> (graft.multimodal.BinaryAssets.t44FrameSample _)) +
-      ("t45_asset_meta" -> (graft.multimodal.BinaryAssets.t45AssetMeta _))
+      ("t45_asset_meta" -> (graft.multimodal.BinaryAssets.t45AssetMeta _)) +
+      ("t53_ngram_lm" -> (graft.queries.QualityOps.t53NgramLm _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. COMPLETE — every registered query has a
@@ -84,5 +85,10 @@ object SparkEntry {
       ("t44_frame_sample" -> graft.multimodal.BinaryAssets.t44SqlFor(dir)) +
       // t45 = the decoded-metadata frame over ALL kinds (t44 covers only
       // the video slice) — image/audio header decode + format mapping
-      ("t45_asset_meta" -> graft.multimodal.BinaryAssets.t45SqlFor(dir))
+      ("t45_asset_meta" -> graft.multimodal.BinaryAssets.t45SqlFor(dir)) +
+      // t53 scores the corpus against ITS OWN persisted 5-gram LM: the
+      // oracle reads the same model parquet (integer micro-nat
+      // log-probs computed once at fit time — no cross-engine libm),
+      // so the replay is a join plus integer sums
+      ("t53_ngram_lm" -> graft.queries.QualityOps.t53Sql(dir))
 }

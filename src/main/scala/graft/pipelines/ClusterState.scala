@@ -193,9 +193,10 @@ object ClusterState {
     */
   def reconcileEmbeddings(wh: Warehouse, embSrc: DataFrame,
                           bits: Int = graft.queries.Lsh.Bits,
-                          radius: Int = TextOps.PairRadius,
+                          radius: Int = graft.queries.Lsh.PolicyRadius,
                           maxBucket: Int = TextOps.EmbBucketCap): Long =
     reconcileWith(wh) { seedEmbeddings(wh, embSrc, bits, radius, maxBucket) }
+
 
   private def reconcileWith(wh: Warehouse)(rebuild: => Unit): Long = {
     // materialize the pre-rebuild assignment EAGERLY: the rebuild commits
@@ -242,7 +243,7 @@ object ClusterState {
     */
   def seedEmbeddings(wh: Warehouse, embSrc: DataFrame,
                      bits: Int = graft.queries.Lsh.Bits,
-                     radius: Int = TextOps.PairRadius,
+                     radius: Int = graft.queries.Lsh.PolicyRadius,
                      maxBucket: Int = TextOps.EmbBucketCap): Unit = {
     EmbIndex.seed(wh, embSrc, bits)
     seed(wh, embSrc.select(col("vec_id").as("doc_id")),
@@ -256,11 +257,12 @@ object ClusterState {
     */
   def ingestEmbeddingBatch(wh: Warehouse, batchEmb: DataFrame,
                            bits: Int = graft.queries.Lsh.Bits,
-                           radius: Int = TextOps.PairRadius,
+                           radius: Int = graft.queries.Lsh.PolicyRadius,
                            maxBucket: Int = TextOps.EmbBucketCap): Unit = {
     // one coding pass shared by probe and append, like [[ingestBatch]]
     val bc = cut(EmbIndex.codedOf(batchEmb, bits))
-    val pairs = EmbIndex.incrementCosinePairsOf(EmbIndex.coded(wh), bc, bits, radius, maxBucket)
+    val pairs = EmbIndex.incrementCosinePairsOf(EmbIndex.coded(wh), bc, bits,
+      graft.queries.Lsh.resolveRadius(bits, radius, TextOps.PairRadius), maxBucket)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
     wh.rewrite(TableName, TextOps.dedupClustersIncrement(
       read(wh), batchEmb.select(col("vec_id").as("doc_id")), pairs, validateEndpoints = false))
@@ -291,12 +293,16 @@ object ClusterState {
     */
   def t40EmbedClusterIncrement(s: SparkSession, dir: String,
                                bits: Int = graft.queries.Lsh.Bits,
-                               radius: Int = TextOps.PairRadius,
+                               radius: Int = graft.queries.Lsh.PolicyRadius,
                                maxBucket: Int = TextOps.EmbBucketCap): DataFrame = {
-    val wh = t40EnsureSeeded(s, dir, bits, radius, maxBucket)
+    // resolve the policy sentinel ONCE, up front: the resolved value is
+    // part of the seed stamp, so sentinel and explicit-equal calls share
+    // one seeded generation
+    val rr = graft.queries.Lsh.resolveRadius(bits, radius, TextOps.PairRadius)
+    val wh = t40EnsureSeeded(s, dir, bits, rr, maxBucket)
     val partB = graft.core.Tables.embeddings(s, dir)
       .filter(TextOps.splitBucket(col("vec_id")) >= 50)
-    val pairsB = EmbIndex.incrementCosinePairs(wh, partB, bits, radius, maxBucket)
+    val pairsB = EmbIndex.incrementCosinePairs(wh, partB, bits, rr, maxBucket)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
     wh.rewrite(TableName, TextOps.dedupClustersIncrement(
       read(wh), partB.select(col("vec_id").as("doc_id")), pairsB, validateEndpoints = false))
@@ -377,7 +383,7 @@ object ClusterState {
                reconcileDocs: Option[DataFrame] = None,
                reconcileEmb: Option[DataFrame] = None,
                embBits: Int = graft.queries.Lsh.Bits,
-               embRadius: Int = TextOps.PairRadius,
+               embRadius: Int = graft.queries.Lsh.PolicyRadius,
                embMaxBucket: Int = TextOps.EmbBucketCap,
                driftAlertThreshold: Long = 0): MaintainReport = {
     import graft.queries.{IvfModel, PqModel}
@@ -422,6 +428,6 @@ object ClusterState {
   def warmSeeds(s: SparkSession, dir: String): Unit = {
     t37EnsureSeeded(s, dir)
     t40EnsureSeeded(s, dir, TextOps.DialBits,
-      TextOps.DialRadius.getOrElse(TextOps.PairRadius), TextOps.DialEmbCap)
+      TextOps.DialPairRadius, TextOps.DialEmbCap)
   }
 }

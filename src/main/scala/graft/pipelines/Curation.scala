@@ -21,7 +21,8 @@ object Curation {
 
   case class Thresholds(minTokens: Int = 10, maxStopwordRatio: Double = 0.6,
                         maxRepRatio: Double = 0.9, nearDupJaccard: Double = 0.5,
-                        maxBandBucket: Int = 1000)
+                        maxBandBucket: Int = 1000,
+                        maxLmNllMicro: Long = 2000000L)
 
   // the signals frame each session currently has pinned via the LEGACY
   // curate(): a per-batch driver calling curate() in a loop holds at most
@@ -124,9 +125,10 @@ object Curation {
   def curate(spark: SparkSession, docs: DataFrame,
              t: Thresholds = Thresholds(),
              useClusters: Boolean = false,
-             extraPairs: Option[DataFrame] = None): (DataFrame, DataFrame) = {
+             extraPairs: Option[DataFrame] = None,
+             lmSignal: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     release(spark) // previous batch's pin, if any
-    val run = curateHandle(docs, t, useClusters, extraPairs)
+    val run = curateHandle(docs, t, useClusters, extraPairs, lmSignal)
     pinned.put(spark, run.signals)
     (run.curated, run.audit)
   }
@@ -137,10 +139,25 @@ object Curation {
   def curateHandle(docs: DataFrame,
                    t: Thresholds = Thresholds(),
                    useClusters: Boolean = false,
-                   extraPairs: Option[DataFrame] = None): CurationHandle = {
+                   extraPairs: Option[DataFrame] = None,
+                   lmSignal: Option[DataFrame] = None): CurationHandle = {
     // single scan: every per-doc signal at once (stage 1 — quality —
     // rides along as the q_ok column; see withSignals)
-    val signals = withSignals(docs, t).cache()
+    // `lmSignal` — the OPTIONAL CCNet-style LM quality gate
+    // ([[graft.queries.QualityOps.lmScoreWith]] output): a doc whose
+    // per-token negative log-likelihood exceeds `t.maxLmNllMicro`
+    // micro-nats joins the quality drops. Docs the LM has no opinion on
+    // (< 5 tokens — absent from the scored frame) pass through to the
+    // other signals (null-tolerant gate), mirroring how every other
+    // quality rule only fires where its signal is defined.
+    val sig0 = lmSignal.fold(withSignals(docs, t)) { lm =>
+      withSignals(docs, t)
+        .join(lm.select(col("doc_id"), col("nll_avg_micro")), Seq("doc_id"), "left")
+        .withColumn("q_ok", col("q_ok") &&
+          coalesce(col("nll_avg_micro") <= t.maxLmNllMicro, lit(true)))
+        .drop("nll_avg_micro")
+    }
+    val signals = sig0.cache()
 
     // stage 2: exact dedup — min doc_id among quality survivors per hash
     val keepId = min(when(col("q_ok"), col("doc_id")))
@@ -353,7 +370,7 @@ object Curation {
     import graft.queries.{TextOps => T}
     val docs = graft.core.Tables.documents(s, dir)
     val vecPairs = T.cosineCandidatePairs(s, dir,
-      T.DialBits, T.DialRadius.getOrElse(T.PairRadius), T.DialEmbCap)
+      T.DialBits, T.DialPairRadius, T.DialEmbCap)
     val vecToDoc = graft.core.Tables.embeddings(s, dir)
       .select(col("vec_id"), col("vec_id").as("doc_id"))
     val extras = embeddingDocPairs(vecPairs.select(col("vec_a"), col("vec_b")), vecToDoc)

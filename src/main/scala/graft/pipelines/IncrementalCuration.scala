@@ -62,8 +62,14 @@ object IncrementalCuration {
   final case class EmbeddingSignal(embSrc: DataFrame,
                                    vecToDoc: Option[DataFrame] = None,
                                    bits: Int = graft.queries.Lsh.Bits,
-                                   radius: Int = TextOps.PairRadius,
+                                   radius: Int = graft.queries.Lsh.PolicyRadius,
                                    maxBucket: Int = TextOps.EmbBucketCap) {
+    /** The [[graft.queries.Lsh.PolicyRadius]] sentinel resolved against
+      * this signal's bits — what every probe below actually runs at.
+      */
+    val resolvedRadius: Int =
+      graft.queries.Lsh.resolveRadius(bits, radius, TextOps.PairRadius)
+
     /** Vector pairs → doc pairs. `vecToDoc = None` means a document's
       * vector SHARES its id — a plain rename, no join. An explicit
       * mapping MUST cover every vector a probe can return, i.e. the
@@ -145,7 +151,7 @@ object IncrementalCuration {
     // observed doubling the registered t42's bench time)
     val extras = emb.map { e =>
       cut(e.docPairsOf(
-        TextOps.t15CosineNearDupOf(e.embSrc, e.bits, e.radius, maxBucket = e.maxBucket)
+        TextOps.t15CosineNearDupOf(e.embSrc, e.bits, e.resolvedRadius, maxBucket = e.maxBucket)
           .select(col("vec_a"), col("vec_b"))))
     }
     val run = Curation.curateHandle(docs, t, useClusters = clustered, extraPairs = extras)
@@ -204,6 +210,107 @@ object IncrementalCuration {
              clustered: Boolean = false): (DataFrame, DataFrame) = {
     val (curated, audit) = ingestImpl(wh, batchDocs, t, emb, clustered, wantCurated = true)
     (curated.get, audit)
+  }
+
+  /** The default maintenance cadence a long-running ingest loop should
+    * schedule: reconcile + compact + vacuum every this many batches.
+    * 10 is the soak-measured sweet spot (SCALE.md round-12 soak table):
+    * at cadence 10 the per-batch wall stays flat (compaction bounds the
+    * append-litter file count the pruned reads pay for) and union-cap
+    * drift is repaired about as often as it can accumulate a visible
+    * label. A deployment with tighter drift tolerance lowers it; 0
+    * disables.
+    */
+  val DefaultMaintainCadence = 10
+
+  /** CURATION-SEMANTICS reconcile: a from-scratch [[seed]] of the SAME
+    * state this pipeline maintains — the survivor-gated hash table and
+    * (when clustered) the survivor-gated cluster assignment — with the
+    * drift between the incremental state and the rebuild measured and
+    * returned. This is deliberately NOT [[ClusterState.reconcile]]: that
+    * one rebuilds the RAW dedup assignment (every doc, ungated pairs),
+    * which is a different artifact — rewriting curation state with it
+    * would silently change what "kept" means. Drift = hash rows whose
+    * keep decision changed (appeared, vanished, or re-pointed) + cluster
+    * rows whose label changed; both comparisons are null-safe full-outer
+    * joins, and the rebuild's labels are deterministic (min-id
+    * canonicals), so zero drift is the expected steady state and any
+    * nonzero count is a real divergence (union-cap crossing, mutated
+    * input, operator intervention).
+    */
+  def reconcile(wh: Warehouse, docs: DataFrame,
+                t: Curation.Thresholds = Curation.Thresholds(),
+                emb: Option[EmbeddingSignal] = None,
+                clustered: Boolean = false): Long = {
+    // pre-rebuild state, materialized EAGERLY: the rebuild commits new
+    // generations and a lazy frame would race the retention window
+    val beforeHash = cut(wh.read(HashTable, HashSchema))
+    val beforeCl = if (clustered) Some(cut(ClusterState.read(wh))) else None
+    seedState(wh, docs, t, emb, clustered)
+    val hashDrift = beforeHash
+      .select(col("content_hash"), col("keep_id").as("k0"))
+      .join(wh.read(HashTable, HashSchema)
+        .select(col("content_hash"), col("keep_id").as("k1")),
+        Seq("content_hash"), "full_outer")
+      .filter(!(col("k0") <=> col("k1"))).count()
+    val clusterDrift = beforeCl.map { b =>
+      b.select(col("doc_id"), col("cluster").as("c0"))
+        .join(ClusterState.read(wh).select(col("doc_id"), col("cluster").as("c1")),
+          Seq("doc_id"), "full_outer")
+        .filter(!(col("c0") <=> col("c1"))).count()
+    }.getOrElse(0L)
+    releaseCut((beforeHash +: beforeCl.toSeq): _*)
+    hashDrift + clusterDrift
+  }
+
+  /** Maintenance scheduled by batch index — the cadence wiring for an
+    * ingest loop. `reconcileDocs` is the CUMULATIVE corpus seen so far
+    * (a reconcile is a from-scratch rebuild + drift measure, not a
+    * batch operation); `reconcileEmb` the cumulative embedding signal
+    * when the loop is multi-signal.
+    */
+  final case class Maintenance(batchIndex: Long,
+                               every: Int = DefaultMaintainCadence,
+                               retainLast: Int = 3,
+                               reconcileDocs: Option[DataFrame] = None,
+                               reconcileEmb: Option[EmbeddingSignal] = None,
+                               driftAlertThreshold: Long = 0) {
+    def due: Boolean = every > 0 && batchIndex > 0 && batchIndex % every == 0
+  }
+
+  /** [[ingest]] with the maintenance cadence applied — the loop body a
+    * deployment actually runs (and the 20-batch soak measures). When
+    * the cadence is due, maintenance runs BEFORE the batch, over the
+    * state the previous batches settled: the returned lazy frames then
+    * never race a reconcile's rewrite or a vacuum's reclaim. (The
+    * existing contract still applies between calls: materialize the
+    * returned outputs before the next lifecycle operation.) The
+    * maintenance pass itself is [[reconcile]] (curation semantics, when
+    * `reconcileDocs` is supplied) followed by [[ClusterState.maintain]]
+    * with NO reconcile frames — compaction, duplicate audits and the
+    * vacuum, which then also reclaims the reconcile's superseded
+    * generations.
+    */
+  def ingestWithMaintenance(wh: Warehouse, batchDocs: DataFrame,
+                            maintenance: Maintenance,
+                            t: Curation.Thresholds = Curation.Thresholds(),
+                            emb: Option[EmbeddingSignal] = None,
+                            clustered: Boolean = false):
+      (DataFrame, DataFrame, Option[ClusterState.MaintainReport]) = {
+    val report =
+      if (maintenance.due) {
+        val drift = maintenance.reconcileDocs.map(
+          reconcile(wh, _, t, maintenance.reconcileEmb, clustered))
+        val alerted = drift.exists(_ > maintenance.driftAlertThreshold)
+        if (alerted)
+          System.err.println(s"[maintain] DRIFT: incremental curation state had " +
+            s"drifted by ${drift.get} rows (> ${maintenance.driftAlertThreshold}) — " +
+            "repaired by this reconcile; tighten the cadence or the bucket caps")
+        val base = ClusterState.maintain(wh, maintenance.retainLast)
+        Some(base.copy(drift = drift, driftAlerted = alerted))
+      } else None
+    val (curated, audit) = ingest(wh, batchDocs, t, emb, clustered)
+    (curated, audit, report)
   }
 
   private def ingestImpl(wh: Warehouse, batchDocs: DataFrame,
@@ -271,7 +378,7 @@ object IncrementalCuration {
     val codedBatch = emb.map(e => cutT(EmbIndex.codedOf(e.embSrc, e.bits)))
     val embPairsGated = emb.map { e =>
       val vPairs = EmbIndex.incrementCosinePairsOf(
-        EmbIndex.coded(wh), codedBatch.get, e.bits, e.radius, e.maxBucket)
+        EmbIndex.coded(wh), codedBatch.get, e.bits, e.resolvedRadius, e.maxBucket)
       val docPairs = e.docPairsOf(vPairs.select(col("vec_a"), col("vec_b")))
       // probe-shaped like the exact stage above: the survivor universe
       // (settled keep_ids ∪ batch survivors) is corpus-scale, so instead
@@ -504,11 +611,11 @@ object IncrementalCuration {
   private def dialSig(embSlice: DataFrame): Option[EmbeddingSignal] =
     Some(EmbeddingSignal(embSlice,
       bits = TextOps.DialBits,
-      radius = TextOps.DialRadius.getOrElse(TextOps.PairRadius),
+      radius = TextOps.DialPairRadius,
       maxBucket = TextOps.DialEmbCap))
 
   private def dialStamp: String =
-    s"bits=${TextOps.DialBits}\nradius=${TextOps.DialRadius.getOrElse(TextOps.PairRadius)}\n" +
+    s"bits=${TextOps.DialBits}\nradius=${TextOps.DialPairRadius}\n" +
       s"embcap=${TextOps.DialEmbCap}"
 
   private def multiSignalEnsureSeeded(s: SparkSession, dir: String, name: String,

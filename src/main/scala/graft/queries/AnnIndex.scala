@@ -100,10 +100,80 @@ object Lsh {
 
   lazy val planes: IndexedSeq[IndexedSeq[Double]] = planesFor(Bits)
 
+  /** Hamming-ball volume sum C(bits, 0..radius) — the mask count
+    * [[masksWithin]] enumerates, computable without enumerating (the
+    * input to the [[radiusFor]] policy and the [[MaskHardCap]] guard).
+    */
+  def maskCount(bits: Int, radius: Int): Long = {
+    def choose(n: Int, k: Int): Long =
+      (1 to k).foldLeft(1L)((acc, i) => acc * (n - i + 1) / i)
+    (0 to radius.min(bits)).map(choose(bits, _)).sum
+  }
+
+  /** Soft mask budget the DEFAULT radius policy holds the Hamming-ball
+    * probe under. 512 keeps the audited test dials intact (bits=6
+    * radius 4 = 57 masks; the sf1.0 rehearsal's bits=10 radius 4 = 386)
+    * and triggers exactly where the round-11 decade² measured the
+    * super-linear term: C(13, ≤4) = 1093 masks at the production
+    * `bitsFor` dial's second decade, where dropping to radius 3 (378
+    * masks — SCALE.md's named first lever) restores a flat mask count
+    * across decades. Candidate volume stays bounded independently
+    * (probe_fraction × n × occupancy, occupancy pinned by `bitsFor`);
+    * the budget bounds the PROBE fan-out — the explode factor, the
+    * per-row join fan-in, and the oracle's literal mask array.
+    */
+  val MaskBudget = 512L
+
+  /** Hard ceiling [[masksWithin]] enforces — fail fast instead of
+    * stalling planning: a wide-bits + radius-4 manual dial is
+    * constructible up to C(30, ≤4) ≈ 31.9k masks, each a literal XOR
+    * arm in ONE exploded array expression (a Catalyst/codegen blowup,
+    * and a 32k-element literal in the DuckDB oracle). 4096 admits every
+    * dial the decade tables measured (≤ 2517 at bits=16 radius 4) while
+    * refusing the pathological corner outright.
+    */
+  val MaskHardCap = 4096L
+
+  /** The DEFAULT probe-radius policy — the widest radius ≤ `base` whose
+    * Hamming-ball mask count fits [[MaskBudget]] (floor 1). At the test
+    * dials this is identity (radiusFor(6) = 4, radiusFor(10) = 4); at
+    * the production `bitsFor` dial's wider codes it steps down exactly
+    * as SCALE.md's round-11 diagnosis prescribes (bits 11-14 → 3,
+    * 15-30 → 2 at base 4), so the mask fan-out stays ~flat as `bitsFor`
+    * grows codes with the corpus, instead of compounding bits⁴/24 —
+    * the 9-13×/decade² term t40/t42/t43 measured at a hand-held
+    * radius 4. Recall moves the other way as codes widen (per-pair
+    * survival is P[hamming ≤ r] over more, finer bits), which is why
+    * the step-down is the published lever and not a free lunch: the
+    * AnnSpec recall pins cover the (bits, radius) pairs the policy
+    * actually serves.
+    */
+  def radiusFor(bits: Int, base: Int = 4): Int =
+    (base to 1 by -1).find(r => maskCount(bits, r) <= MaskBudget).getOrElse(1)
+
+  /** Sentinel default for `radius` parameters: "let the policy pick" —
+    * a default value cannot reference its sibling `bits` parameter in
+    * Scala, so entry points default to this and resolve via
+    * [[resolveRadius]] at the top of the body. Negative so no explicit
+    * radius can collide with it.
+    */
+  val PolicyRadius: Int = -1
+
+  /** A caller-supplied radius wins; the [[PolicyRadius]] sentinel (or
+    * any negative) resolves to [[radiusFor]] of the actual bits.
+    */
+  def resolveRadius(bits: Int, radius: Int, base: Int): Int =
+    if (radius < 0) radiusFor(bits, base) else radius
+
   /** XOR masks enumerating all codes within `radius` (incl. 0). */
-  def masksWithin(radius: Int, bits: Int = Bits): IndexedSeq[Long] =
+  def masksWithin(radius: Int, bits: Int = Bits): IndexedSeq[Long] = {
+    require(maskCount(bits, radius) <= MaskHardCap,
+      s"Hamming ball C($bits, <=$radius) = ${maskCount(bits, radius)} masks " +
+        s"exceeds MaskHardCap=$MaskHardCap — use radiusFor($bits) (or raise " +
+        "bucketTarget) instead of a manual wide-bits radius-4 dial")
     0L +: (1 to radius).flatMap(r =>
       (0 until bits).combinations(r).map(_.map(1L << _).sum).toIndexedSeq)
+  }
 
   /** XOR masks enumerating all codes within HammingRadius (incl. 0). */
   lazy val masks: IndexedSeq[Long] = masksWithin(HammingRadius)
@@ -339,7 +409,9 @@ object IvfModel {
   /** Drop the verified-stamp memo — a test hook simulating a fresh JVM's
     * first look at a warehouse another process may have rewritten.
     */
-  private[graft] def resetEnsureMemo(): Unit = { StampedTable.reset(); resetStatsMemo() }
+  private[graft] def resetEnsureMemo(): Unit = {
+    StampedTable.reset(); resetStatsMemo(); resetCorpusStatsMemo(); resetCompStatsMemo()
+  }
 
   /** EXPECTED number of rows the KMeans fit sees (Bernoulli sampling —
     * the realized count varies around this, which is immaterial for fit
@@ -458,11 +530,26 @@ object IvfModel {
     // corpus-count stat rides the same build (one count over the lists
     // generation just committed) — the jobless input to the serving-side
     // rerank-depth law, same pattern as the per-label dispatch stats
-    StampedTable.ensure(wh, CorpusStatsTable, CorpusStatsSchema,
-      corpusStatsStamp(s, dir, fitSampleCap, k)) {
-      lists(s, dir).groupBy().agg(count(lit(1)).as("n")).coalesce(1)
-    }
+    ensureCorpusStats(s, dir, fitSampleCap, k)(lists(s, dir))
   }
+
+  /** Persist the one-row corpus-size stat from whichever full-corpus
+    * list table a build path just committed — shared by [[ensureLists]]
+    * and [[PqModel.ensure]] (same stamp: both tables hold exactly one
+    * row per corpus vector, so the count is generation-equal), so a
+    * PQ-ONLY warehouse still carries the stat [[PqModel.servingDepth]]'s
+    * scaling law reads. Before this, a warehouse that had only ever run
+    * `PqModel.ensure` answered [[corpusCount]] with an empty table —
+    * and the auto rerank depth silently floored at the fixed 50, the
+    * exact under-rerank regime the law exists to prevent.
+    */
+  private[graft] def ensureCorpusStats(s: SparkSession, dir: String,
+                                       fitSampleCap: Long, k: Int)
+                                      (src: => DataFrame): Unit =
+    StampedTable.ensure(warehouseFor(s, dir), CorpusStatsTable, CorpusStatsSchema,
+      corpusStatsStamp(s, dir, fitSampleCap, k)) {
+      src.groupBy().agg(count(lit(1)).as("n")).coalesce(1)
+    }
 
   /** One-row corpus-size stat, persisted at list-build time: the probed
     * candidate count (n × nProbe / k) that [[PqModel.depthFor]]'s
@@ -490,7 +577,10 @@ object IvfModel {
   /** Corpus size under the CURRENT list generation — one-file read on
     * first access per (JVM, generation), a map lookup after (jobless on
     * a warm JVM, same contract as the label dispatch stats). Caller
-    * runs [[ensureLists]] first.
+    * runs [[ensureLists]] or [[PqModel.ensure]] first — both persist the
+    * stat. An ABSENT table fails loudly (and is never memoized): a
+    * silent 0 would floor [[PqModel.servingDepth]] at the fixed depth
+    * and under-rerank forever on a warm JVM.
     */
   def corpusCount(s: SparkSession, dir: String,
                   fitSampleCap: Long = FitSampleCap, k: Int = K): Long = {
@@ -499,8 +589,11 @@ object IvfModel {
     corpusStatsMemo.get(key) match {
       case Some((st, n)) if st == stamp => n
       case _ =>
-        val n = warehouseFor(s, dir).read(CorpusStatsTable, CorpusStatsSchema)
-          .select(col("n")).collect().headOption.map(_.getLong(0)).getOrElse(0L)
+        val read = warehouseFor(s, dir).read(CorpusStatsTable, CorpusStatsSchema)
+          .select(col("n")).collect().headOption.map(_.getLong(0))
+        val n = read.getOrElse(throw new IllegalStateException(
+          s"$CorpusStatsTable absent for $dir — run IvfModel.ensureLists or " +
+            "PqModel.ensure (any list build persists the corpus-count stat)"))
         corpusStatsMemo.put(key, (stamp, n))
         n
     }
@@ -831,6 +924,139 @@ object IvfModel {
                                   checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
     maintainByAppend(embAttr, checkpoint)(appendAttrListsFrame(wh, _, cents))
 
+  // ------------------------------------------- composite attributed lists
+  /** COMPOSITE attributed lists — the multi-predicate generalization of
+    * [[AttrListsTable]]: TWO filterable columns ride in the list payload
+    * (the categorical `label` and the numeric `n_chars`, denormalized
+    * from the documents table by one amortized build-time join on the
+    * shared id), so a conjunctive predicate like
+    * `label = 3 AND n_chars >= 300` — the shape the reference's serving
+    * layer builds from its periodo+territorio filters — is pushed
+    * whole into the partition-pruned parquet scan. Same lifecycle,
+    * stamp and staleness protocol as the single-attribute table.
+    */
+  val CompAttrListsTable = "ann_lists_cattr"
+
+  val CompAttrListsSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("emb", ArrayType(DoubleType)),
+      StructField("label", IntegerType),
+      StructField("n_chars", LongType),
+      StructField("corpus_stamp", StringType),
+      StructField("cluster", IntegerType)))
+  }
+
+  /** Per-ATTRIBUTE dispatch stats for the composite crossover, persisted
+    * at build time like [[AttrStatsTable]] but keyed (attr, key):
+    * `("label", v)` rows carry exact per-label survivor counts;
+    * `("nchars_bin", b)` rows carry an equi-width histogram of the
+    * numeric attribute (bin b = n_chars / [[NCharsBinWidth]]) — O(1)
+    * range-predicate survivor BOUNDS from a table that stays tiny at any
+    * corpus size (distinct labels + value-range/width bins).
+    */
+  val CompAttrStatsTable = "ann_cattr_stats"
+
+  val CompAttrStatsSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("attr", StringType),
+      StructField("key", LongType),
+      StructField("n", LongType),
+      StructField("corpus_stamp", StringType)))
+  }
+
+  /** Histogram bin width for the numeric attribute's dispatch stat —
+    * coarse is fine: the crossover needs an upper BOUND, and a 64-char
+    * bin keeps the table at value-range/64 rows (tens of rows on the
+    * test corpora, a few thousand even for megabyte documents).
+    */
+  val NCharsBinWidth = 64L
+
+  private def compAttrStamp(s: SparkSession, dir: String,
+                            fitSampleCap: Long, k: Int, suffix: String): String =
+    s"cattr-$suffix\n$dir\ncap=$fitSampleCap\nk=$k\n" +
+      s"${Tables.contentStamp(s, s"$dir/embeddings.parquet")}\n" +
+      s"${Tables.contentStamp(s, s"$dir/documents.parquet")}"
+
+  def ensureCompAttrLists(s: SparkSession, dir: String,
+                          fitSampleCap: Long = FitSampleCap, k: Int = K): Unit = {
+    ensureLists(s, dir, fitSampleCap, k)
+    val wh = warehouseFor(s, dir)
+    StampedTable.ensure(wh, CompAttrListsTable, CompAttrListsSchema,
+      compAttrStamp(s, dir, fitSampleCap, k, "lists"), partitionBy = Seq("cluster")) {
+      // both attach joins are id-equi and run ONCE per generation — the
+      // per-probe cost of a corpus-side metadata lookup is exactly what
+      // the denormalization exists to avoid
+      lists(s, dir)
+        .join(Tables.embeddings(s, dir).select(col("vec_id"), col("label")), Seq("vec_id"))
+        .join(Tables.documents(s, dir)
+          .select(col("doc_id").as("vec_id"), col("n_chars")), Seq("vec_id"))
+        .select(col("vec_id"), col("emb"), col("label"), col("n_chars"), col("cluster"))
+    }
+    StampedTable.ensure(wh, CompAttrStatsTable, CompAttrStatsSchema,
+      compAttrStamp(s, dir, fitSampleCap, k, "stats")) {
+      val src = compAttrLists(s, dir)
+      src.groupBy(col("label")).agg(count(lit(1)).as("n"))
+        .select(lit("label").as("attr"), col("label").cast("long").as("key"), col("n"))
+        .unionByName(
+          src.groupBy((col("n_chars") / NCharsBinWidth).cast("long").as("key"))
+            .agg(count(lit(1)).as("n"))
+            .select(lit("nchars_bin").as("attr"), col("key"), col("n")))
+        .coalesce(1)
+    }
+  }
+
+  /** The composite attributed lists (vec_id, emb, label, n_chars, cluster). */
+  def compAttrLists(s: SparkSession, dir: String): DataFrame =
+    warehouseFor(s, dir).read(CompAttrListsTable, CompAttrListsSchema)
+      .select(col("vec_id"), col("emb"), col("label"), col("n_chars"), col("cluster"))
+
+  private val compStatsMemo =
+    scala.collection.concurrent.TrieMap.empty[String, (String, Map[(String, Long), Long])]
+
+  private[graft] def resetCompStatsMemo(): Unit = compStatsMemo.clear()
+
+  private def compStats(s: SparkSession, dir: String,
+                        fitSampleCap: Long, k: Int): Map[(String, Long), Long] = {
+    val key = s"${rootFor(dir)}/$CompAttrStatsTable"
+    val stamp = compAttrStamp(s, dir, fitSampleCap, k, "stats")
+    compStatsMemo.get(key) match {
+      case Some((st, m)) if st == stamp => m
+      case _ =>
+        val m = warehouseFor(s, dir).read(CompAttrStatsTable, CompAttrStatsSchema)
+          .select(col("attr"), col("key"), col("n")).collect()
+          .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+        compStatsMemo.put(key, (stamp, m))
+        m
+    }
+  }
+
+  /** O(1) survivor-count UPPER BOUND for the conjunctive predicate
+    * `label = label AND n_chars >= minChars`, from the per-attribute
+    * stats alone: a conjunction's survivors are at most the MIN of its
+    * attributes' survivors (exact per-label count; histogram bound —
+    * every bin overlapping [minChars, ∞) counted whole — for the
+    * range). The bound errs WIDE, which maps to the SAFE dispatch
+    * direction in [[TextOps.compositeFilteredTopK]]: bound ≤ floor
+    * proves the true survivor set is small (brute is exact AND cheap);
+    * a correlated predicate whose true count is far below the bound
+    * merely takes the probe branch — the standard independence
+    * assumption every DB optimizer's conjunctive selectivity makes,
+    * overridable by passing an explicit floor decision upstream.
+    * Jobless on a warm JVM: one one-file read per (JVM, generation),
+    * map lookups after — same contract as [[attrLabelCount]].
+    */
+  def compSurvivorBound(s: SparkSession, dir: String, label: Int, minChars: Long,
+                        fitSampleCap: Long = FitSampleCap, k: Int = K): Long = {
+    val m = compStats(s, dir, fitSampleCap, k)
+    val labelN = m.getOrElse(("label", label.toLong), 0L)
+    val minBin = minChars / NCharsBinWidth
+    val rangeN = m.collect { case (("nchars_bin", b), n) if b >= minBin => n }.sum
+    math.min(labelN, rangeN)
+  }
+
   /** The live centroid directory for the DuckDB oracle. Oracle SQL is
     * generated without a Spark session, and DuckDB is a local single-node
     * tool, so this resolves the warehouse pointer with plain java.io —
@@ -1084,6 +1310,12 @@ object PqModel {
         .select(col("vec_id"), V.toDouble(col("embedding")).as("emb"))
       codedListsOf(e, cents, codebookArr(s, dir))
     }
+    // the corpus-count stat must not depend on the UNCOMPRESSED lists
+    // having ever been built: a PQ-only warehouse serves
+    // [[servingDepth]]'s auto rerank depth too (one row per corpus
+    // vector in either table, so the count is the same stat)
+    IvfModel.ensureCorpusStats(s, dir, fitSampleCap, k)(
+      wh.read(PqListsTable, PqListsSchema))
   }
 
   /** (vec_id, codes, cluster) of an embedding frame: coarse assignment

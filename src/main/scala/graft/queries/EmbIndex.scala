@@ -133,9 +133,10 @@ object EmbIndex {
     * candidate work is bounded by the cap exactly as in t15.
     */
   def incrementCosinePairs(wh: Warehouse, batchEmb: DataFrame,
-                           bits: Int = Lsh.Bits, radius: Int = TextOps.PairRadius,
+                           bits: Int = Lsh.Bits, radius: Int = Lsh.PolicyRadius,
                            maxBucket: Int = TextOps.EmbBucketCap): DataFrame =
-    incrementCosinePairsOf(coded(wh), codedOf(batchEmb, bits), bits, radius, maxBucket)
+    incrementCosinePairsOf(coded(wh), codedOf(batchEmb, bits), bits,
+      Lsh.resolveRadius(bits, radius, TextOps.PairRadius), maxBucket)
 
   /** The probed slice — split out (like [[BandIndex.probedSlice]]) so
     * the partition-pruning claim is asserted against the plan that
@@ -208,9 +209,14 @@ object EmbIndex {
     val attachFits = batchBytes <= TextOps.AttachBroadcastMaxBytes
     val probeFits =
       batchBytes * masks.length <= probeBroadcastMaxBytes
+    // over-budget branch: the shuffle-hash BUILD side must be the
+    // batch-bounded probe frame, not the corpus — in the increment
+    // regime the index is the unbounded side, and hinting it would
+    // build the per-partition hash map from the large side (an
+    // executor-memory cliff at index sizes where this path matters)
     def paired(probes: DataFrame): DataFrame =
       if (probeFits) corpus.join(broadcast(probes), Seq("bucket"))
-      else corpus.hint("shuffle_hash").join(probes, Seq("bucket"))
+      else corpus.join(probes.hint("shuffle_hash"), Seq("bucket"))
     val scored =
       if (masks.length > TextOps.NarrowProbeMaskThreshold && attachFits) {
         val probes = batchCapped.select(col("vec_id").as("vec_a"),

@@ -910,6 +910,198 @@ object QualityOps {
        |  ${R.halfUpSql("rarity_sum_micro * 1.0 / (n_distinct * 1000000)", 4)} AS rarity
        |FROM d ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t53
+  /** N-GRAM LM QUALITY SIGNAL (CCNet-style, Wenzek et al. 2019): a
+    * counts-based 5-gram language model scores each document's
+    * per-token negative log-likelihood — the standard public
+    * pretraining-data quality scorer (CCNet buckets Common Crawl by
+    * LM perplexity; high-perplexity text is gibberish/boilerplate).
+    *
+    * The model is "Kneser-Ney-lite": absolute discounting (D = 0.75)
+    * interpolated between the top-order (5-gram) ML estimate and the
+    * unigram CONTINUATION distribution — the KN insight retained (a
+    * word's backoff weight is how many distinct contexts it follows,
+    * not its raw frequency), the intermediate-order recursion dropped
+    * (the 'lite'; at web scale the intermediate orders' contribution is
+    * what Brants et al. 2007 showed stupid-backoff can forgo):
+    *
+    *   p(w|h) = (max(c(h,w) − D, 0) + D · d(h) · cont(w)/Z) / c(h)
+    *
+    * with h the 4-token history, c(h) its total count, d(h) its distinct
+    * continuations, cont(w) the distinct histories preceding w, and
+    * Z = Σ cont. The fit is two grouped passes over the corpus's
+    * exploded 5-grams — the classic map-reduce LM build — persisted
+    * stamped like [[RarityVocabTable]].
+    *
+    * ORACLE DETERMINISM: ln/exp are libm calls with no cross-engine
+    * bit guarantee, so the log-probability is computed ONCE, at fit
+    * time, by Spark, rounded to integer MICRO-NATS and persisted in the
+    * model parquet; scoring — in Spark and in the DuckDB replay — is a
+    * join plus integer sums (the t33 rarity_micro treatment applied to
+    * an LM). Self-scoring the fit corpus touches only SEEN 5-grams, so
+    * the registered query needs no backoff; serving NEW text falls back
+    * per miss to the persisted continuation table then to its floor
+    * ([[lmScoreWith]], spec-pinned).
+    *
+    * Scale: the exploded 5-gram frame is tokens-sized (one row per
+    * position — the same volume t18's chunker and t31's n-gram top-k
+    * already shuffle); the model table is distinct-5-grams-sized and
+    * join-keyed on (h, w), so scoring shuffles each side once on the
+    * n-gram key. No driver materialization anywhere (Z folds into the
+    * persisted rows at fit time).
+    */
+  val LmDiscount = 0.75
+  val LmOrder = 5
+
+  val LmTable = "lm_ngram5"
+  val LmSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("h", StringType),
+      StructField("w", StringType),
+      StructField("c", LongType),
+      StructField("lp_micro", LongType),
+      StructField("corpus_stamp", StringType)))
+  }
+
+  /** Unigram-continuation fallback for scoring text the fit never saw:
+    * (w, cont, lp_micro = ln(cont/Z) micro-nats). `lp_floor_micro` (the
+    * all-miss floor, ln(0.5/Z)) rides on every row the way
+    * corpus_stamp does — dictionary-encoded to nothing, keeps the
+    * model self-contained in two tables.
+    */
+  val LmContTable = "lm_ngram5_cont"
+  val LmContSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("w", StringType),
+      StructField("cont", LongType),
+      StructField("lp_micro", LongType),
+      StructField("lp_floor_micro", LongType),
+      StructField("corpus_stamp", StringType)))
+  }
+
+  private val LmSep = ""
+
+  /** One row per 5-gram POSITION: (doc_id, h, w), h = the 4 preceding
+    * tokens joined on a non-text separator. Tokenization is [[TF.tokens]]
+    * — the t02/t16/t33 parity-proven split.
+    */
+  private[graft] def ngramPositionsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= LmOrder)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(LmOrder), size(col("toks"))), k =>
+          struct(
+            concat_ws(LmSep,
+              element_at(col("toks"), k - 4), element_at(col("toks"), k - 3),
+              element_at(col("toks"), k - 2), element_at(col("toks"), k - 1)).as("h"),
+            element_at(col("toks"), k).as("w")))).as("ng"))
+      .select(col("doc_id"), col("ng.h").as("h"), col("ng.w").as("w"))
+
+  /** Fit the model frames over an explicit corpus: (5-gram table,
+    * continuation table) — exactly the rows [[ensureNgramLm]] persists.
+    */
+  private[graft] def lmOf(docs: DataFrame): (DataFrame, DataFrame) = {
+    val ng = ngramPositionsOf(docs)
+    val cw = ng.groupBy(col("h"), col("w")).agg(count(lit(1)).as("c"))
+    val ctx = cw.groupBy(col("h"))
+      .agg(sum(col("c")).as("ctx_total"), count(lit(1)).as("ctx_distinct"))
+    val cont = cw.groupBy(col("w")).agg(count(lit(1)).as("cont"))
+    // Z joins in as a one-row broadcast instead of a driver collect: the
+    // fit stays a pure plan end to end
+    val z = cont.agg(sum(col("cont")).as("z"))
+    val lm = cw.join(ctx, Seq("h")).join(cont, Seq("w")).crossJoin(broadcast(z))
+      .select(col("h"), col("w"), col("c"),
+        round(log(
+          (greatest(col("c") - LmDiscount, lit(0.0)) +
+            lit(LmDiscount) * col("ctx_distinct") * (col("cont") / col("z")))
+            / col("ctx_total")) * 1e6).cast("long").as("lp_micro"))
+    val contOut = cont.crossJoin(broadcast(z))
+      .select(col("w"), col("cont"),
+        round(log(col("cont") / col("z")) * 1e6).cast("long").as("lp_micro"),
+        round(log(lit(0.5) / col("z")) * 1e6).cast("long").as("lp_floor_micro"))
+    (lm, contOut)
+  }
+
+  /** Fit-and-persist once per corpus, content-stamped — the
+    * [[ensureRarityVocab]] protocol for both model tables.
+    */
+  def ensureNgramLm(s: SparkSession, dir: String): graft.etl.Warehouse = {
+    val wh = IvfModel.warehouseFor(s, dir)
+    val stamp = s"lm5:$dir\nD=$LmDiscount\n${contentStamp(s, s"$dir/documents.parquet")}"
+    StampedTable.ensure(wh, LmTable, LmSchema, stamp) { lmOf(documents(s, dir))._1 }
+    StampedTable.ensure(wh, LmContTable, LmContSchema, stamp) { lmOf(documents(s, dir))._2 }
+    wh
+  }
+
+  /** Score an arbitrary corpus against a fitted model: per position,
+    * the seen-5-gram log-prob, else the continuation fallback, else the
+    * floor — then per doc the integer micro-nat totals. `n_ngrams` = 0
+    * docs (< 5 tokens) are absent: an n-gram LM has no opinion on them
+    * (the curation gate passes them through to the other signals).
+    */
+  def lmScoreWith(docs: DataFrame, lm: DataFrame, cont: DataFrame): DataFrame =
+    ngramPositionsOf(docs)
+      .join(lm.select(col("h"), col("w"), col("lp_micro").as("lp5")), Seq("h", "w"), "left")
+      .join(cont.select(col("w"), col("lp_micro").as("lp1"),
+        col("lp_floor_micro").as("lpf")), Seq("w"), "left")
+      // an all-miss row has NULL lpf too (the floor rides the cont
+      // table), so the literal fallback only fires on a model with an
+      // EMPTY cont table — impossible for a non-empty fit
+      .select(col("doc_id"),
+        coalesce(col("lp5"), col("lp1"), col("lpf"), lit(0L)).as("lp_micro"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ngrams"), (-sum(col("lp_micro"))).as("nll_sum_micro"))
+      .select(col("doc_id"), col("n_ngrams").cast("int").as("n_ngrams"),
+        col("nll_sum_micro"),
+        // positive integer division: floor == truncate in BOTH engines
+        // (Spark `div` truncates toward zero, DuckDB `//` floors — they
+        // disagree only on negatives, and nll is nonnegative)
+        expr("CAST(nll_sum_micro DIV n_ngrams AS BIGINT)").as("nll_avg_micro"))
+      .orderBy(col("doc_id"))
+
+  /** Convenience for API users: e^(avg micro-nats / 1e6) — NOT part of
+    * the oracle-checked frame (exp is a libm call; the hash-checked
+    * columns stay integer).
+    */
+  def withPerplexity(scored: DataFrame): DataFrame =
+    scored.withColumn("ppl", exp(col("nll_avg_micro") / 1e6))
+
+  def t53NgramLm(s: SparkSession, dir: String): DataFrame = {
+    val wh = ensureNgramLm(s, dir)
+    lmScoreWith(documents(s, dir),
+      wh.read(LmTable, LmSchema),
+      wh.read(LmContTable, LmContSchema))
+  }
+
+  /** The DuckDB replay: same tokenization, same exploded 5-gram
+    * positions (parallel unnest), the SAME persisted lp_micro integers,
+    * integer sums. Self-scoring touches only seen 5-grams, so the join
+    * is inner-complete by construction (the left-join fallbacks in
+    * [[lmScoreWith]] never fire — asserted by the hash match itself).
+    */
+  def t53Sql(dir: String): String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(5, len(toks) + 1), k ->
+       |      concat_ws(chr(1), toks[k-4], toks[k-3], toks[k-2], toks[k-1]))) AS h,
+       |    unnest(list_transform(range(5, len(toks) + 1), k -> toks[k])) AS w
+       |  FROM t WHERE len(toks) >= 5),
+       |lm AS (SELECT h, w, lp_micro
+       |       FROM read_parquet('${IvfModel.oraclePathFor(dir, LmTable)}/*.parquet')),
+       |d AS (
+       |  SELECT doc_id, count(*) AS n_ngrams,
+       |    CAST(-sum(lp_micro) AS BIGINT) AS nll_sum_micro
+       |  FROM g JOIN lm USING (h, w) GROUP BY doc_id)
+       |SELECT doc_id, CAST(n_ngrams AS INT) AS n_ngrams, nll_sum_micro,
+       |  CAST(nll_sum_micro // n_ngrams AS BIGINT) AS nll_avg_micro
+       |FROM d ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t20_quality_flags"     -> (t20QualityFlags _),

@@ -257,11 +257,15 @@ object TextOps {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int, Int, Int), (String, DataFrame)]
 
   def cosineCandidatePairs(s: SparkSession, dir: String,
-                           bits: Int = Lsh.Bits, radius: Int = PairRadius,
+                           bits: Int = Lsh.Bits, radius: Int = Lsh.PolicyRadius,
                            maxBucket: Int = EmbBucketCap): DataFrame = {
+    // resolve the sentinel BEFORE the cache key, so a policy-defaulted
+    // call and an explicit call at the same resolved radius share one
+    // pinned frame
+    val rr = Lsh.resolveRadius(bits, radius, PairRadius)
     cosinePairCache.filterInPlace { case ((sess, _, _, _, _), _) => !sess.sparkContext.isStopped }
     val mt = Tables.contentStamp(s, s"$dir/embeddings.parquet")
-    val key = (s, dir, bits, radius, maxBucket)
+    val key = (s, dir, bits, rr, maxBucket)
     cosinePairCache.get(key) match {
       case Some((`mt`, df)) => df
       case _ =>
@@ -276,7 +280,7 @@ object TextOps {
             case Some((`mt`, df)) => df
             case stale =>
               stale.foreach { case (_, old) => old.unpersist(false) }
-              val fresh = t15CosineNearDup(s, dir, bits, radius, maxBucket = maxBucket).persist()
+              val fresh = t15CosineNearDup(s, dir, bits, rr, maxBucket = maxBucket).persist()
               cosinePairCache.put(key, (mt, fresh))
               fresh
           }
@@ -616,7 +620,8 @@ object TextOps {
     * the defaults are the test-corpus dials and what the oracle replays.
     */
   def t12AnnLsh(s: SparkSession, dir: String,
-                bits: Int = Lsh.Bits, radius: Int = Lsh.HammingRadius): DataFrame = {
+                bits: Int = Lsh.Bits, radius: Int = Lsh.PolicyRadius): DataFrame = {
+    val rr = Lsh.resolveRadius(bits, radius, Lsh.HammingRadius)
     val e = embeddings(s, dir)
       .select(col("vec_id"), V.toDouble(col("embedding")).as("emb"))
       .withColumn("bucket", Lsh.bucketOf(col("emb"), bits))
@@ -624,7 +629,7 @@ object TextOps {
     // that straddle up to `radius` hyperplanes are recovered
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
-        explode(array(Lsh.masksWithin(radius, bits).map(m =>
+        explode(array(Lsh.masksWithin(rr, bits).map(m =>
           col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
@@ -663,6 +668,20 @@ object TextOps {
     sys.env.get("SPARK_GRAFT_LSH_BITS").map(_.trim.toInt).getOrElse(Lsh.Bits)
   private[graft] lazy val DialRadius: Option[Int] =
     sys.env.get("SPARK_GRAFT_LSH_RADIUS").map(_.trim.toInt)
+  /** The radius the registered queries RUN at when the env leaves it to
+    * policy: [[Lsh.radiusFor]] of the dialed bits, from each family's
+    * base (pair family 4, ANN probe 3). This is what closes the round-11
+    * `weak`: a deployment that dials only `bits` (or lets `Lsh.bitsFor`
+    * grow it with the corpus) gets the mask-budgeted radius
+    * automatically, instead of a hand-held radius 4 compounding
+    * C(bits, 4) across decades. An explicit SPARK_GRAFT_LSH_RADIUS still
+    * wins — it is the recall-vs-cost override, and the oracle SQL
+    * inlines the same resolved value either way.
+    */
+  private[graft] lazy val DialPairRadius: Int =
+    DialRadius.getOrElse(Lsh.radiusFor(DialBits, PairRadius))
+  private[graft] lazy val DialProbeRadius: Int =
+    DialRadius.getOrElse(Lsh.radiusFor(DialBits, Lsh.HammingRadius))
   private[graft] lazy val DialEmbCap: Int =
     sys.env.get("SPARK_GRAFT_EMB_CAP").map(_.trim.toInt).getOrElse(EmbBucketCap)
   private[graft] lazy val DialIvfK: Int =
@@ -685,7 +704,7 @@ object TextOps {
        |eb AS (SELECT vec_id, emb, ${Lsh.bucketSql("emb", DialBits)} AS bucket FROM e),
        |q AS (
        |  SELECT vec_id AS query_id, emb AS q_emb, xor(bucket, m) AS bucket
-       |  FROM eb CROSS JOIN (SELECT unnest(${Lsh.masksSqlWithin(DialRadius.getOrElse(Lsh.HammingRadius), DialBits)}) AS m)
+       |  FROM eb CROSS JOIN (SELECT unnest(${Lsh.masksSqlWithin(DialProbeRadius, DialBits)}) AS m)
        |  WHERE vec_id < 10),
        |scored AS (
        |  SELECT q.query_id, e.vec_id, e.bucket,
@@ -1051,7 +1070,14 @@ object TextOps {
     // ADC shortlist: codes-only scan of the probed partitions
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adist"), col("vec_id"))
-    val short = listScan.join(side(probes.hint("shuffle_hash")), Seq("cluster"))
+    // the shuffle_hash pin belongs ONLY to the shuffle branch: wrapping
+    // broadcast() around a hinted frame stacks two conflicting
+    // join-strategy hints on one side, and correctness then rides on
+    // Spark's outer-hint-wins tiebreak (a logged "hint overridden"
+    // warning, fragile across versions)
+    val probeSide =
+      if (broadcastQueries) broadcast(probes) else probes.hint("shuffle_hash")
+    val short = listScan.join(probeSide, Seq("cluster"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         R.halfUp(PqModel.adcDist(col("codes"), col("dtab"), ks), 6).as("adist"))
@@ -1385,6 +1411,104 @@ object TextOps {
 
   def t51Sql(dir: String): String = ivfProbeSql(dir, BatchQueryBound)
 
+  // ---------------------------------------------------------------- t52
+  /** COMPOSITE filtered similarity search — t49 generalized to a
+    * CONJUNCTIVE predicate over two denormalized attributes
+    * (`label = 3 AND n_chars >= 300`: a categorical equality and a
+    * numeric range), served from [[IvfModel.ensureCompAttrLists]]'s
+    * composite attributed lists. This is the shape production filtered
+    * vector search actually runs (the reference's serving layer builds
+    * multi-predicate filters — periodo + territorio — per request,
+    * `app.py:692-704`): BOTH predicates ride in the list payload, so
+    * the whole conjunction is pushed into the partition-pruned parquet
+    * scan (PushedFilters shows both; the excluded rows never pay a
+    * cosine). Everything else is the t49 contract verbatim: probe cells
+    * from the same persisted quantizer, queries not filter-constrained,
+    * registered defaults pinned by the oracle.
+    */
+  val FilterMinChars = 300L
+
+  def t52AnnFilteredComposite(s: SparkSession, dir: String,
+                              k: Int = IvfModel.K, nProbe: Int = IvfModel.NProbe,
+                              label: Int = FilterLabel,
+                              minChars: Long = FilterMinChars): DataFrame = {
+    IvfModel.ensureCompAttrLists(s, dir, k = k)
+    ivfListsProbe(IvfModel.compAttrLists(s, dir), IvfModel.centroids(s, dir), nProbe,
+      candFilter = col("label") === lit(label) && col("n_chars") >= lit(minChars))
+  }
+
+  /** t49's SQL with the documents attach (same inner join the index
+    * build denormalizes) and the conjunction on the candidate side.
+    */
+  def t52Sql(dir: String): String =
+    s"""WITH e AS (
+       |  SELECT e0.vec_id, e0.embedding::DOUBLE[] AS emb, e0.label, d.n_chars
+       |  FROM embeddings e0 JOIN documents d ON e0.vec_id = d.doc_id),
+       |c AS (SELECT cid, cvec FROM read_parquet('${IvfModel.oraclePath(dir)}/*.parquet')),
+       |ad AS (
+       |  SELECT vec_id, emb, label, n_chars, cid,
+       |    list_sum(list_transform(list_zip(emb, cvec), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+       |  FROM e CROSS JOIN c),
+       |assigned AS (
+       |  SELECT vec_id, emb, label, n_chars, cid AS cluster FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM ad)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, emb AS q_emb, cid AS cluster FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS pr
+       |    FROM ad WHERE vec_id < 10)
+       |  WHERE pr <= $DialIvfNProbe),
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id, a.cluster,
+       |    ${R.halfUpSql(cosineSql("p.q_emb", "a.emb"), 6)} AS cosine
+       |  FROM assigned a JOIN probes p USING (cluster)
+       |  WHERE a.vec_id <> p.query_id
+       |    AND a.label = $FilterLabel AND a.n_chars >= $FilterMinChars),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cluster, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rk
+       |  FROM scored)
+       |SELECT query_id, vec_id, cluster, cosine, rk FROM ranked
+       |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
+  /** [[filteredTopK]]'s crossover for the COMPOSITE predicate. The
+    * dispatch statistic is [[IvfModel.compSurvivorBound]] — an O(1),
+    * jobless-on-warm-JVM survivor UPPER bound from per-attribute stats
+    * (exact label counts; histogram bound for the range), min'd across
+    * the conjunction. The bound errs wide, which errs SAFE: at or below
+    * `bruteFloor` the true survivor set is provably small and the exact
+    * brute branch is both cheaper and more accurate (an IVF probe over
+    * a near-empty universe reads nProbe/K of nothing); above it the
+    * partition-pruned probe serves with the conjunction pushed to the
+    * scan. Both branches return the t49/t52 frame shape and are pinned
+    * against their references in CompositeFilterSpec.
+    */
+  def compositeFilteredTopK(s: SparkSession, dir: String, label: Int = FilterLabel,
+                            minChars: Long = FilterMinChars,
+                            k: Int = IvfModel.K, nProbe: Int = IvfModel.NProbe,
+                            bruteFloor: Long = 1000): DataFrame = {
+    IvfModel.ensureCompAttrLists(s, dir, k = k)
+    val attr = IvfModel.compAttrLists(s, dir)
+    val pred = col("label") === lit(label) && col("n_chars") >= lit(minChars)
+    if (IvfModel.compSurvivorBound(s, dir, label, minChars, k = k) > bruteFloor)
+      ivfListsProbe(attr, IvfModel.centroids(s, dir), nProbe, candFilter = pred)
+    else {
+      // exact path: ≤ bruteFloor candidates × ≤10 queries, query side
+      // broadcast, the filtered scan the only corpus read — t50's shape
+      val queries = attr.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+      val wTop = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      attr.filter(pred).crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), col("cluster"),
+          R.halfUp(V.cosine(col("q_emb"), col("emb")), 6).as("cosine"))
+        .withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= 5)
+        .orderBy(col("query_id"), col("rk"))
+    }
+  }
+
   // ---------------------------------------------------------------- t16
   /** BPE-style token counting beside the whitespace count (t02): a GPT-2
     * pretokenizer-shaped regex (contraction suffixes, space-prefixed
@@ -1621,10 +1745,11 @@ object TextOps {
     * dial crossover). Identical results by construction (spec-pinned).
     */
   def t15CosineNearDup(s: SparkSession, dir: String,
-                       bits: Int = Lsh.Bits, radius: Int = PairRadius,
+                       bits: Int = Lsh.Bits, radius: Int = Lsh.PolicyRadius,
                        narrowProbe: Option[Boolean] = None,
                        maxBucket: Int = EmbBucketCap): DataFrame =
-    t15CosineNearDupOf(embeddings(s, dir), bits, radius, narrowProbe, maxBucket)
+    t15CosineNearDupOf(embeddings(s, dir), bits,
+      Lsh.resolveRadius(bits, radius, PairRadius), narrowProbe, maxBucket)
 
   /** Probe-shape crossover: at or below this mask count the wide probe
     * (embedding rides every exploded row, single join, zero extra
@@ -1678,7 +1803,7 @@ object TextOps {
     * dense-bucket corpora.
     */
   def t15CosineNearDupOf(embSrc: DataFrame,
-                         bits: Int = Lsh.Bits, radius: Int = PairRadius,
+                         bits: Int = Lsh.Bits, radius: Int = Lsh.PolicyRadius,
                          narrowProbe: Option[Boolean] = None,
                          maxBucket: Int = EmbBucketCap): DataFrame = {
     // norms materialize per VECTOR before the join (n rows), so the only
@@ -1702,7 +1827,7 @@ object TextOps {
       .filter(col("bucket_n") > maxBucket)
       .select(col("bucket"))
     val e = e0.join(broadcast(oversized), Seq("bucket"), "left_anti")
-    val masks = Lsh.masksWithin(radius, bits)
+    val masks = Lsh.masksWithin(Lsh.resolveRadius(bits, radius, PairRadius), bits)
     // narrow is only safe while the attach side BROADCASTS (see
     // [[AttachBroadcastMaxBytes]]): its attach join otherwise shuffles
     // the candidate intermediate — probe_fraction × n × occupancy rows
@@ -1771,7 +1896,7 @@ object TextOps {
        |  WHERE bucket_n <= $DialEmbCap),
        |pr AS (
        |  SELECT vec_id AS vec_a, emb AS emb_a, xor(bucket, m) AS bucket
-       |  FROM eb CROSS JOIN (SELECT unnest(${Lsh.masksSqlWithin(DialRadius.getOrElse(PairRadius), DialBits)}) AS m)),
+       |  FROM eb CROSS JOIN (SELECT unnest(${Lsh.masksSqlWithin(DialPairRadius, DialBits)}) AS m)),
        |cand AS (
        |  SELECT p.vec_a, e.vec_id AS vec_b,
        |    ${R.halfUpSql(cosineSql("p.emb_a", "e.emb"), 6)} AS cosine
@@ -1797,9 +1922,10 @@ object TextOps {
     * DuckDB — both engines honor the same (bits, radius) dial.
     */
   def t34EmbedDedupClusters(s: SparkSession, dir: String,
-                            bits: Int = Lsh.Bits, radius: Int = PairRadius,
+                            bits: Int = Lsh.Bits, radius: Int = Lsh.PolicyRadius,
                             maxBucket: Int = EmbBucketCap): DataFrame = {
-    val pairs = cosineCandidatePairs(s, dir, bits, radius, maxBucket)
+    val pairs = cosineCandidatePairs(s, dir, bits,
+      Lsh.resolveRadius(bits, radius, PairRadius), maxBucket)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
     val nodes = embeddings(s, dir).select(col("vec_id").as("doc_id")).distinct()
     dedupClustersOf(nodes, pairs)
@@ -2258,7 +2384,7 @@ object TextOps {
     "t10_ann_brute_force" -> (t10AnnBruteForce _),
     "t11_langid_confusion"-> (t11LangidConfusion _),
     "t12_ann_lsh"         -> ((s: SparkSession, d: String) =>
-      t12AnnLsh(s, d, DialBits, DialRadius.getOrElse(Lsh.HammingRadius))),
+      t12AnnLsh(s, d, DialBits, DialProbeRadius)),
     "t13_dedup_clusters"  -> (t13DedupClusters _),
     "t14_ann_ivf"         -> ((s: SparkSession, d: String) =>
       t14AnnIvf(s, d, DialIvfK, DialIvfNProbe)),
@@ -2275,11 +2401,13 @@ object TextOps {
     "t50_ann_filtered_exact" -> (t50AnnFilteredExact _),
     "t51_ann_batch_serve" -> ((s: SparkSession, d: String) =>
       t51AnnBatchServe(s, d, DialIvfK, DialIvfNProbe)),
+    "t52_ann_filtered_composite" -> ((s: SparkSession, d: String) =>
+      t52AnnFilteredComposite(s, d, DialIvfK, DialIvfNProbe)),
     "t15_cosine_near_dup" -> ((s: SparkSession, d: String) =>
-      cosineCandidatePairs(s, d, DialBits, DialRadius.getOrElse(PairRadius), DialEmbCap)),
+      cosineCandidatePairs(s, d, DialBits, DialPairRadius, DialEmbCap)),
     "t16_token_bpe"       -> (t16TokenBpe _),
     "t34_embed_dedup_clusters" -> ((s: SparkSession, d: String) =>
-      t34EmbedDedupClusters(s, d, DialBits, DialRadius.getOrElse(PairRadius), DialEmbCap)),
+      t34EmbedDedupClusters(s, d, DialBits, DialPairRadius, DialEmbCap)),
     "t17_train_split"     -> (t17TrainSplit _),
     "t18_chunks"          -> (t18Chunks _),
     "t19_boilerplate"     -> (t19Boilerplate _),
@@ -2333,6 +2461,10 @@ object TextOps {
     // the batched-serving shape answers the same IVF replay at the
     // wider query bound — strategy-invisible results ARE the claim
     "t51_ann_batch_serve" -> t51Sql(dir),
+    // composite filtered probe: the conjunction (label equality +
+    // n_chars range, attrs denormalized by the same inner attach join
+    // the index build runs) constrains the candidate side only
+    "t52_ann_filtered_composite" -> t52Sql(dir),
     "t15_cosine_near_dup" -> t15Sql,
     "t16_token_bpe"       -> t16Sql,
     "t34_embed_dedup_clusters" -> t34Sql,
