@@ -8,12 +8,22 @@ import graft.functions.{Rounding => R, VectorOps => V}
 
 /** PERSISTED embedding bucket index — [[BandIndex]]'s twin for the
   * VECTOR side of the dedup family: every corpus vector stored with its
-  * norm under its hyperplane sign code, `bucket` as the Hive partition
-  * column (≤ 2^bits values, directly partitionable — no hashing layer
-  * needed, unlike band keys). An ingest batch codes ONLY ITSELF, probes
-  * the index across its Hamming-radius masks with a static partition
-  * filter, and gets exactly the t15 cosine pairs that touch the batch —
-  * without re-scanning, re-norming or re-coding the settled corpus.
+  * norm under its hyperplane sign code. The Hive partition column is
+  * `pbucket = bucket mod [[PBuckets]]` — the same bounded fan-out layer
+  * BandIndex uses, because the raw sign code CANNOT be the directory
+  * key at production widths: `bitsFor` grows the code space to 2^bits
+  * directories (8192 at the second decade's bits=13, a billion at 30),
+  * and the round-12 sf10 run measured the wide-dial lifecycle wall
+  * dominated by exactly that — 16k directories / 65k files per
+  * warehouse, tens of thousands of file opens per query. With the
+  * fan-out capped, directory count is ≤ PBuckets at ANY bits (identity
+  * below 2^10, so narrow-dial layouts are unchanged), `bucket` rides as
+  * a data column (parquet row-group stats still skip within a
+  * partition), and probes prune on the derived pbucket set. An ingest
+  * batch codes ONLY ITSELF, probes the index across its Hamming-radius
+  * masks with a static partition filter, and gets exactly the t15
+  * cosine pairs that touch the batch — without re-scanning, re-norming
+  * or re-coding the settled corpus.
   * Feeds [[graft.pipelines.ClusterState]] for incremental SEMANTIC
   * dedup the same way BandIndex feeds the text side (t37 / t40).
   *
@@ -27,14 +37,28 @@ object EmbIndex {
 
   val TableName = "emb_buckets"
 
+  /** Partition fan-out cap — directories per index generation at any
+    * code width. 1024 = identity below bits=10 (the audited narrow
+    * dials keep their exact layout), 8× fewer files at bits=13, and a
+    * constant at the 100 TB bits≈20-30 regime where one-dir-per-code is
+    * unbuildable. The dial contract at scale mirrors
+    * [[BandIndex.BkBuckets]]: PBuckets ≈ index_bytes /
+    * target_partition_scan_bytes.
+    */
+  val PBuckets = 1024
+
+  private[graft] def pbucketOf(bucket: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(bucket, lit(PBuckets.toLong)).cast("int")
+
   val Schema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
     StructType(Seq(
       StructField("vec_id", LongType),
       StructField("emb", ArrayType(DoubleType)),
       StructField("nrm", DoubleType),
+      StructField("bucket", LongType),
       StructField("corpus_stamp", StringType),
-      StructField("bucket", LongType)))
+      StructField("pbucket", IntegerType)))
   }
 
   /** Coded rows of an arbitrary (vec_id, embedding) frame — the exact
@@ -47,6 +71,7 @@ object EmbIndex {
       .select(col("vec_id"), V.toDouble(col("embedding")).as("emb"))
       .withColumn("nrm", V.norm(col("emb")))
       .withColumn("bucket", Lsh.bucketOf(col("emb"), bits))
+      .withColumn("pbucket", pbucketOf(col("bucket")))
 
   /** Full (re)build over an explicit frame: one versioned, partitioned
     * rewrite (pointer-flip commit).
@@ -54,7 +79,7 @@ object EmbIndex {
   def seed(wh: Warehouse, embSrc: DataFrame, bits: Int = Lsh.Bits): Unit =
     wh.rewrite(TableName,
       codedOf(embSrc, bits).withColumn("corpus_stamp", lit("seed")),
-      partitionBy = Seq("bucket"))
+      partitionBy = Seq("pbucket"))
 
   /** Stamped variant for a static corpus (the t40 verification path).
     * `bits` MUST be part of the caller's stamp: codes are baked into the
@@ -64,14 +89,21 @@ object EmbIndex {
     */
   def ensureFor(wh: Warehouse, embSrc: => DataFrame, stamp: String,
                 bits: Int = Lsh.Bits): Unit =
-    StampedTable.ensure(wh, TableName, Schema, stamp, partitionBy = Seq("bucket")) {
+    // the fan-out rides the stamp: a pre-fan-out table (or a dialed
+    // PBuckets) lays its files out differently and must rebuild
+    StampedTable.ensure(wh, TableName, Schema, s"$stamp\npb=$PBuckets",
+      partitionBy = Seq("pbucket")) {
       codedOf(embSrc, bits)
     }
 
-  /** The persisted index (vec_id, emb, nrm, bucket). */
+  /** The persisted index (vec_id, emb, nrm, bucket, pbucket) — the
+    * partition column rides the projection so downstream probe reads
+    * can still land a PARTITION filter (a filter on the data column
+    * `bucket` alone prunes row groups, not directories).
+    */
   def coded(wh: Warehouse): DataFrame =
     wh.read(TableName, Schema)
-      .select(col("vec_id"), col("emb"), col("nrm"), col("bucket"))
+      .select(col("vec_id"), col("emb"), col("nrm"), col("bucket"), col("pbucket"))
 
   /** Grow the index by an ingest batch — idempotent at vec_id
     * granularity (one row per vector = one row per file slot, so unlike
@@ -106,11 +138,11 @@ object EmbIndex {
     val bc = Frames.cutIfPlain(batchCoded)
     val landed =
       if (checked) coded(wh)
-      else BucketPrune.restrict(coded(wh), "bucket", bc, maxInline)
+      else restrictToBuckets(coded(wh), bc, maxInline)
     val fresh = bc.join(landed.select(col("vec_id")), Seq("vec_id"), "left_anti")
     wh.appendLive(TableName,
       fresh.withColumn("corpus_stamp", lit("append")),
-      partitionBy = Seq("bucket"))
+      partitionBy = Seq("pbucket"))
   }
 
   /** Coalesce the per-batch append litter — one file per sign-code
@@ -118,7 +150,22 @@ object EmbIndex {
     * [[BandIndex.compact]]).
     */
   def compact(wh: Warehouse): Unit =
-    wh.compact(TableName, Schema, partitionBy = Seq("bucket"))
+    wh.compact(TableName, Schema, partitionBy = Seq("pbucket"))
+
+  /** The index restricted to a probe frame's bucket set — BOTH levels:
+    * the derived pbucket set lands as the PARTITION filter (static IN
+    * ≤ [[BucketPrune.MaxInline]] values, broadcast-semi DPP above) and
+    * the exact bucket set as a data filter the parquet reader pushes to
+    * row-group stats. `buckets` must expose a `bucket` column.
+    */
+  private[graft] def restrictToBuckets(index: DataFrame, buckets: DataFrame,
+                                       maxInline: Int = BucketPrune.MaxInline): DataFrame = {
+    val b = buckets.select(col("bucket"))
+      .withColumn("pbucket", pbucketOf(col("bucket")))
+    BucketPrune.restrict(
+      BucketPrune.restrict(index, "pbucket", b, maxInline),
+      "bucket", b, maxInline)
+  }
 
   /** Cosine near-dup pairs of an ingest batch against the persisted
     * index — every pair (vec_a < vec_b, cosine ≥ τ) with AT LEAST ONE
@@ -143,7 +190,9 @@ object EmbIndex {
     * actually reads the table.
     */
   private[graft] def probedSlice(index: DataFrame, probeBuckets: Array[Long]): DataFrame =
-    index.filter(col("bucket").isin(probeBuckets.toSeq: _*))
+    index.filter(col("pbucket").isin(
+        probeBuckets.map(b => (b % PBuckets).toInt).distinct.toSeq: _*) &&
+      col("bucket").isin(probeBuckets.toSeq: _*))
 
   private[graft] def incrementCosinePairsOf(index: DataFrame, batchCoded: DataFrame,
                                             bits: Int, radius: Int,
@@ -163,7 +212,7 @@ object EmbIndex {
     // of a driver-side list (see BucketPrune).
     val probeBucketsDf = bc.select(
       explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
-    val prunedIndex = BucketPrune.restrict(index, "bucket", probeBucketsDf, maxInline)
+    val prunedIndex = restrictToBuckets(index, probeBucketsDf, maxInline)
     // anti-join on vec_id = the replay-exactness guard (same reasoning as
     // [[BandIndex.incrementPairsOf]]): a batch already appended by a
     // crashed run must not count twice into the union cap occupancy nor

@@ -987,6 +987,58 @@ class AnnSpec extends SparkTestBase {
       "batched serving reads every cell — union-of-probes pruning lost")
   }
 
+  test("batched PQ serving: 10^4 queries == broadcast reference, no corpus broadcast, coded scan pruned") {
+    // the compressed twin of the test above — the shape the round-12
+    // sf10sub corpus-scale run measures (tools/BatchServe, SCALE.md):
+    // past the cap the ADC probe must shuffle the query-derived sides,
+    // never broadcast the coded lists, and still prune to probed cells
+    import graft.queries.PqModel
+    PqModel.ensure(spark, sf())
+    val emb = graft.core.Tables.embeddings(spark, sf())
+      .select(col("vec_id"), graft.functions.VectorOps.toDouble(col("embedding")).as("emb"))
+    val base = emb.count()
+    val replicas = math.max(1, (10000 / base).toInt + 1)
+    val queries = (0 until replicas).map(i =>
+      emb.select((col("vec_id") + lit(i * 1000000L)).as("query_id"), col("emb").as("q_emb")))
+      .reduce(_ unionByName _)
+    assert(queries.count() >= 10000)
+    val batched = TextOps.annTopKBatchPq(spark, sf(), queries, topK = 3,
+      broadcastQueries = Some(false))
+    val reference = TextOps.annTopKBatchPq(spark, sf(), queries, topK = 3,
+      broadcastQueries = Some(true))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "vec_id", "cosine", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(rows(batched) === rows(reference),
+      "shuffle-side PQ serving diverges from the broadcast reference")
+    val plan = batched.queryExecution.sparkPlan
+    // the CODED LISTS — the side that is corpus-scale in production —
+    // must never sit under a BroadcastExchange. (Unlike the float test
+    // above, the PQ path ALSO reranks against the full embeddings
+    // table, and on this 500-vector corpus the planner rightly
+    // auto-broadcasts that attach from honest stats — forcing it to
+    // shuffle here would be fighting Catalyst, not pinning a shape.)
+    def scansLists(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p.collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains(PqModel.PqListsTable)) => s
+      }.nonEmpty
+    val bcOverLists = plan.collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+        if scansLists(b.child) => b
+    }
+    assert(bcOverLists.isEmpty, "batched PQ serving broadcasts the coded lists")
+    assert(plan.collect {
+      case s: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => s
+    }.nonEmpty, "batched PQ serving did not take the shuffle-hash join")
+    val scans = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains(PqModel.PqListsTable)) => s
+    }
+    assert(scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty),
+      "batched PQ serving reads every cell — union-of-probes pruning lost")
+  }
+
   test("filtered-search dispatch is jobless on a warm JVM (persisted per-label stats)") {
     IvfModel.ensureAttrLists(spark, sf())
     // first access loads the one-file stats table (a tiny job) and warms

@@ -92,7 +92,9 @@ class EmbIndexSpec extends SparkTestBase {
     val readFiles = scans.flatMap(_.selectedPartitions.toPartitionArray
       .map(_.filePath.toString))
     assert(readFiles.nonEmpty)
-    assert(readFiles.forall(p => someBuckets.exists(b => p.contains(s"bucket=$b/"))),
+    // pbucket == bucket at the 6-bit test dial (the fan-out mod is
+    // identity below 2^10), so the probed codes ARE the directory names
+    assert(readFiles.forall(p => someBuckets.exists(b => p.contains(s"pbucket=$b/"))),
       s"scan read partitions outside the probe's bucket set: $readFiles")
   }
 
@@ -211,8 +213,7 @@ class EmbIndexSpec extends SparkTestBase {
       maxInline = 0))
     assert(inline.nonEmpty)
     assert(fallback === inline, "broadcast-semi-join fallback diverged from the inline IN path")
-    val pruned = graft.queries.BucketPrune.restrict(
-      EmbIndex.coded(wh), "bucket", bc, maxInline = 0)
+    val pruned = EmbIndex.restrictToBuckets(EmbIndex.coded(wh), bc, maxInline = 0)
     val ins = pruned.queryExecution.sparkPlan.collect { case p => p.expressions }.flatten
       .flatMap(_.collect {
         case i: org.apache.spark.sql.catalyst.expressions.In    => i
