@@ -262,10 +262,18 @@ object EmbIndex {
     // batch-bounded probe frame, not the corpus — in the increment
     // regime the index is the unbounded side, and hinting it would
     // build the per-partition hash map from the large side (an
-    // executor-memory cliff at index sizes where this path matters)
+    // executor-memory cliff at index sizes where this path matters).
+    // A batch × masks frame that outgrows even the non-spillable SHJ
+    // build budget takes sort-merge instead — same three-way gate as
+    // the serving paths ([[TextOps.pinnedSide]]), decided from the
+    // honest pre-explode estimate × fan-out the broadcast gate already
+    // computed
+    val shjFits =
+      batchBytes * masks.length <= TextOps.ShuffleHashBuildMaxBytes
     def paired(probes: DataFrame): DataFrame =
       if (probeFits) corpus.join(broadcast(probes), Seq("bucket"))
-      else corpus.join(probes.hint("shuffle_hash"), Seq("bucket"))
+      else if (shjFits) corpus.join(probes.hint("shuffle_hash"), Seq("bucket"))
+      else corpus.join(probes.hint("merge"), Seq("bucket"))
     val scored =
       if (masks.length > TextOps.NarrowProbeMaskThreshold && attachFits) {
         val probes = batchCapped.select(col("vec_id").as("vec_a"),

@@ -855,8 +855,11 @@ object TextOps {
         // the probe frame feeds the prune's bounded collect AND the
         // join — materialize it once (batch-sized by definition)
         val probes = Frames.cutIfPlain(probes0)
+        // exact rows (cheap on the materialized frame) × the known row
+        // width: ids + the full query vector each probe row carries
+        def probeBytes = probes.count() * (32L + Lsh.Dim.toLong * 8)
         BucketPrune.restrict(cand, "cluster", probes)
-          .join(probes.hint("shuffle_hash"), Seq("cluster"))
+          .join(pinnedSide(probes, broadcastIt = false, probeBytes), Seq("cluster"))
       }
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
@@ -1074,10 +1077,12 @@ object TextOps {
     // broadcast() around a hinted frame stacks two conflicting
     // join-strategy hints on one side, and correctness then rides on
     // Spark's outer-hint-wins tiebreak (a logged "hint overridden"
-    // warning, fragile across versions)
-    val probeSide =
-      if (broadcastQueries) broadcast(probes) else probes.hint("shuffle_hash")
-    val short = listScan.join(probeSide, Seq("cluster"))
+    // warning, fragile across versions). Past the non-spillable build
+    // budget the shuffle branch takes sort-merge (see [[pinnedSide]] —
+    // the 10⁵-query ADC-table build is the measured failure).
+    // ids + the flat ADC table (M × ks doubles) each probe row carries
+    def probeBytes = probes.count() * (32L + ks.toLong * PqModel.SubSpaces * 8)
+    val short = listScan.join(pinnedSide(probes, broadcastQueries, probeBytes), Seq("cluster"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         R.halfUp(PqModel.adcDist(col("codes"), col("dtab"), ks), 6).as("adist"))
@@ -1797,6 +1802,40 @@ object TextOps {
     * the shuffle side.
     */
   val ProbeBroadcastMaxBytes: Long = 256L << 20
+
+  /** Budget for a SHUFFLED-HASH build side. The shuffle-hash pin exists
+    * to keep the planner from broadcasting Generate-hidden or
+    * query-derived frames — but SHJ's per-partition hash map CANNOT
+    * SPILL, so past this estimated size the pinned side flips to a
+    * `merge` hint instead: sort-merge shuffles the same bytes and
+    * spills gracefully, at a sort's cost. Measured, not hypothetical:
+    * the round-12 10⁵-query IVFADC serving run died with "Can't
+    * acquire 67108864 bytes memory to build hash relation" — 1.6e6
+    * probe rows × ~1 KB ADC tables ≈ 1.7 GB of build across 32
+    * partitions under 32-way task-memory contention. 512 MB total (a
+    * few tens of MB per partition at default parallelism) passes every
+    * bench/test volume and flips exactly the corpus-scale serving
+    * batches that need the spillable path; deployments that raise
+    * shuffle.partitions proportionally can raise it.
+    */
+  val ShuffleHashBuildMaxBytes: Long = 512L << 20
+
+  /** The query-derived JOIN SIDE under the three-way strategy gate:
+    * explicit broadcast when the caller proved it tiny; shuffle-hash
+    * while `estBytes` fits the non-spillable build budget; sort-merge
+    * past it. `estBytes` must be computed by the caller from an EXACT
+    * row count × known row width — a localCheckpoint carries its ORIGIN
+    * plan's statistics, so `optimizedPlan.stats` on a materialized
+    * query frame still reports the pre-materialization fantasy (the
+    * first version of this gate read that and sent the 10⁵-query ADC
+    * build straight into the SHJ failure it exists to prevent).
+    * Evaluated lazily: the broadcast branch never pays the count.
+    */
+  private[graft] def pinnedSide(df: DataFrame, broadcastIt: Boolean,
+                                estBytes: => Long): DataFrame =
+    if (broadcastIt) broadcast(df)
+    else if (estBytes <= ShuffleHashBuildMaxBytes) df.hint("shuffle_hash")
+    else df.hint("merge")
 
   /** The t15 pipeline over an arbitrary (vec_id, embedding) frame — also
     * the spec hook for the [[EmbBucketCap]] skew guard on pathological

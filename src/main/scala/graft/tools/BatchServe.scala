@@ -42,7 +42,9 @@ object BatchServe {
     val emb = graft.core.Tables.embeddings(spark, dir)
       .select(col("vec_id"), graft.functions.VectorOps.toDouble(col("embedding")).as("emb"))
     for (n <- volumes) {
-      val q = emb.filter(col("vec_id") < n)
+      // limit, not a vec_id range: ScaleData strides ids across copies,
+      // so a range filter would silently under-fill the batch
+      val q = emb.limit(n.toInt)
         .select((col("vec_id") + 1000000000L).as("query_id"), col("emb").as("q_emb"))
         .localCheckpoint()
       val t0 = System.nanoTime()

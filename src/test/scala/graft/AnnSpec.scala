@@ -1028,9 +1028,15 @@ class AnnSpec extends SparkTestBase {
         if scansLists(b.child) => b
     }
     assert(bcOverLists.isEmpty, "batched PQ serving broadcasts the coded lists")
+    // the probe join must be SHUFFLE-side — shuffle-hash under the
+    // non-spillable build budget, sort-merge past it (this batch's
+    // ~1 KB-per-row ADC tables estimate over the 512 MB budget, so the
+    // spillable strategy is the correct pick here; the 10⁵-query
+    // corpus-scale run died in the SHJ build before the gate existed)
     assert(plan.collect {
       case s: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => s
-    }.nonEmpty, "batched PQ serving did not take the shuffle-hash join")
+      case s: org.apache.spark.sql.execution.joins.SortMergeJoinExec => s
+    }.nonEmpty, "batched PQ serving took neither shuffle strategy")
     val scans = plan.collect {
       case s: org.apache.spark.sql.execution.FileSourceScanExec
         if s.relation.location.rootPaths.exists(_.toString.contains(PqModel.PqListsTable)) => s
