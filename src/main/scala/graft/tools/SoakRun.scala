@@ -59,17 +59,24 @@ object SoakRun {
       wh.read(IC.HashTable, IC.HashSchema).count() + ClusterState.read(wh).count()
 
     // seed = settled half; batches split the other half evenly
+    // (fractional boundaries so the last batch is the same size as the
+    // rest — integer width made batch 20 span 12 buckets in the first
+    // run and its wall/kept row useless as a trend point)
     IC.seed(wh, docSlice(0, 50), emb = sig(embSlice(0, 50)), clustered = true)
-    val width = math.max(1, 50 / nBatches)
+    def bound(b: Int): Int = 50 + b * 50 / nBatches
     for (b <- 1 to nBatches) {
-      val (lo, hi) = (50 + (b - 1) * width, if (b == nBatches) 100 else 50 + b * width)
+      val (lo, hi) = (bound(b - 1), bound(b))
       val batchDocs = docSlice(lo, hi)
       val t0 = System.nanoTime()
       val (curated, audit, rep) = IC.ingestWithMaintenance(
         wh, batchDocs,
+        // the reconcile corpus is what the state has SEEN — through the
+        // previous batch (maintenance runs before this one); passing the
+        // current batch's upper bound counted every not-yet-ingested doc
+        // as "drift" in the first run
         IC.Maintenance(b, every = cadence,
-          reconcileDocs = Some(docSlice(0, hi)),
-          reconcileEmb = sig(embSlice(0, hi))),
+          reconcileDocs = Some(docSlice(0, lo)),
+          reconcileEmb = sig(embSlice(0, lo))),
         emb = sig(embSlice(lo, hi)), clustered = true)
       val kept = curated.count()
       audit.queryExecution.toRdd.count()
