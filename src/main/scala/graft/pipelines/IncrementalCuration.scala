@@ -614,9 +614,14 @@ object IncrementalCuration {
       radius = TextOps.DialPairRadius,
       maxBucket = TextOps.DialEmbCap))
 
-  private def dialStamp: String =
+  // pb rides the stamp because seedState bakes EmbIndex's partition
+  // layout into the seeded warehouse: a table seeded under a different
+  // fan-out would pass a layout-blind stamp and then probe a pbucket
+  // column the old parquet doesn't have (all-NULL filter → zero pairs,
+  // silently), mirroring the pb token EmbIndex.ensureFor stamps itself
+  private[graft] def dialStamp: String =
     s"bits=${TextOps.DialBits}\nradius=${TextOps.DialPairRadius}\n" +
-      s"embcap=${TextOps.DialEmbCap}"
+      s"embcap=${TextOps.DialEmbCap}\npb=${EmbIndex.PBuckets}"
 
   private def multiSignalEnsureSeeded(s: SparkSession, dir: String, name: String,
                                       clustered: Boolean): (Warehouse, Long) = {

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -926,53 +926,162 @@ object IvfModel {
 
   // ------------------------------------------- composite attributed lists
   /** COMPOSITE attributed lists — the multi-predicate generalization of
-    * [[AttrListsTable]]: TWO filterable columns ride in the list payload
-    * (the categorical `label` and the numeric `n_chars`, denormalized
-    * from the documents table by one amortized build-time join on the
-    * shared id), so a conjunctive predicate like
-    * `label = 3 AND n_chars >= 300` — the shape the reference's serving
-    * layer builds from its periodo+territorio filters — is pushed
-    * whole into the partition-pruned parquet scan. Same lifecycle,
-    * stamp and staleness protocol as the single-attribute table.
+    * [[AttrListsTable]]: a DECLARED set of filterable columns rides in
+    * the list payload (each denormalized from its (vec_id, value) source
+    * by one amortized build-time equi-join on the shared id), so an N-ary
+    * conjunction like `label = 3 AND n_chars >= 300 AND lang = 'en'` —
+    * the shape the reference's serving layer assembles per request from
+    * its periodo+territorio filters (`app.py:692-704` builds the WHERE
+    * the same N-ary way) — is pushed whole into the partition-pruned
+    * parquet scan. Same lifecycle, stamp and staleness protocol as the
+    * single-attribute table; the declared set rides the stamp AND (for
+    * non-default sets) the table name, so differently-attributed
+    * deployments coexist in one warehouse without clobbering each other.
     */
-  val CompAttrListsTable = "ann_lists_cattr"
 
-  val CompAttrListsSchema: org.apache.spark.sql.types.StructType = {
-    import org.apache.spark.sql.types._
-    StructType(Seq(
-      StructField("vec_id", LongType),
-      StructField("emb", ArrayType(DoubleType)),
-      StructField("label", IntegerType),
-      StructField("n_chars", LongType),
-      StructField("corpus_stamp", StringType),
-      StructField("cluster", IntegerType)))
+  /** One declared filterable attribute of the composite lists: its
+    * payload column, the (vec_id, <name>) source it denormalizes from,
+    * and how the dispatch stats key its values.
+    */
+  sealed trait CompAttr {
+    def name: String
+    def dtype: org.apache.spark.sql.types.DataType
+    /** (vec_id, <name>) rows covering the corpus. */
+    def valuesOf(s: SparkSession, dir: String): DataFrame
+    /** Stats-table key for a stored value (exact value for categorical,
+      * equi-width bin for numeric) — rendered as string so ONE stats
+      * schema serves every attribute type.
+      */
+    private[graft] def statKey(c: Column): Column
+    /** Declaration identity for the build stamp. The source FUNCTION
+      * cannot be stamped; both corpus files' content stamps ride the
+      * stamp separately, so changed source DATA still rebuilds — a
+      * changed source MAPPING must change the attribute name.
+      */
+    def stampToken: String
   }
+
+  final case class CatAttr(name: String, dtype: org.apache.spark.sql.types.DataType,
+                           source: (SparkSession, String) => DataFrame) extends CompAttr {
+    def valuesOf(s: SparkSession, dir: String): DataFrame = source(s, dir)
+    private[graft] def statKey(c: Column): Column = c.cast("string")
+    def stampToken: String = s"cat:$name"
+  }
+
+  /** Numeric attribute binned at `width` for the dispatch stats — coarse
+    * is fine: the crossover needs an upper BOUND, and a 64-wide bin keeps
+    * the stats table at value-range/width rows (tens of rows on the test
+    * corpora, a few thousand even for megabyte documents).
+    */
+  final case class BinAttr(name: String, dtype: org.apache.spark.sql.types.DataType,
+                           width: Long,
+                           source: (SparkSession, String) => DataFrame) extends CompAttr {
+    def valuesOf(s: SparkSession, dir: String): DataFrame = source(s, dir)
+    private[graft] def statKey(c: Column): Column = (c / width).cast("long").cast("string")
+    def stampToken: String = s"bin:$name/$width"
+  }
+
+  /** One conjunct of a composite predicate, over a declared attribute. */
+  sealed trait CompPred {
+    def attr: String
+    /** The conjunct as a filter on the lists payload. */
+    def condition: Column
+    /** Canonical atom for the exact-survivor stats key. */
+    def token: String
+  }
+  final case class CatEq(attr: String, value: Any) extends CompPred {
+    def condition: Column = col(attr) === lit(value)
+    def token: String = s"$attr=$value"
+  }
+  final case class RangeGe(attr: String, lo: Long) extends CompPred {
+    def condition: Column = col(attr) >= lit(lo)
+    def token: String = s"$attr>=$lo"
+  }
+  final case class RangeLt(attr: String, hi: Long) extends CompPred {
+    def condition: Column = col(attr) < lit(hi)
+    def token: String = s"$attr<$hi"
+  }
+
+  /** Canonical identity of a conjunction — atoms sorted, so declaration
+    * order never splits a stats generation.
+    */
+  private def predKey(preds: Seq[CompPred]): String =
+    preds.map(_.token).sorted.mkString("&")
+
+  /** The registered serving predicate's dials (TextOps aliases these as
+    * FilterLabel / FilterMinChars) — declared HERE so build-time warming
+    * (Bench's cattr-lists stage) and serve-time ensure agree on one stats
+    * generation without the index layer reaching into the serving layer.
+    */
+  val RegisteredLabel = 3
+  val RegisteredMinChars = 300L
+
+  /** The default registered conjunction over [[DefaultCompAttrs]]. */
+  def registeredCompPreds(label: Int = RegisteredLabel,
+                          minChars: Long = RegisteredMinChars): Seq[CompPred] =
+    Seq(CatEq("label", label), RangeGe("n_chars", minChars))
+
+  val NCharsBinWidth = 64L
+
+  /** The default declared set — the t52 deployment: categorical label
+    * from the embeddings table, 64-binned n_chars from documents.
+    */
+  lazy val DefaultCompAttrs: Seq[CompAttr] = Seq(
+    CatAttr("label", org.apache.spark.sql.types.IntegerType,
+      (s, dir) => Tables.embeddings(s, dir).select(col("vec_id"), col("label"))),
+    BinAttr("n_chars", org.apache.spark.sql.types.LongType, NCharsBinWidth,
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id").as("vec_id"), col("n_chars"))))
+
+  val CompAttrListsTable = "ann_lists_cattr"
+  val CompAttrStatsTable = "ann_cattr_stats"
+
+  private def attrTok(attrs: Seq[CompAttr]): String = attrs.map(_.stampToken).mkString(",")
+
+  /** Table names per declared set: the default set keeps the registered
+    * names (stable paths for existing tooling); any other set gets a
+    * token-hashed suffix so two deployments' layouts never clobber.
+    */
+  private[graft] def compTableFor(base: String, attrs: Seq[CompAttr]): String =
+    if (attrTok(attrs) == attrTok(DefaultCompAttrs)) base
+    else {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(attrTok(attrs).getBytes("UTF-8")).map("%02x".format(_)).mkString
+      s"${base}_${h.take(8)}"
+    }
+
+  def compAttrListsSchema(attrs: Seq[CompAttr] = DefaultCompAttrs): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(
+      Seq(StructField("vec_id", LongType), StructField("emb", ArrayType(DoubleType))) ++
+        attrs.map(a => StructField(a.name, a.dtype)) ++
+        Seq(StructField("corpus_stamp", StringType), StructField("cluster", IntegerType)))
+  }
+
+  val CompAttrListsSchema: org.apache.spark.sql.types.StructType = compAttrListsSchema()
 
   /** Per-ATTRIBUTE dispatch stats for the composite crossover, persisted
     * at build time like [[AttrStatsTable]] but keyed (attr, key):
-    * `("label", v)` rows carry exact per-label survivor counts;
-    * `("nchars_bin", b)` rows carry an equi-width histogram of the
-    * numeric attribute (bin b = n_chars / [[NCharsBinWidth]]) — O(1)
-    * range-predicate survivor BOUNDS from a table that stays tiny at any
-    * corpus size (distinct labels + value-range/width bins).
+    * categorical rows carry exact per-value survivor counts, numeric rows
+    * an equi-width histogram — O(1) survivor BOUNDS from a table that
+    * stays tiny at any corpus size. Rows with attr = [[ExactStatAttr]]
+    * carry the EXACT survivor count of each REGISTERED conjunction
+    * (keyed by its canonical atom string): the dispatch prefers these
+    * over the independence bound, which closes the correlated-conjunction
+    * regime where a min-of-attributes bound sits far above a near-empty
+    * true survivor set — exactly the under-recall probe regime the
+    * crossover exists to avoid.
     */
-  val CompAttrStatsTable = "ann_cattr_stats"
-
   val CompAttrStatsSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
     StructType(Seq(
       StructField("attr", StringType),
-      StructField("key", LongType),
+      StructField("key", StringType),
       StructField("n", LongType),
       StructField("corpus_stamp", StringType)))
   }
 
-  /** Histogram bin width for the numeric attribute's dispatch stat —
-    * coarse is fine: the crossover needs an upper BOUND, and a 64-char
-    * bin keeps the table at value-range/64 rows (tens of rows on the
-    * test corpora, a few thousand even for megabyte documents).
-    */
-  val NCharsBinWidth = 64L
+  val ExactStatAttr = "__exact"
 
   private def compAttrStamp(s: SparkSession, dir: String,
                             fitSampleCap: Long, k: Int, suffix: String): String =
@@ -980,82 +1089,131 @@ object IvfModel {
       s"${Tables.contentStamp(s, s"$dir/embeddings.parquet")}\n" +
       s"${Tables.contentStamp(s, s"$dir/documents.parquet")}"
 
+  private def compListsStamp(s: SparkSession, dir: String, fitSampleCap: Long, k: Int,
+                             attrs: Seq[CompAttr]): String =
+    compAttrStamp(s, dir, fitSampleCap, k, s"lists\nattrs=${attrTok(attrs)}")
+
+  private def compStatsStamp(s: SparkSession, dir: String, fitSampleCap: Long, k: Int,
+                             attrs: Seq[CompAttr], registered: Seq[Seq[CompPred]]): String =
+    compAttrStamp(s, dir, fitSampleCap, k,
+      s"stats\nattrs=${attrTok(attrs)}\nreg=${registered.map(predKey).sorted.mkString(";")}")
+
   def ensureCompAttrLists(s: SparkSession, dir: String,
-                          fitSampleCap: Long = FitSampleCap, k: Int = K): Unit = {
+                          fitSampleCap: Long = FitSampleCap, k: Int = K,
+                          attrs: Seq[CompAttr] = DefaultCompAttrs,
+                          registered: Seq[Seq[CompPred]] = Seq(registeredCompPreds())): Unit = {
+    require(attrs.nonEmpty, "composite lists need at least one declared attribute")
+    val names = attrs.map(_.name).toSet
+    require(registered.flatten.forall(p => names(p.attr)),
+      s"registered predicate references an undeclared attribute (declared: $names)")
     ensureLists(s, dir, fitSampleCap, k)
     val wh = warehouseFor(s, dir)
-    StampedTable.ensure(wh, CompAttrListsTable, CompAttrListsSchema,
-      compAttrStamp(s, dir, fitSampleCap, k, "lists"), partitionBy = Seq("cluster")) {
-      // both attach joins are id-equi and run ONCE per generation — the
+    StampedTable.ensure(wh, compTableFor(CompAttrListsTable, attrs), compAttrListsSchema(attrs),
+      compListsStamp(s, dir, fitSampleCap, k, attrs), partitionBy = Seq("cluster")) {
+      // every attach join is id-equi and runs ONCE per generation — the
       // per-probe cost of a corpus-side metadata lookup is exactly what
       // the denormalization exists to avoid
-      lists(s, dir)
-        .join(Tables.embeddings(s, dir).select(col("vec_id"), col("label")), Seq("vec_id"))
-        .join(Tables.documents(s, dir)
-          .select(col("doc_id").as("vec_id"), col("n_chars")), Seq("vec_id"))
-        .select(col("vec_id"), col("emb"), col("label"), col("n_chars"), col("cluster"))
+      attrs.foldLeft(lists(s, dir)) { (acc, a) =>
+        acc.join(a.valuesOf(s, dir).select(col("vec_id"), col(a.name)), Seq("vec_id"))
+      }.select((Seq(col("vec_id"), col("emb")) ++ attrs.map(a => col(a.name)) :+ col("cluster")): _*)
     }
-    StampedTable.ensure(wh, CompAttrStatsTable, CompAttrStatsSchema,
-      compAttrStamp(s, dir, fitSampleCap, k, "stats")) {
-      val src = compAttrLists(s, dir)
-      src.groupBy(col("label")).agg(count(lit(1)).as("n"))
-        .select(lit("label").as("attr"), col("label").cast("long").as("key"), col("n"))
-        .unionByName(
-          src.groupBy((col("n_chars") / NCharsBinWidth).cast("long").as("key"))
-            .agg(count(lit(1)).as("n"))
-            .select(lit("nchars_bin").as("attr"), col("key"), col("n")))
-        .coalesce(1)
+    StampedTable.ensure(wh, compTableFor(CompAttrStatsTable, attrs), CompAttrStatsSchema,
+      compStatsStamp(s, dir, fitSampleCap, k, attrs, registered)) {
+      // one COLUMN-PRUNED scan per attribute / registered conjunction —
+      // none reads the emb payload, so a few narrow passes beat
+      // materializing the whole lists table once
+      val src = compAttrLists(s, dir, attrs)
+      val perAttr = attrs.map { a =>
+        src.groupBy(a.statKey(col(a.name)).as("key")).agg(count(lit(1)).as("n"))
+          .select(lit(a.name).as("attr"), col("key"), col("n"))
+      }
+      val exact = registered.map { preds =>
+        src.filter(preds.map(_.condition).reduce(_ && _))
+          .agg(count(lit(1)).as("n"))
+          .select(lit(ExactStatAttr).as("attr"), lit(predKey(preds)).as("key"), col("n"))
+      }
+      (perAttr ++ exact).reduce(_ unionByName _).coalesce(1)
     }
   }
 
-  /** The composite attributed lists (vec_id, emb, label, n_chars, cluster). */
-  def compAttrLists(s: SparkSession, dir: String): DataFrame =
-    warehouseFor(s, dir).read(CompAttrListsTable, CompAttrListsSchema)
-      .select(col("vec_id"), col("emb"), col("label"), col("n_chars"), col("cluster"))
+  /** The composite attributed lists (vec_id, emb, <declared attrs>, cluster). */
+  def compAttrLists(s: SparkSession, dir: String,
+                    attrs: Seq[CompAttr] = DefaultCompAttrs): DataFrame =
+    warehouseFor(s, dir).read(compTableFor(CompAttrListsTable, attrs), compAttrListsSchema(attrs))
+      .select((Seq(col("vec_id"), col("emb")) ++ attrs.map(a => col(a.name)) :+ col("cluster")): _*)
 
   private val compStatsMemo =
-    scala.collection.concurrent.TrieMap.empty[String, (String, Map[(String, Long), Long])]
+    scala.collection.concurrent.TrieMap.empty[String, (String, Map[(String, String), Long])]
 
   private[graft] def resetCompStatsMemo(): Unit = compStatsMemo.clear()
 
-  private def compStats(s: SparkSession, dir: String,
-                        fitSampleCap: Long, k: Int): Map[(String, Long), Long] = {
-    val key = s"${rootFor(dir)}/$CompAttrStatsTable"
-    val stamp = compAttrStamp(s, dir, fitSampleCap, k, "stats")
+  private def compStats(s: SparkSession, dir: String, fitSampleCap: Long, k: Int,
+                        attrs: Seq[CompAttr],
+                        registered: Seq[Seq[CompPred]]): Map[(String, String), Long] = {
+    val table = compTableFor(CompAttrStatsTable, attrs)
+    val key = s"${rootFor(dir)}/$table"
+    val stamp = compStatsStamp(s, dir, fitSampleCap, k, attrs, registered)
     compStatsMemo.get(key) match {
       case Some((st, m)) if st == stamp => m
       case _ =>
-        val m = warehouseFor(s, dir).read(CompAttrStatsTable, CompAttrStatsSchema)
+        val m = warehouseFor(s, dir).read(table, CompAttrStatsSchema)
           .select(col("attr"), col("key"), col("n")).collect()
-          .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+          .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
         compStatsMemo.put(key, (stamp, m))
         m
     }
   }
 
-  /** O(1) survivor-count UPPER BOUND for the conjunctive predicate
-    * `label = label AND n_chars >= minChars`, from the per-attribute
-    * stats alone: a conjunction's survivors are at most the MIN of its
-    * attributes' survivors (exact per-label count; histogram bound —
-    * every bin overlapping [minChars, ∞) counted whole — for the
-    * range). The bound errs WIDE, which maps to the SAFE dispatch
-    * direction in [[TextOps.compositeFilteredTopK]]: bound ≤ floor
-    * proves the true survivor set is small (brute is exact AND cheap);
-    * a correlated predicate whose true count is far below the bound
-    * merely takes the probe branch — the standard independence
-    * assumption every DB optimizer's conjunctive selectivity makes,
-    * overridable by passing an explicit floor decision upstream.
-    * Jobless on a warm JVM: one one-file read per (JVM, generation),
-    * map lookups after — same contract as [[attrLabelCount]].
+  /** O(1) survivor-count UPPER BOUND for an N-ary conjunction from the
+    * persisted dispatch stats: the EXACT count when the conjunction is a
+    * registered one (preferred — immune to attribute correlation), else
+    * the MIN over the conjuncts' own bounds (exact counts for categorical
+    * equality; histogram bounds — every bin overlapping the range counted
+    * whole — for numeric ranges; equality on a binned attribute bounded
+    * by its containing bin). The fallback errs WIDE, which maps to the
+    * SAFE dispatch direction in [[TextOps.compositeFilteredTopK]]:
+    * bound <= floor proves the true survivor set is small (brute is exact
+    * AND cheap); an UNREGISTERED correlated predicate whose true count is
+    * far below the bound merely takes the probe branch — the standard
+    * independence assumption every DB optimizer's conjunctive selectivity
+    * makes. Jobless on a warm JVM: one one-file read per
+    * (JVM, generation), map lookups after — same contract as
+    * [[attrLabelCount]].
+    */
+  def compSurvivorBoundOf(s: SparkSession, dir: String, preds: Seq[CompPred],
+                          attrs: Seq[CompAttr] = DefaultCompAttrs,
+                          registered: Seq[Seq[CompPred]] = Seq(registeredCompPreds()),
+                          fitSampleCap: Long = FitSampleCap, k: Int = K): Long = {
+    val m = compStats(s, dir, fitSampleCap, k, attrs, registered)
+    m.getOrElse((ExactStatAttr, predKey(preds)), {
+      val byName = attrs.map(a => a.name -> a).toMap
+      preds.map { p =>
+        (p, byName.getOrElse(p.attr,
+          throw new IllegalArgumentException(s"undeclared attribute ${p.attr}"))) match {
+          case (CatEq(a, v), _: CatAttr) => m.getOrElse((a, String.valueOf(v)), 0L)
+          case (CatEq(a, v), b: BinAttr) =>
+            m.getOrElse((a, (String.valueOf(v).toLong / b.width).toString), 0L)
+          case (RangeGe(a, lo), b: BinAttr) =>
+            val minBin = lo / b.width
+            m.collect { case ((`a`, kk), n) if kk.toLong >= minBin => n }.sum
+          case (RangeLt(a, hi), b: BinAttr) =>
+            val maxBin = math.max(hi - 1, 0L) / b.width
+            m.collect { case ((`a`, kk), n) if kk.toLong <= maxBin => n }.sum
+          case (rp, _) =>
+            throw new IllegalArgumentException(
+              s"range predicate '${rp.token}' needs a binned numeric attribute")
+        }
+      }.min
+    })
+  }
+
+  /** [[compSurvivorBoundOf]] at the registered (label, n_chars) shape —
+    * the t52 dispatch entry point.
     */
   def compSurvivorBound(s: SparkSession, dir: String, label: Int, minChars: Long,
-                        fitSampleCap: Long = FitSampleCap, k: Int = K): Long = {
-    val m = compStats(s, dir, fitSampleCap, k)
-    val labelN = m.getOrElse(("label", label.toLong), 0L)
-    val minBin = minChars / NCharsBinWidth
-    val rangeN = m.collect { case (("nchars_bin", b), n) if b >= minBin => n }.sum
-    math.min(labelN, rangeN)
-  }
+                        fitSampleCap: Long = FitSampleCap, k: Int = K): Long =
+    compSurvivorBoundOf(s, dir, registeredCompPreds(label, minChars),
+      fitSampleCap = fitSampleCap, k = k)
 
   /** The live centroid directory for the DuckDB oracle. Oracle SQL is
     * generated without a Spark session, and DuckDB is a local single-node

@@ -1004,7 +1004,10 @@ object QualityOps {
     */
   private[graft] def lmOf(docs: DataFrame): (DataFrame, DataFrame) = {
     val ng = ngramPositionsOf(docs)
-    val cw = ng.groupBy(col("h"), col("w")).agg(count(lit(1)).as("c"))
+    // every downstream frame (ctx, cont, z, both outputs) re-reads this
+    // exploded-5-gram aggregation — cut it so a caller materializing
+    // both returned tables pays the explode+count exactly once
+    val cw = Frames.cut(ng.groupBy(col("h"), col("w")).agg(count(lit(1)).as("c")))
     val ctx = cw.groupBy(col("h"))
       .agg(sum(col("c")).as("ctx_total"), count(lit(1)).as("ctx_distinct"))
     val cont = cw.groupBy(col("w")).agg(count(lit(1)).as("cont"))
@@ -1030,8 +1033,12 @@ object QualityOps {
   def ensureNgramLm(s: SparkSession, dir: String): graft.etl.Warehouse = {
     val wh = IvfModel.warehouseFor(s, dir)
     val stamp = s"lm5:$dir\nD=$LmDiscount\n${contentStamp(s, s"$dir/documents.parquet")}"
-    StampedTable.ensure(wh, LmTable, LmSchema, stamp) { lmOf(documents(s, dir))._1 }
-    StampedTable.ensure(wh, LmContTable, LmContSchema, stamp) { lmOf(documents(s, dir))._2 }
+    // one shared fit for both tables (lazy: warm runs where both stamps
+    // hit never pay it); the (h,w) count inside lmOf is cut, so the two
+    // persists split one materialized aggregation instead of refitting
+    lazy val fitted = lmOf(documents(s, dir))
+    StampedTable.ensure(wh, LmTable, LmSchema, stamp) { fitted._1 }
+    StampedTable.ensure(wh, LmContTable, LmContSchema, stamp) { fitted._2 }
     wh
   }
 

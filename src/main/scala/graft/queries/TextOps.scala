@@ -1265,7 +1265,7 @@ object TextOps {
     * ($DialIvfNProbe / [[FilterLabel]]) — a non-default `label`/`nProbe`
     * argument is deployment API, not an oracle-checked path.
     */
-  val FilterLabel = 3
+  val FilterLabel: Int = IvfModel.RegisteredLabel
 
   def t49AnnFiltered(s: SparkSession, dir: String,
                      k: Int = IvfModel.K, nProbe: Int = IvfModel.NProbe,
@@ -1431,13 +1431,14 @@ object TextOps {
     * from the same persisted quantizer, queries not filter-constrained,
     * registered defaults pinned by the oracle.
     */
-  val FilterMinChars = 300L
+  val FilterMinChars: Long = IvfModel.RegisteredMinChars
 
   def t52AnnFilteredComposite(s: SparkSession, dir: String,
                               k: Int = IvfModel.K, nProbe: Int = IvfModel.NProbe,
                               label: Int = FilterLabel,
                               minChars: Long = FilterMinChars): DataFrame = {
-    IvfModel.ensureCompAttrLists(s, dir, k = k)
+    IvfModel.ensureCompAttrLists(s, dir, k = k,
+      registered = Seq(IvfModel.registeredCompPreds(label, minChars)))
     ivfListsProbe(IvfModel.compAttrLists(s, dir), IvfModel.centroids(s, dir), nProbe,
       candFilter = col("label") === lit(label) && col("n_chars") >= lit(minChars))
   }
@@ -1491,11 +1492,29 @@ object TextOps {
   def compositeFilteredTopK(s: SparkSession, dir: String, label: Int = FilterLabel,
                             minChars: Long = FilterMinChars,
                             k: Int = IvfModel.K, nProbe: Int = IvfModel.NProbe,
-                            bruteFloor: Long = 1000): DataFrame = {
-    IvfModel.ensureCompAttrLists(s, dir, k = k)
-    val attr = IvfModel.compAttrLists(s, dir)
-    val pred = col("label") === lit(label) && col("n_chars") >= lit(minChars)
-    if (IvfModel.compSurvivorBound(s, dir, label, minChars, k = k) > bruteFloor)
+                            bruteFloor: Long = 1000): DataFrame =
+    compositeFilteredTopKOf(s, dir, IvfModel.registeredCompPreds(label, minChars),
+      k = k, nProbe = nProbe, bruteFloor = bruteFloor)
+
+  /** [[compositeFilteredTopK]] for an ARBITRARY declared attribute set
+    * and N-ary conjunction — the deployment-facing shape (the
+    * reference's predicate builder is N-ary, `app.py:692-704`). The
+    * served conjunction is REGISTERED into the stats build, so dispatch
+    * reads its EXACT survivor count (correlation-immune) and only falls
+    * back to the min-over-attributes independence bound for predicates
+    * the build didn't declare. Both branches and the pushed-scan plan
+    * shape are pinned for a 3-attribute set in NaryCompositeSpec.
+    */
+  def compositeFilteredTopKOf(s: SparkSession, dir: String,
+                              preds: Seq[IvfModel.CompPred],
+                              attrs: Seq[IvfModel.CompAttr] = IvfModel.DefaultCompAttrs,
+                              k: Int = IvfModel.K, nProbe: Int = IvfModel.NProbe,
+                              bruteFloor: Long = 1000): DataFrame = {
+    val registered = Seq(preds)
+    IvfModel.ensureCompAttrLists(s, dir, k = k, attrs = attrs, registered = registered)
+    val attr = IvfModel.compAttrLists(s, dir, attrs)
+    val pred = preds.map(_.condition).reduce(_ && _)
+    if (IvfModel.compSurvivorBoundOf(s, dir, preds, attrs, registered, k = k) > bruteFloor)
       ivfListsProbe(attr, IvfModel.centroids(s, dir), nProbe, candFilter = pred)
     else {
       // exact path: ≤ bruteFloor candidates × ≤10 queries, query side

@@ -105,6 +105,11 @@ class CompositeFilterSpec extends SparkTestBase {
     // the bound must dominate the true count (safe brute dispatch) and
     // never exceed either attribute's own survivor count (it is a min)
     assert(bound >= live, "dispatch bound under-counts — brute dispatch would mis-fire")
+    // the registered conjunction's EXACT survivor count is persisted at
+    // build time and preferred over the independence bound — for the
+    // served predicate the dispatch statistic IS the true count
+    assert(bound === live,
+      "registered predicate did not dispatch on its exact persisted survivor count")
     // (the range side may over-count by at most the rows of the one bin
     // straddling the threshold, so only the exact label side is a hard
     // upper cap on the min)

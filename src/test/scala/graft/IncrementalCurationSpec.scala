@@ -268,4 +268,15 @@ class IncrementalCurationSpec extends SparkTestBase {
     assert(aud.collect().head.getAs[Long]("input_docs") === ids(partB).size.toLong)
     assert(cur.count() > 0)
   }
+  test("multi-signal seed stamp carries the EmbIndex partition-layout token") {
+    // a warehouse seeded before the pbucket fan-out lays emb_buckets out
+    // under bucket= directories; a layout-blind stamp would accept it and
+    // every increment probe would filter on an all-NULL pbucket column
+    // (zero pairs, silently). The layout version must ride the seed stamp
+    // so pre-fan-out state REBUILDS instead of probing nothing.
+    assert(IncrementalCuration.dialStamp.contains(
+      s"pb=${graft.queries.EmbIndex.PBuckets}"),
+      "dialStamp omits the EmbIndex fan-out layout token — pre-fan-out " +
+        "seeded warehouses would pass the stamp check")
+  }
 }
