@@ -68,15 +68,38 @@ object Lsh {
     * `planesFor(MaxBits)`, so widening the code refines existing buckets
     * instead of reshuffling them.
     */
-  lazy val allPlanes: IndexedSeq[IndexedSeq[Double]] = {
+  /** Extended pool backing the BANDED (OR-amplification) family: more
+    * planes drawn from the SAME Random(6) stream, so the first
+    * [[MaxBits]] are bit-identical to [[allPlanes]] (fill order is
+    * plane-by-plane) and every single-table code, persisted index, and
+    * oracle literal is unchanged. 256 planes bounds the banded dial at
+    * L × b ≤ 256 (e.g. 16 tables × 16 bits).
+    */
+  val MaxPlanes = 256
+  lazy val allPlanesPool: IndexedSeq[IndexedSeq[Double]] = {
     val rnd = new scala.util.Random(6)
-    IndexedSeq.fill(MaxBits)(IndexedSeq.fill(Dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+    IndexedSeq.fill(MaxPlanes)(IndexedSeq.fill(Dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
   }
+
+  lazy val allPlanes: IndexedSeq[IndexedSeq[Double]] = allPlanesPool.take(MaxBits)
 
   def planesFor(bits: Int): IndexedSeq[IndexedSeq[Double]] = {
     require(bits >= 1 && bits <= MaxBits, s"bits must be in [1, $MaxBits], got $bits")
     allPlanes.take(bits)
   }
+
+  /** The DEFAULT occupancy policy for [[bitsFor]] — the second of the
+    * two published levers on pair-join candidate volume (candidates =
+    * probe_fraction × n × occupancy; [[radiusFor]] bounds the first
+    * factor, this bounds the second). Round 12 measured the residual
+    * decade² growth in t40/t42/t43 to be ENTIRELY candidate volume
+    * (12× per decade at target 32, occupancy drifting 19.5 → 24 inside
+    * the ≤ 32 contract); round 13 measured the 32 → 8 step jointly
+    * with the [[MaskBudget]] 512 → 1024 raise: see the SCALE.md
+    * round-13 table for the decade²/recall trade at (bits, radius) =
+    * (12, 4) / (15, 3) vs the round-12 (10, 4) / (13, 3).
+    */
+  val BucketTarget = 8
 
   /** The documented dial, computed: the narrowest code whose EXPECTED
     * occupancy `n / 2^bits` is at or below `bucketTarget` on an isotropic
@@ -86,12 +109,14 @@ object Lsh {
     * one parameter a deployment must scale, and the prefix-consistent
     * plane family means widening it REFINES existing buckets instead of
     * reshuffling them (an incremental index can re-band lazily).
-    * `bucketTarget` trades recall for cost exactly like nlist in IVF:
-    * the test corpora use the default 32 (sf0.1's 2000 vectors → 6 bits,
-    * the audited default; the sf1.0 rehearsal's 20k → 10, the dial that
-    * measured 4.6 s where bits=6 measured 39 s).
+    * `bucketTarget` trades recall for cost exactly like nlist in IVF
+    * (see [[BucketTarget]] for the measured 32 → 8 trade); the audited
+    * test corpora pin the historical target-32 points explicitly where
+    * they matter (sf0.1's 2000 vectors → 6 bits at 32; the sf1.0
+    * rehearsal's 20k → 10 at 32, the dial that measured 4.6 s where
+    * bits=6 measured 39 s).
     */
-  def bitsFor(n: Long, bucketTarget: Int = 32): Int = {
+  def bitsFor(n: Long, bucketTarget: Int = BucketTarget): Int = {
     require(n > 0 && bucketTarget > 0)
     val needed = (63 - java.lang.Long.numberOfLeadingZeros(
       math.max(1L, (n + bucketTarget - 1) / bucketTarget) * 2 - 1)).max(1)
@@ -111,18 +136,27 @@ object Lsh {
   }
 
   /** Soft mask budget the DEFAULT radius policy holds the Hamming-ball
-    * probe under. 512 keeps the audited test dials intact (bits=6
-    * radius 4 = 57 masks; the sf1.0 rehearsal's bits=10 radius 4 = 386)
-    * and triggers exactly where the round-11 decade² measured the
-    * super-linear term: C(13, ≤4) = 1093 masks at the production
-    * `bitsFor` dial's second decade, where dropping to radius 3 (378
-    * masks — SCALE.md's named first lever) restores a flat mask count
-    * across decades. Candidate volume stays bounded independently
-    * (probe_fraction × n × occupancy, occupancy pinned by `bitsFor`);
-    * the budget bounds the PROBE fan-out — the explode factor, the
-    * per-row join fan-in, and the oracle's literal mask array.
+    * probe under. The budget bounds the PROBE fan-out — the explode
+    * factor, the per-row join fan-in, and the oracle's literal mask
+    * array — while candidate volume is bounded independently
+    * (probe_fraction × n × occupancy, occupancy pinned by `bitsFor`).
+    *
+    * 1024 is the round-13 joint dial with [[BucketTarget]] = 8: at a
+    * quarter the occupancy, each mask carries 4× fewer candidates, so
+    * the budget affords 2× the round-12 mask count for HALF the total
+    * probe volume — and the extra masks are what keep recall on genuine
+    * duplicates above the 0.85 bar as codes widen. Measured on
+    * clustered geometry (PairRecallProbe, cos ≥ 0.8 band): the budget's
+    * dials (12, 4) / (15, 3) recall 0.98 / 0.88, where the 512-budget
+    * dials (12, 3) / (15, 2) recall 0.94 / 0.68 — the second decade
+    * under 512 fails the bar, and one radius step is worth more recall
+    * than the occupancy step costs. Still a guard against compounding:
+    * C(13, ≤4) = 1093 and C(19, ≤3) = 1159 both step down, so the mask
+    * count stays in [466, 1024] at every width ≥ 10 instead of growing
+    * bits⁴/24. Audited test dials are untouched (bits=6 radius 4 = 57
+    * masks; bits=10 radius 4 = 386).
     */
-  val MaskBudget = 512L
+  val MaskBudget = 1024L
 
   /** Hard ceiling [[masksWithin]] enforces — fail fast instead of
     * stalling planning: a wide-bits + radius-4 manual dial is
@@ -138,15 +172,16 @@ object Lsh {
     * Hamming-ball mask count fits [[MaskBudget]] (floor 1). At the test
     * dials this is identity (radiusFor(6) = 4, radiusFor(10) = 4); at
     * the production `bitsFor` dial's wider codes it steps down exactly
-    * as SCALE.md's round-11 diagnosis prescribes (bits 11-14 → 3,
-    * 15-30 → 2 at base 4), so the mask fan-out stays ~flat as `bitsFor`
-    * grows codes with the corpus, instead of compounding bits⁴/24 —
-    * the 9-13×/decade² term t40/t42/t43 measured at a hand-held
-    * radius 4. Recall moves the other way as codes widen (per-pair
-    * survival is P[hamming ≤ r] over more, finer bits), which is why
-    * the step-down is the published lever and not a free lunch: the
-    * AnnSpec recall pins cover the (bits, radius) pairs the policy
-    * actually serves.
+    * as SCALE.md's round-11 diagnosis prescribes (at base 4 and the
+    * round-13 budget: 4 through bits 12, 3 at 13-18, 2 at 19-30), so
+    * the mask fan-out stays ~flat as `bitsFor` grows codes with the
+    * corpus, instead of compounding bits⁴/24 — the 9-13×/decade² term
+    * t40/t42/t43 measured at a hand-held radius 4. Recall moves the
+    * other way as codes widen (per-pair survival is P[hamming ≤ r]
+    * over more, finer bits), which is why the step-down is the
+    * published lever and not a free lunch: the AnnSpec /
+    * RadiusPolicySpec recall pins cover the (bits, radius) pairs the
+    * policy actually serves.
     */
   def radiusFor(bits: Int, base: Int = 4): Int =
     (base to 1 by -1).find(r => maskCount(bits, r) <= MaskBudget).getOrElse(1)
@@ -186,10 +221,81 @@ object Lsh {
     }.reduce(_ + _)
   }
 
+  /** Plane slice for band `table` of a banded (OR-amplification) family:
+    * disjoint `bits`-plane windows of [[allPlanesPool]]. Table 0 at any
+    * width is exactly [[planesFor]] — the single-table family is the
+    * banded family's first band.
+    */
+  def planesForTable(table: Int, bits: Int): IndexedSeq[IndexedSeq[Double]] = {
+    require(table >= 0 && bits >= 1 && (table + 1) * bits <= MaxPlanes,
+      s"band $table x $bits bits exceeds the $MaxPlanes-plane pool")
+    allPlanesPool.slice(table * bits, table * bits + bits)
+  }
+
+  /** Sign-bit code of band `table` — the AND-construction within one
+    * band of the banded family ([[planesForTable]]).
+    */
+  def bucketOfTable(emb: org.apache.spark.sql.Column, bits: Int, table: Int): org.apache.spark.sql.Column = {
+    val ps = planesForTable(table, bits)
+    (0 until bits).map { i =>
+      when(V.dot(emb, typedlit(ps(i))) > 0, 1L << i).otherwise(0L)
+    }.reduce(_ + _)
+  }
+
+  /** Reference per-bit sign-flip probability the BANDED table-count
+    * policy designs for: theta/pi at cosine 0.9 — the genuine-duplicate
+    * geometry the near-dup contract exists to find (RadiusPolicySpec's
+    * clustered fixture measures ~this). Boundary pairs near tau flip at
+    * ~0.3/bit and are out of reach of ANY bounded candidate scheme —
+    * the documented, reported, un-pinned band.
+    */
+  val BandFlipP: Double = math.acos(0.9) / math.Pi
+
+  /** Recall floor [[bandTablesFor]] sizes the OR-construction to, on the
+    * cos ≥ 0.8 band at [[BandFlipP]].
+    */
+  val BandRecallFloor = 0.9
+
+  /** Per-table occupancy target for the banded family — per-table code
+    * width comes from `bitsFor(n, BandBucketTarget)`. 32 (not the
+    * single-table family's 8): banded candidates are L × occupancy with
+    * NO Hamming-ball multiplier, so a fuller bucket is affordable and
+    * keeps L (the explode fan-out) small.
+    */
+  val BandBucketTarget = 32
+
+  /** Number of OR'd tables that lifts per-pair recall to
+    * [[BandRecallFloor]] when one `bits`-bit band matches with
+    * probability (1-p)^bits at per-bit flip `p`: the smallest L with
+    * 1-(1-q^bits)^L ≥ floor. The closed form of the banded scaling law:
+    * q^bits shrinks as the occupancy policy widens codes with the
+    * corpus, so L ≈ ln(1-floor)/(-q^bits) grows as ~n^0.22 — candidates
+    * (L × occupancy) and join fan-out (L per item) both grow n^0.22
+    * per item where the single-table Hamming ball pays C(bits, r)
+    * masks per item and still LOSES recall each decade. Radius-1
+    * in-band probing (see t54's dial) halves the needed L again at
+    * (1 + bits) masks per table.
+    */
+  def bandTablesFor(bits: Int, radius: Int = 0,
+                    floor: Double = BandRecallFloor, p: Double = BandFlipP): Int = {
+    require(bits >= 1 && bits <= MaxBits && floor > 0 && floor < 1)
+    val q = 1.0 - p
+    // per-band survival: P[hamming <= radius] over `bits` bits
+    val perBand = (0 to radius).map { k =>
+      var c = 1.0
+      for (i <- 1 to k) c = c * (bits - i + 1) / i
+      c * math.pow(p, k) * math.pow(q, bits - k)
+    }.sum
+    val l = math.ceil(math.log(1.0 - floor) / math.log(1.0 - perBand)).toInt.max(1)
+    require(l * bits <= MaxPlanes,
+      s"banded dial $l x $bits exceeds the $MaxPlanes-plane pool")
+    l
+  }
+
   // ---------------------------------------------------- oracle SQL pieces
 
   private def planeLit(i: Int): String =
-    allPlanes(i).mkString("[", ", ", "]::DOUBLE[]")
+    allPlanesPool(i).mkString("[", ", ", "]::DOUBLE[]")
 
   /** The bucket code as DuckDB SQL over a DOUBLE[] column named `col`,
     * bit-identical to [[bucketOf]]: same ±1 literals, same left-fold dot.
@@ -197,6 +303,13 @@ object Lsh {
   def bucketSql(col: String, bits: Int = Bits): String =
     (0 until bits).map { i =>
       s"(CASE WHEN list_sum(list_transform(list_zip($col, ${planeLit(i)}), p -> p[1] * p[2])) > 0 " +
+        s"THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** SQL twin of [[bucketOfTable]] — band `table`'s plane window. */
+  def bucketSqlTable(col: String, bits: Int, table: Int): String =
+    (0 until bits).map { i =>
+      s"(CASE WHEN list_sum(list_transform(list_zip($col, ${planeLit(table * bits + i)}), p -> p[1] * p[2])) > 0 " +
         s"THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)"
     }.mkString("(", " + ", ")")
 

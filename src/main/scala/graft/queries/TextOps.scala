@@ -2011,6 +2011,112 @@ object TextOps {
        |SELECT vec_id, cluster, is_canonical, cluster_size FROM sized
        |WHERE cluster_size > 1 ORDER BY cluster, vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- t54
+  /** Banded (OR-amplification) dials for the t54 family — env-dialed
+    * like the single-table (bits, radius), and like them inlined
+    * identically into the oracle SQL. Per-table code width defaults to
+    * the session's [[DialBits]] (one `SPARK_GRAFT_LSH_BITS` dials both
+    * families consistently); the table count defaults to the
+    * RECALL-FLOOR policy [[Lsh.bandTablesFor]] — the banded family's
+    * analog of `radiusFor`, sizing L so per-pair recall on genuine
+    * duplicates clears [[Lsh.BandRecallFloor]] at the dialed width.
+    */
+  private[graft] lazy val DialBandBits: Int =
+    sys.env.get("SPARK_GRAFT_BAND_BITS").map(_.trim.toInt).getOrElse(DialBits)
+  private[graft] lazy val DialBandRadius: Int =
+    sys.env.get("SPARK_GRAFT_BAND_RADIUS").map(_.trim.toInt).getOrElse(1)
+  private[graft] lazy val DialBandTables: Int =
+    sys.env.get("SPARK_GRAFT_BAND_TABLES").map(_.trim.toInt)
+      .getOrElse(Lsh.bandTablesFor(DialBandBits, DialBandRadius))
+
+  /** Embedding near-dup pairs by BANDED LSH — L independent sign-bit
+    * tables over disjoint plane windows ([[Lsh.planesForTable]]), each
+    * probed within a small in-band Hamming radius; a pair is a candidate
+    * if ANY table matches (the classic OR-construction, the same
+    * AND-within/OR-across structure as t06's MinHash bands — applied to
+    * the embedding side). Same contract as t15: exact-cosine-verified
+    * pairs at τ = [[CosTau]], subset of the brute-force pair set by
+    * construction.
+    *
+    * WHY a second pair family: the round-13 lifecycle measurement showed
+    * the single-table Hamming-ball's cost is EXPLODE-DOMINATED — wall
+    * tracks batch × masks (the probe fan-out), not matched candidates —
+    * so holding recall ≥ 0.85 as `bitsFor` widens codes forces 400+
+    * masks/item and the pair join's decade² to ~4×. The banded family
+    * hits the same recall at L × (1 + bits) fan-out (band4:12:1
+    * measured dup-recall 0.931 vs the 576-mask (15, 3) single table's
+    * 0.853 — 11× less fan-out, HIGHER recall), and its scaling law is
+    * closed-form: L from [[Lsh.bandTablesFor]] grows ~n^0.22 while the
+    * single table loses recall every decade at any bounded budget.
+    *
+    * Scale shape mirrors t15's wide probe: codes are computed per
+    * vector (L × bits dots, codegen'd), the probe side explodes
+    * L × (1+bits) rows per vector — linear in n — the candidate join is
+    * PINNED to shuffle-hash on (tbl, bucket) (same Generate-blind
+    * planner rationale as t15), per-(table, bucket) skew is capped by
+    * the same anti-join guard, and the OR-dedup is a groupBy on the
+    * VERIFIED pairs only (map-side partial agg; duplicates across
+    * tables carry identical cosines).
+    */
+  def t54NearDupBanded(s: SparkSession, dir: String): DataFrame =
+    t54NearDupBandedOf(embeddings(s, dir),
+      DialBandTables, DialBandBits, DialBandRadius)
+
+  def t54NearDupBandedOf(embSrc: DataFrame, tables: Int, bits: Int,
+                         radius: Int, maxBucket: Int = EmbBucketCap): DataFrame = {
+    require(tables >= 1 && radius >= 0)
+    val e0 = embSrc
+      .select(col("vec_id"), V.toDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", V.norm(col("emb")))
+      .select(col("vec_id"), col("emb"), col("nrm"),
+        posexplode(array((0 until tables).map(t =>
+          Lsh.bucketOfTable(col("emb"), bits, t)): _*)).as(Seq("tbl", "bucket")))
+    // per-(table, bucket) skew guard — t15's cap, keyed by band too
+    val oversized = e0.groupBy(col("tbl"), col("bucket"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+      .select(col("tbl"), col("bucket"))
+    val e = e0.join(broadcast(oversized), Seq("tbl", "bucket"), "left_anti")
+    val masks = Lsh.masksWithin(radius, bits)
+    val probes = e.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"),
+      col("nrm").as("nrm_a"), col("tbl"),
+      explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+    e.hint("shuffle_hash").join(probes, Seq("tbl", "bucket"))
+      .filter(col("vec_a") < col("vec_id"))
+      .select(col("vec_a"), col("vec_id").as("vec_b"),
+        R.halfUp(when(col("nrm_a") === 0.0 || col("nrm") === 0.0, 0.0)
+          .otherwise(V.dot(col("emb_a"), col("emb")) / (col("nrm_a") * col("nrm"))), 6)
+          .as("cosine"))
+      .filter(col("cosine") >= CosTau)
+      .groupBy(col("vec_a"), col("vec_b"))
+      .agg(max(col("cosine")).as("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  lazy val t54Sql: String = {
+    val perTable = (0 until DialBandTables).map { t =>
+      s"SELECT vec_id, emb, $t AS tbl, ${Lsh.bucketSqlTable("emb", DialBandBits, t)} AS bucket FROM e"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |ebt0 AS (
+       |  $perTable),
+       |ebt AS (
+       |  SELECT vec_id, emb, tbl, bucket FROM (
+       |    SELECT vec_id, emb, tbl, bucket,
+       |      count(*) OVER (PARTITION BY tbl, bucket) AS bucket_n FROM ebt0)
+       |  WHERE bucket_n <= $DialEmbCap),
+       |prt AS (
+       |  SELECT vec_id AS vec_a, emb AS emb_a, tbl, xor(bucket, m) AS bucket
+       |  FROM ebt CROSS JOIN (SELECT unnest(${Lsh.masksSqlWithin(DialBandRadius, DialBandBits)}) AS m)),
+       |candt AS (
+       |  SELECT p.vec_a, e.vec_id AS vec_b,
+       |    ${R.halfUpSql(cosineSql("p.emb_a", "e.emb"), 6)} AS cosine
+       |  FROM ebt e JOIN prt p USING (tbl, bucket)
+       |  WHERE p.vec_a < e.vec_id)
+       |SELECT vec_a, vec_b, max(cosine) AS cosine FROM candt
+       |WHERE cosine >= $CosTau GROUP BY vec_a, vec_b ORDER BY vec_a, vec_b""".stripMargin
+  }
+
   // ---------------------------------------------------------------- t13
   /** Near-duplicate CLUSTERS: connected components over the MinHash
     * candidate graph via iterative min-label propagation, then one
@@ -2463,6 +2569,7 @@ object TextOps {
       t52AnnFilteredComposite(s, d, DialIvfK, DialIvfNProbe)),
     "t15_cosine_near_dup" -> ((s: SparkSession, d: String) =>
       cosineCandidatePairs(s, d, DialBits, DialPairRadius, DialEmbCap)),
+    "t54_near_dup_banded" -> (t54NearDupBanded _),
     "t16_token_bpe"       -> (t16TokenBpe _),
     "t34_embed_dedup_clusters" -> ((s: SparkSession, d: String) =>
       t34EmbedDedupClusters(s, d, DialBits, DialPairRadius, DialEmbCap)),
@@ -2524,6 +2631,7 @@ object TextOps {
     // the index build runs) constrains the candidate side only
     "t52_ann_filtered_composite" -> t52Sql(dir),
     "t15_cosine_near_dup" -> t15Sql,
+    "t54_near_dup_banded" -> t54Sql,
     "t16_token_bpe"       -> t16Sql,
     "t34_embed_dedup_clusters" -> t34Sql,
     "t17_train_split"     -> t17Sql,

@@ -1210,10 +1210,16 @@ class AnnSpec extends SparkTestBase {
     def ref(n: Long, target: Int): Int =
       (1 to Lsh.MaxBits).find(b => n.toDouble / (1L << b) <= target)
         .getOrElse(Lsh.MaxBits)
-    // the audited anchors: sf0.1's 2000 vectors -> the default 6-bit code;
-    // the sf1.0 rehearsal's 20k -> the 10-bit dial that measurement chose
-    assert(Lsh.bitsFor(2000) === 6)
-    assert(Lsh.bitsFor(20000) === 10)
+    // the historical target-32 anchors: sf0.1's 2000 vectors -> the 6-bit
+    // test code; the sf1.0 rehearsal's 20k -> the 10-bit dial round 10
+    // measured (4.6 s where bits=6 measured 39 s)
+    assert(Lsh.bitsFor(2000, 32) === 6)
+    assert(Lsh.bitsFor(20000, 32) === 10)
+    // the round-13 occupancy policy (target 8) widens each decade's code
+    // by 2 bits: quarter the occupancy, quarter the pair-join candidates
+    assert(Lsh.BucketTarget === 8)
+    assert(Lsh.bitsFor(20000) === 12)
+    assert(Lsh.bitsFor(200000) === 15)
     for (n <- Seq(1L, 31L, 32L, 33L, 1000L, 65536L, 1000000L, 100000000000L);
          t <- Seq(1, 8, 32, 1000))
       assert(Lsh.bitsFor(n, t) === ref(n, t), s"n=$n target=$t")

@@ -30,17 +30,22 @@ class RadiusPolicySpec extends SparkTestBase {
     // the audited test dials are untouched: policy == the hand-held 4
     assert(Lsh.radiusFor(6) === 4)   // 57 masks — the default corpus dial
     assert(Lsh.radiusFor(10) === 4)  // 386 masks — the sf1.0 rehearsal dial
-    // the second decade's bitsFor(200k/32)=13 steps to 3 (1093 -> 378
-    // masks): the round-11 diagnosis, now the default instead of a note
+    // the round-13 occupancy policy's first decade (bitsFor(20k) = 12)
+    // keeps radius 4: C(12, <=4) = 793 fits the 1024 budget
+    assert(Lsh.radiusFor(12) === 4)
+    // the step-down ladder at budget 1024: C(13, <=4) = 1093 busts ->
+    // radius 3 through bits 18 (C(18, <=3) = 988); C(19, <=3) = 1159
+    // busts -> radius 2 for every wider code (C(30, <=2) = 466)
     assert(Lsh.radiusFor(13) === 3)
     assert(Lsh.radiusFor(14) === 3)
-    // wide codes settle at 2 — C(30, <=2) = 466 still under budget
-    assert(Lsh.radiusFor(15) === 2)
+    assert(Lsh.radiusFor(15) === 3) // the second-decade occupancy dial
+    assert(Lsh.radiusFor(18) === 3)
+    assert(Lsh.radiusFor(19) === 2)
     assert(Lsh.radiusFor(30) === 2)
     // the ANN probe family's base-3 policy: identity at the test dial
     assert(Lsh.radiusFor(6, base = 3) === 3)
     assert(Lsh.radiusFor(13, base = 3) === 3)
-    assert(Lsh.radiusFor(16, base = 3) === 2) // C(16, <=3) = 697 > 512
+    assert(Lsh.radiusFor(16, base = 3) === 3) // C(16, <=3) = 697 <= 1024
   }
 
   test("radiusFor holds the mask budget at every constructible width") {
@@ -78,33 +83,60 @@ class RadiusPolicySpec extends SparkTestBase {
     assert(byPolicy === explicit)
   }
 
-  test("t15 recall at the policy's second-decade dial (bits=13, radius=3) on clustered geometry") {
+  // the geometry the step-down runs in: real near-dup mass (clustered,
+  // pair cosine ~0.9 — genuine duplicates), not the isotropic worst
+  // case. Per-bit flip prob for a qualifying pair is theta/pi of its
+  // cosine (~0.14 at 0.9), so a bounded Hamming ball covers the pair
+  // distribution; at noise wide enough that tau=0.4 survivors are
+  // near-boundary pairs (flip prob ~0.37) NO bounded radius can — that
+  // regime needs the cosine threshold, not the probe radius, revisited.
+  // Returns (exact tau-pairs with cosine, policy-probe pairs).
+  private def recallFixture(bits: Int): (Map[(Long, Long), Double], Set[(Long, Long)]) = {
     import graft.functions.{VectorOps => V}
-    // the geometry the step-down runs in: real near-dup mass (clustered,
-    // pair cosine ~0.9 — genuine duplicates), not the isotropic worst
-    // case. Per-bit flip prob for a qualifying pair is theta/pi of its
-    // cosine (~0.14 at 0.9), so a radius-3 ball over 13 bits covers the
-    // pair distribution; at noise wide enough that tau=0.4 survivors are
-    // near-boundary pairs (flip prob ~0.37) NO bounded radius can — that
-    // regime needs the cosine threshold, not the probe radius, revisited
     val emb = ScaleData.clusteredEmbeddings(spark, 2000, nCenters = 40, noise = 0.04)
       .select(col("vec_id"), col("embedding")).localCheckpoint()
     val e = emb.select(col("vec_id"), V.toDouble(col("embedding")).as("emb"))
     val exact = e.as("a").crossJoin(e.as("b"))
       .filter(col("a.vec_id") < col("b.vec_id"))
-      .filter(round(V.cosine(col("a.emb"), col("b.emb")), 6) >= TextOps.CosTau)
-      .select(col("a.vec_id"), col("b.vec_id")).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val bits = 13
-    assert(Lsh.radiusFor(bits) === 3)
+      .withColumn("cos", round(V.cosine(col("a.emb"), col("b.emb")), 6))
+      .filter(col("cos") >= TextOps.CosTau)
+      .select(col("a.vec_id"), col("b.vec_id"), col("cos")).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     val got = TextOps.t15CosineNearDupOf(emb, bits, Lsh.PolicyRadius)
       .select("vec_a", "vec_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(got.subsetOf(exact)) // exact-cosine verify admits no false positives
-    val recall = (exact intersect got).size.toDouble / exact.size
-    info(f"policy-dial pair recall: $recall%.3f over ${exact.size} exact pairs " +
-      f"(${Lsh.maskCount(bits, Lsh.radiusFor(bits))} masks vs " +
-      f"${Lsh.maskCount(bits, 4)} at the hand-held radius 4)")
-    assert(recall >= 0.8)
+    assert(got.subsetOf(exact.keySet)) // exact-cosine verify: no false positives
+    (exact, got)
+  }
+
+  test("t15 recall at the budget ladder's (13, 3) dial on clustered geometry") {
+    val bits = 13
+    assert(Lsh.radiusFor(bits) === 3)
+    val (exact, got) = recallFixture(bits)
+    val recall = exact.keysIterator.count(got).toDouble / exact.size
+    info(f"(13, 3) pair recall: $recall%.3f over ${exact.size} exact pairs")
+    assert(recall >= 0.8) // measured 0.894 (deterministic fixture + planes)
+  }
+
+  test("t15 recall at the second-decade occupancy dial (bits=15, radius=3) on clustered geometry") {
+    // bitsFor(200k) = 15 at BucketTarget 8; the 1024 mask budget is what
+    // admits radius 3 here (C(15, <=3) = 576) — at the old 512 budget the
+    // policy served radius 2, whose genuine-duplicate recall measured
+    // 0.661 on this fixture (0.68 on the 200k corpus): the failed bar
+    // that motivated the joint occupancy+budget dial. Judged on the
+    // cos >= 0.8 band — the pairs dedup exists to find; tau-boundary
+    // pairs are unrecoverable at ANY bounded radius (0.41 even at the
+    // round-12 (13, 3) dial) and are reported, not pinned.
+    val bits = 15
+    assert(Lsh.bitsFor(200000) === bits)
+    assert(Lsh.radiusFor(bits) === 3)
+    val (exact, got) = recallFixture(bits)
+    val dup = exact.collect { case (p, c) if c >= 0.8 => p }.toSet
+    val recallDup = dup.count(got).toDouble / dup.size
+    val recallAll = exact.keysIterator.count(got).toDouble / exact.size
+    info(f"(15, 3) recall: $recallDup%.3f on ${dup.size} genuine-dup pairs, " +
+      f"$recallAll%.3f overall (${exact.size} tau-pairs)")
+    assert(recallDup >= 0.85) // measured 0.853 here, 0.88 on the 200k corpus
+    assert(recallAll >= 0.8)  // measured 0.846
   }
 }
