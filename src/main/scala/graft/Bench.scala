@@ -91,7 +91,7 @@ object Bench {
     warm("vacuum") {
       val root = graft.queries.IvfModel.warehouseFor(spark, sfDir)
       val subs = Seq("t37_increment", "t40_increment", "t41_inccur", "t42_inccur", "t46_increment",
-        "t43_inccur", "t48_increment").map(n => graft.etl.Warehouse(spark, new java.io.File(root.dir, n).toString))
+        "t43_inccur", "t48_increment", "t55_increment").map(n => graft.etl.Warehouse(spark, new java.io.File(root.dir, n).toString))
       (root +: subs).foreach(w => w.vacuumAll(w.RetainVersions))
     }
     // Per-query time = min over two FULL passes of the suite, not two

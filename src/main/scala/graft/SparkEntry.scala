@@ -37,7 +37,14 @@ object SparkEntry {
         (graft.pipelines.IncrementalCuration.t43IncrementalClustered _)) +
       ("t44_frame_sample" -> (graft.multimodal.BinaryAssets.t44FrameSample _)) +
       ("t45_asset_meta" -> (graft.multimodal.BinaryAssets.t45AssetMeta _)) +
-      ("t53_ngram_lm" -> (graft.queries.QualityOps.t53NgramLm _))
+      ("t53_ngram_lm" -> (graft.queries.QualityOps.t53NgramLm _)) +
+      // t55 = t40 on the banded (OR-amplification) pair source through
+      // the persisted BandEmbIndex — the measured scale path for the
+      // embedding lifecycle (SCALE.md round 13); dials shared with t54
+      ("t55_banded_cluster_increment" -> ((s: SparkSession, d: String) =>
+        graft.pipelines.ClusterState.t55BandedClusterIncrement(s, d,
+          TextOps.DialBandTables, TextOps.DialBandBits,
+          TextOps.DialBandRadius, TextOps.DialEmbCap)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. COMPLETE — every registered query has a
@@ -90,5 +97,9 @@ object SparkEntry {
       // oracle reads the same model parquet (integer micro-nat
       // log-probs computed once at fit time — no cross-engine libm),
       // so the replay is a join plus integer sums
-      ("t53_ngram_lm" -> graft.queries.QualityOps.t53Sql(dir))
+      ("t53_ngram_lm" -> graft.queries.QualityOps.t53Sql(dir)) +
+      // t55's claim is t40's on the banded family: increment through
+      // the persisted banded index == full t54 recluster, so the oracle
+      // is the whole-corpus banded closure
+      ("t55_banded_cluster_increment" -> TextOps.t55Sql)
 }

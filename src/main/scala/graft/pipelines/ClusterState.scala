@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 import graft.etl.Warehouse
-import graft.queries.{BandIndex, EmbIndex, IvfModel, TextOps}
+import graft.queries.{BandEmbIndex, BandIndex, EmbIndex, IvfModel, TextOps}
 
 /** PERSISTED dedup-cluster state — the reference's checkpoint posture
   * (etl_sync.py:356-385: sync state survives runs, each batch advances
@@ -236,6 +236,23 @@ object ClusterState {
     checkpoint.fold(w0)(p => w0.option("checkpointLocation", p)).start()
   }
 
+  /** [[maintainFromStream]] for the BANDED embedding signal: foreachBatch
+    * over [[ingestBandedEmbeddingBatch]] — at-least-once delivery × the
+    * replay-safe banded lifecycle = effectively exactly-once, the same
+    * posture as the text-side stream.
+    */
+  def maintainBandedFromStream(wh: Warehouse, emb: DataFrame,
+                               tables: Int, bits: Int, radius: Int = 1,
+                               maxBucket: Int = TextOps.EmbBucketCap,
+                               checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w0 = emb.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        ingestBandedEmbeddingBatch(wh, batch.toDF(), tables, bits, radius, maxBucket)
+      }
+    checkpoint.fold(w0)(p => w0.option("checkpointLocation", p)).start()
+  }
+
   /** [[seedCorpus]]/[[ingestBatch]] for the EMBEDDING signal: same
     * state table, the [[EmbIndex]] as the pair feed. A deployment
     * maintaining BOTH signals uses two warehouses (or lets Curation
@@ -328,6 +345,88 @@ object ClusterState {
     graft.queries.StampedTable.ensureSeeded(wh, "t40_seed",
       s"t40-seed\n$dir\nbits=$bits\nradius=$radius\ncap=$maxBucket\n$embStamp") {
       val pairsA = TextOps.t15CosineNearDupOf(partA, bits, radius, maxBucket = maxBucket)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      seed(wh, partA.select(col("vec_id").as("doc_id")), pairsA)
+    }
+    wh
+  }
+
+  // ---------------------------------------------------------------- t55
+  /** [[seedEmbeddings]]'s BANDED twin: full build of cluster state +
+    * the [[graft.queries.BandEmbIndex]] OR-amplification index, pairs
+    * from the full t54 construction. The banded family is the measured
+    * scale path for the embedding lifecycle (SCALE.md round 13: the
+    * single-table Hamming ball is explode-dominated and loses recall
+    * every decade at any bounded mask budget; the banded probe costs
+    * L × (1 + bits) per item with L ~ n^0.22/decade).
+    */
+  def seedBandedEmbeddings(wh: Warehouse, embSrc: DataFrame,
+                           tables: Int, bits: Int, radius: Int = 1,
+                           maxBucket: Int = TextOps.EmbBucketCap): Unit = {
+    BandEmbIndex.seed(wh, embSrc, tables, bits)
+    seed(wh, embSrc.select(col("vec_id").as("doc_id")),
+      TextOps.t54NearDupBandedOf(embSrc, tables, bits, radius, maxBucket)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+  }
+
+  /** One BANDED embedding ingest batch: code only the batch (L × bits
+    * dots), probe the persisted banded index per (table, in-band mask),
+    * advance, append — the same replay-safe crash points as
+    * [[ingestEmbeddingBatch]].
+    */
+  def ingestBandedEmbeddingBatch(wh: Warehouse, batchEmb: DataFrame,
+                                 tables: Int, bits: Int, radius: Int = 1,
+                                 maxBucket: Int = TextOps.EmbBucketCap): Unit = {
+    val bc = cut(BandEmbIndex.codedOf(batchEmb, tables, bits))
+    val pairs = BandEmbIndex.incrementCosinePairsOf(BandEmbIndex.coded(wh), bc,
+      bits, radius, maxBucket)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    wh.rewrite(TableName, TextOps.dedupClustersIncrement(
+      read(wh), batchEmb.select(col("vec_id").as("doc_id")), pairs, validateEndpoints = false))
+    BandEmbIndex.appendBatchCoded(wh, bc)
+  }
+
+  /** t40's BANDED twin: incremental semantic dedup through the
+    * persisted [[graft.queries.BandEmbIndex]] — same md5-bucket split,
+    * seed state + banded index on part A (t54 pairs over A), advance
+    * with part B's index-probed banded cosine pairs, present the
+    * maintained state. Oracle = [[TextOps.t55Sql]], the full t54
+    * transitive closure over the WHOLE corpus (shared DialBand* values
+    * reach both sides). The union-cap crossing caveat is t40's,
+    * per (table, bucket).
+    */
+  def t55BandedClusterIncrement(s: SparkSession, dir: String,
+                                tables: Int, bits: Int, radius: Int = 1,
+                                maxBucket: Int = TextOps.EmbBucketCap): DataFrame = {
+    val wh = t55EnsureSeeded(s, dir, tables, bits, radius, maxBucket)
+    val partB = graft.core.Tables.embeddings(s, dir)
+      .filter(TextOps.splitBucket(col("vec_id")) >= 50)
+    val pairsB = BandEmbIndex.incrementCosinePairs(wh, partB, tables, bits, radius, maxBucket)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    wh.rewrite(TableName, TextOps.dedupClustersIncrement(
+      read(wh), partB.select(col("vec_id").as("doc_id")), pairsB, validateEndpoints = false))
+    clusters(wh)
+      .select(col("doc_id").as("vec_id"), col("cluster"),
+        col("is_canonical"), col("cluster_size"))
+      .orderBy(col("cluster"), col("vec_id"))
+  }
+
+  /** t55's stamped seed (banded index + part-A assignment) — t40's
+    * protocol; tables rides the stamp alongside bits/radius/cap because
+    * it changes both the index layout and the seeded pair set.
+    */
+  private[graft] def t55EnsureSeeded(s: SparkSession, dir: String, tables: Int,
+                                     bits: Int, radius: Int, maxBucket: Int): Warehouse = {
+    val emb = graft.core.Tables.embeddings(s, dir)
+    val partA = emb.filter(TextOps.splitBucket(col("vec_id")) < 50)
+    val wh = Warehouse(s, new java.io.File(
+      IvfModel.warehouseFor(s, dir).dir, "t55_increment").toString)
+    val embStamp = graft.core.Tables.contentStamp(s, s"$dir/embeddings.parquet")
+    BandEmbIndex.ensureFor(wh, partA,
+      s"emb-band-partA50\n$dir\n$embStamp", tables, bits)
+    graft.queries.StampedTable.ensureSeeded(wh, "t55_seed",
+      s"t55-seed\n$dir\ntables=$tables\nbits=$bits\nradius=$radius\ncap=$maxBucket\n$embStamp") {
+      val pairsA = TextOps.t54NearDupBandedOf(partA, tables, bits, radius, maxBucket)
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
       seed(wh, partA.select(col("vec_id").as("doc_id")), pairsA)
     }
@@ -429,5 +528,7 @@ object ClusterState {
     t37EnsureSeeded(s, dir)
     t40EnsureSeeded(s, dir, TextOps.DialBits,
       TextOps.DialPairRadius, TextOps.DialEmbCap)
+    t55EnsureSeeded(s, dir, TextOps.DialBandTables, TextOps.DialBandBits,
+      TextOps.DialBandRadius, TextOps.DialEmbCap)
   }
 }

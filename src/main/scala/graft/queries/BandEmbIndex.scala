@@ -1,0 +1,265 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.etl.Warehouse
+import graft.functions.{Rounding => R, VectorOps => V}
+
+/** PERSISTED **banded** embedding index — the OR-amplification (t54)
+  * family's stateful twin, completing the triangle
+  * [[BandIndex]] (MinHash bands) / [[EmbIndex]] (single-table sign
+  * codes) / this (L sign-bit tables over disjoint plane windows,
+  * [[Lsh.planesForTable]]).
+  *
+  * Why it exists: the round-13 lifecycle measurement (SCALE.md
+  * "Round 13") showed the single-table Hamming-ball increment is
+  * EXPLODE-DOMINATED — wall tracks batch × masks, not matched
+  * candidates — and that holding dup recall ≥ 0.85 at the second
+  * decade forces 400+ masks/item and a ~4× decade² on the incremental
+  * lifecycle family. The banded construction reaches HIGHER recall at
+  * L × (1 + bits) fan-out (band4:12:1 measured 0.931 vs the 576-mask
+  * single table's 0.853 — 11× less fan-out), and its growth law is
+  * closed-form ([[Lsh.bandTablesFor]]: L ~ n^0.22/decade). This index
+  * makes that construction INCREMENTAL: the settled corpus's banded
+  * codes are persisted once, an ingest batch codes only itself
+  * (L × bits dots, codegen'd), probes the index per (table, in-band
+  * Hamming-1 mask), and gets exactly the t54 pairs that touch the
+  * batch — without re-coding the settled corpus.
+  *
+  * Layout: one row per (vec_id, tbl) — L rows per vector — partitioned
+  * by `pbucket = xxhash64(tbl, bucket) mod [[PBuckets]]` (the
+  * bounded-fan-out layer every persisted index here uses; the raw
+  * (tbl, bucket) pair space is L × 2^bits directories at production
+  * widths, unbuildable for the same measured reason as EmbIndex's
+  * pre-fan-out layout). Probes prune BOTH levels: the derived pbucket
+  * set lands as a static partition filter, the exact bucket set as a
+  * data filter parquet pushes to row-group stats (a superset across
+  * tables — exactness comes from the (tbl, bucket) equi-join; the
+  * cross-table bucket-value collision a shared filter admits is noise
+  * at any occupancy the [[Lsh.BandBucketTarget]] policy yields).
+  *
+  * Mask symmetry makes one-sided probing complete per table (the XOR
+  * mask is the code difference, identical in both directions), so
+  * batch-side-only probes reach every (settled, new) pair in every
+  * table; pairs are emitted orientation-normalized (least, greatest)
+  * and the groupBy-max collapses BOTH the two directions of a
+  * batch-batch pair AND multi-table hits (the OR of the
+  * OR-construction) — cosine is symmetric and table-independent, so
+  * max == distinct.
+  */
+object BandEmbIndex {
+
+  val TableName = "emb_band_tables"
+
+  /** Partition fan-out cap — same dial contract as [[EmbIndex.PBuckets]]
+    * / [[BandIndex.BkBuckets]]: directories per index generation at any
+    * (tables, bits) dial; at 100 TB size it so one partition's scan
+    * fits an executor's budget.
+    */
+  val PBuckets = 1024
+
+  private[graft] def pbucketOf(tbl: org.apache.spark.sql.Column,
+                               bucket: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(xxhash64(tbl, bucket), lit(PBuckets.toLong)).cast("int")
+
+  val Schema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("emb", ArrayType(DoubleType)),
+      StructField("nrm", DoubleType),
+      StructField("tbl", IntegerType),
+      StructField("bucket", LongType),
+      StructField("corpus_stamp", StringType),
+      StructField("pbucket", IntegerType)))
+  }
+
+  /** Banded coded rows of an arbitrary (vec_id, embedding) frame — the
+    * exact rows the index stores, and what a batch computes for itself:
+    * the same per-table projection [[TextOps.t54NearDupBandedOf]] opens
+    * with (norm materialized per VECTOR; the emb payload rides each of
+    * the L rows so per-candidate work at probe time is one dot —
+    * trading L× storage for zero attach join, the same call EmbIndex
+    * makes per mask-free row).
+    */
+  def codedOf(embSrc: DataFrame, tables: Int, bits: Int): DataFrame = {
+    require(tables >= 1)
+    embSrc
+      .select(col("vec_id"), V.toDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", V.norm(col("emb")))
+      .select(col("vec_id"), col("emb"), col("nrm"),
+        posexplode(array((0 until tables).map(t =>
+          Lsh.bucketOfTable(col("emb"), bits, t)): _*)).as(Seq("tbl", "bucket")))
+      .withColumn("pbucket", pbucketOf(col("tbl"), col("bucket")))
+  }
+
+  /** Full (re)build over an explicit frame: one versioned, partitioned
+    * rewrite (pointer-flip commit).
+    */
+  def seed(wh: Warehouse, embSrc: DataFrame, tables: Int, bits: Int): Unit =
+    wh.rewrite(TableName,
+      codedOf(embSrc, tables, bits).withColumn("corpus_stamp", lit("seed")),
+      partitionBy = Seq("pbucket"))
+
+  /** Stamped variant for a static corpus (the t55 verification path).
+    * `tables`, `bits` AND the fan-out MUST ride the stamp: all three are
+    * baked into the stored rows/layout, so probing a table coded at a
+    * different dial would match the wrong buckets or prune the wrong
+    * directories (the dialStamp lesson of round 12, ADVICE.md).
+    */
+  def ensureFor(wh: Warehouse, embSrc: => DataFrame, stamp: String,
+                tables: Int, bits: Int): Unit =
+    StampedTable.ensure(wh, TableName, Schema,
+      s"$stamp\ntables=$tables\nbits=$bits\npb=$PBuckets",
+      partitionBy = Seq("pbucket")) {
+      codedOf(embSrc, tables, bits)
+    }
+
+  /** The persisted index (vec_id, emb, nrm, tbl, bucket, pbucket) — the
+    * partition column rides the projection so probe reads can land a
+    * PARTITION filter.
+    */
+  def coded(wh: Warehouse): DataFrame =
+    wh.read(TableName, Schema)
+      .select(col("vec_id"), col("emb"), col("nrm"),
+        col("tbl"), col("bucket"), col("pbucket"))
+
+  /** Grow the index by an ingest batch. IDEMPOTENT under replay at
+    * (vec_id, tbl) granularity — a vector's L rows land in DIFFERENT
+    * partition files, so a crash mid-append can commit some tables and
+    * not others; an anti-join on vec_id alone would then see the vector
+    * as "already indexed" and permanently drop its missing tables
+    * (silent recall loss in every batch that would have probed them).
+    * (vec_id, tbl) is exactly one row in exactly one file — the repair
+    * granularity matches the commit granularity, the
+    * [[BandIndex.appendBatchBanded]] (doc_id, band) posture exactly.
+    */
+  def appendBatch(wh: Warehouse, batchEmb: DataFrame, tables: Int, bits: Int): Unit =
+    appendBatchCoded(wh, codedOf(batchEmb, tables, bits))
+
+  /** [[appendBatch]] over an ALREADY-coded batch frame (probe + append
+    * share one materialized coding). The idempotency anti-join is
+    * PARTITION-PRUNED to the batch's own pbuckets — an existing
+    * (vec_id, tbl) row necessarily sits where the deterministic
+    * re-coding derives. Same IMMUTABLE-per-vec_id precondition as
+    * [[EmbIndex.appendBatchCoded]] (mutated re-ingests escape the
+    * pruned check; `checked = true` runs it unpruned).
+    */
+  def appendBatchCoded(wh: Warehouse, batchCoded: DataFrame,
+                       maxInline: Int = BucketPrune.MaxInline,
+                       checked: Boolean = false): Unit = {
+    val bc = Frames.cutIfPlain(batchCoded)
+    val landed =
+      if (checked) coded(wh)
+      else BucketPrune.restrict(coded(wh), "pbucket", bc, maxInline)
+    val fresh = bc.join(landed.select(col("vec_id"), col("tbl")),
+      Seq("vec_id", "tbl"), "left_anti")
+    wh.appendLive(TableName,
+      fresh.withColumn("corpus_stamp", lit("append")),
+      partitionBy = Seq("pbucket"))
+  }
+
+  /** Coalesce the per-batch append litter — one file per partition,
+    * rows verbatim, pointer-flip commit.
+    */
+  def compact(wh: Warehouse): Unit =
+    wh.compact(TableName, Schema, partitionBy = Seq("pbucket"))
+
+  /** The index restricted to a probe frame's (tbl, bucket) set — static
+    * partition filter on the derived pbuckets, row-group data filter on
+    * the bucket value superset (see the layout note above); `buckets`
+    * must expose `tbl` and `bucket` columns.
+    */
+  private[graft] def restrictToBuckets(index: DataFrame, buckets: DataFrame,
+                                       maxInline: Int = BucketPrune.MaxInline): DataFrame = {
+    val b = buckets.select(col("tbl"), col("bucket"))
+      .withColumn("pbucket", pbucketOf(col("tbl"), col("bucket")))
+    BucketPrune.restrict(
+      BucketPrune.restrict(index, "pbucket", b, maxInline),
+      "bucket", b, maxInline)
+  }
+
+  /** Banded cosine near-dup pairs of an ingest batch against the
+    * persisted index — every pair (vec_a < vec_b, cosine ≥ τ) with AT
+    * LEAST ONE endpoint in the batch, identical to
+    * [[TextOps.t54NearDupBandedOf]] over (index ∪ batch) restricted to
+    * the batch's neighborhood (spec-pinned, cap applied on the UNION's
+    * per-(tbl, bucket) counts with t54's drop-the-members semantics).
+    */
+  def incrementCosinePairs(wh: Warehouse, batchEmb: DataFrame,
+                           tables: Int, bits: Int, radius: Int = 1,
+                           maxBucket: Int = TextOps.EmbBucketCap): DataFrame =
+    incrementCosinePairsOf(coded(wh), codedOf(batchEmb, tables, bits),
+      bits, radius, maxBucket)
+
+  private[graft] def incrementCosinePairsOf(index: DataFrame, batchCoded: DataFrame,
+                                            bits: Int, radius: Int,
+                                            maxBucket: Int,
+                                            maxInline: Int = BucketPrune.MaxInline,
+                                            probeBroadcastMaxBytes: Long =
+                                              TextOps.ProbeBroadcastMaxBytes): DataFrame = {
+    val cut = Frames.cut _
+    val bc = Frames.cutIfPlain(batchCoded)
+    val masks = Lsh.masksWithin(radius, bits)
+    // every (tbl, bucket) a batch row probes or lives in (mask 0 is in
+    // the set) — batch × L × (1 + bits) values at the policy radius 1,
+    // the banded family's whole point: no Hamming-ball multiplier
+    val probeBucketsDf = bc.select(col("tbl"),
+      explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+    val prunedIndex = restrictToBuckets(index, probeBucketsDf, maxInline)
+    // anti-join on vec_id = the replay-exactness guard (same reasoning
+    // as EmbIndex: a crashed-and-redelivered batch must not ride the
+    // corpus side nor double-count into the cap occupancy). vec_id
+    // alone — not (vec_id, tbl) — because a TORN append's partial rows
+    // must ALSO sit out: the batch side re-derives all L rows, so
+    // keeping a landed subset on the index side would pair a vector
+    // with itself across tables.
+    val probed = cut(prunedIndex
+      .join(bc.select(col("vec_id")).distinct(), Seq("vec_id"), "left_anti"))
+
+    // t54's skew cap on the UNION's per-(tbl, bucket) occupancy; both
+    // count frames collapse to ≤ |probed keys| rows and broadcast back
+    val oversized = probed.groupBy(col("tbl"), col("bucket"))
+      .agg(count(lit(1)).as("n_idx"))
+      .join(bc.groupBy(col("tbl"), col("bucket")).agg(count(lit(1)).as("n_new")),
+        Seq("tbl", "bucket"), "full_outer")
+      .filter(coalesce(col("n_idx"), lit(0L)) + coalesce(col("n_new"), lit(0L)) > maxBucket)
+      .select(col("tbl"), col("bucket"))
+    val corpus = probed.unionByName(bc)
+      .join(broadcast(oversized), Seq("tbl", "bucket"), "left_anti")
+    val batchCapped = bc.join(broadcast(oversized), Seq("tbl", "bucket"), "left_anti")
+
+    // same three-way join-strategy gate as EmbIndex's increment, from
+    // the honest pre-explode estimate × fan-out (the planner is blind
+    // past the Generate): broadcast when the exploded probe frame is
+    // proven tiny, shuffle-hash while the BUILD (batch-bounded probe)
+    // side fits the non-spillable budget, spillable sort-merge past it.
+    // No narrow-probe tier: the banded mask count is 1 + bits ≤ ~20,
+    // an order of magnitude under [[TextOps.NarrowProbeMaskThreshold]].
+    val batchBytes = bc.queryExecution.optimizedPlan.stats.sizeInBytes
+    val probeFits = batchBytes * masks.length <= probeBroadcastMaxBytes
+    val shjFits = batchBytes * masks.length <= TextOps.ShuffleHashBuildMaxBytes
+    val probes = batchCapped.select(col("vec_id").as("vec_a"),
+      col("emb").as("emb_a"), col("nrm").as("nrm_a"), col("tbl"),
+      explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+    val paired =
+      if (probeFits) corpus.join(broadcast(probes), Seq("tbl", "bucket"))
+      else if (shjFits) corpus.join(probes.hint("shuffle_hash"), Seq("tbl", "bucket"))
+      else corpus.join(probes.hint("merge"), Seq("tbl", "bucket"))
+    paired
+      .filter(col("vec_a") =!= col("vec_id"))
+      .select(least(col("vec_a"), col("vec_id")).as("pair_a"),
+        greatest(col("vec_a"), col("vec_id")).as("pair_b"),
+        R.halfUp(when(col("nrm_a") === 0.0 || col("nrm") === 0.0, 0.0)
+          .otherwise(V.dot(col("emb_a"), col("emb")) / (col("nrm_a") * col("nrm"))), 6)
+          .as("cosine"))
+      .filter(col("cosine") >= TextOps.CosTau)
+      // one groupBy collapses directions AND multi-table hits; cosine is
+      // symmetric and table-independent, so max == distinct
+      .groupBy(col("pair_a"), col("pair_b"))
+      .agg(max(col("cosine")).as("cosine"))
+      .select(col("pair_a").as("vec_a"), col("pair_b").as("vec_b"), col("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+}

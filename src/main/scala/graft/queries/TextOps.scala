@@ -2093,11 +2093,16 @@ object TextOps {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
-  lazy val t54Sql: String = {
+  /** The t54 candidate chain (per-table codes → per-(tbl, bucket) cap →
+    * in-band probe → cosine-scored candidates) as ONE shared oracle
+    * fragment — [[t54Sql]] and [[t55Sql]] both splice it, the same
+    * pairing discipline as [[t15CandCtes]] for t15/t34.
+    */
+  private[graft] def t54CandCtes: String = {
     val perTable = (0 until DialBandTables).map { t =>
       s"SELECT vec_id, emb, $t AS tbl, ${Lsh.bucketSqlTable("emb", DialBandBits, t)} AS bucket FROM e"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
        |ebt0 AS (
        |  $perTable),
        |ebt AS (
@@ -2112,10 +2117,37 @@ object TextOps {
        |  SELECT p.vec_a, e.vec_id AS vec_b,
        |    ${R.halfUpSql(cosineSql("p.emb_a", "e.emb"), 6)} AS cosine
        |  FROM ebt e JOIN prt p USING (tbl, bucket)
-       |  WHERE p.vec_a < e.vec_id)
+       |  WHERE p.vec_a < e.vec_id)""".stripMargin
+  }
+
+  lazy val t54Sql: String =
+    s"""WITH $t54CandCtes
        |SELECT vec_a, vec_b, max(cosine) AS cosine FROM candt
        |WHERE cosine >= $CosTau GROUP BY vec_a, vec_b ORDER BY vec_a, vec_b""".stripMargin
-  }
+
+  /** t55's oracle: the BANDED whole-corpus transitive closure — t54's
+    * candidate chain feeding t34's recursive-CTE component block. t55's
+    * claim is t40's with the banded pair source: increment through the
+    * persisted [[BandEmbIndex]] == full banded recluster.
+    */
+  lazy val t55Sql: String =
+    s"""WITH RECURSIVE $t54CandCtes,
+       |pairs AS (SELECT DISTINCT vec_a, vec_b FROM candt WHERE cosine >= $CosTau),
+       |edge AS (
+       |  SELECT vec_a AS a, vec_b AS b FROM pairs
+       |  UNION ALL
+       |  SELECT vec_b AS a, vec_a AS b FROM pairs),
+       |reach AS (
+       |  SELECT a AS src, b AS dst FROM edge
+       |  UNION
+       |  SELECT r.src, e2.b FROM reach r JOIN edge e2 ON r.dst = e2.a),
+       |comp AS (SELECT src AS vec_id, least(src, min(dst)) AS cluster FROM reach GROUP BY src),
+       |sized AS (
+       |  SELECT vec_id, cluster, (vec_id = cluster) AS is_canonical,
+       |    count(*) OVER (PARTITION BY cluster) AS cluster_size
+       |  FROM comp)
+       |SELECT vec_id, cluster, is_canonical, cluster_size FROM sized
+       |WHERE cluster_size > 1 ORDER BY cluster, vec_id""".stripMargin
 
   // ---------------------------------------------------------------- t13
   /** Near-duplicate CLUSTERS: connected components over the MinHash

@@ -1,0 +1,192 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.etl.Warehouse
+import graft.pipelines.ClusterState
+import graft.queries.{BandEmbIndex, Lsh, TextOps}
+import graft.tools.ScaleData
+
+/** The persisted BANDED embedding index — the OR-amplification (t54)
+  * family made incremental: equivalence of the index-probed banded
+  * cosine pairs against the full t54 construction, the per-(table,
+  * bucket) union cap, torn-append repair at (vec_id, tbl) granularity,
+  * partition-pruned probes, and the t55 end-to-end claim.
+  */
+class BandEmbIndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmpWh(): Warehouse =
+    Warehouse(spark, java.nio.file.Files.createTempDirectory("graft_bandemb_").toString)
+
+  private def pairSet(df: DataFrame): Set[(Long, Long, Double)] =
+    df.select("vec_a", "vec_b", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  // clustered geometry (the corpus shape the banded family exists for —
+  // the driver's sf0.001 embeddings are near-orthogonal and yield no
+  // banded pairs at radius 1), split by the lifecycle's md5 arithmetic
+  private val embAll = ScaleData.clusteredEmbeddings(spark, 300, nCenters = 12, noise = 0.04)
+    .select(col("vec_id"), col("embedding")).localCheckpoint()
+  private val partA = embAll.filter(TextOps.splitBucket(col("vec_id")) < 50)
+  private val partB = embAll.filter(TextOps.splitBucket(col("vec_id")) >= 50)
+  private val (tT, tB, tR) = (3, 8, 1)
+
+  test("index-probed banded pairs == full t54 pairs restricted to the batch's neighborhood") {
+    val wh = tmpWh()
+    BandEmbIndex.seed(wh, partA, tT, tB)
+    val inc = pairSet(BandEmbIndex.incrementCosinePairs(wh, partB, tT, tB, tR))
+    val bIds = partB.select("vec_id").collect().map(_.getLong(0)).toSet
+    val full = pairSet(TextOps.t54NearDupBandedOf(embAll, tT, tB, tR))
+      .filter { case (a, b, _) => bIds(a) || bIds(b) }
+    assert(inc === full)
+    assert(inc.nonEmpty, "split produced no cross/batch pairs — the assertion checked nothing")
+    assert(inc.forall { case (a, b, _) => bIds(a) || bIds(b) })
+  }
+
+  test("the union cap matches t54 semantics per (table, bucket); replay-exact at a biting cap") {
+    // identical vectors share every table's bucket: 2 settled + 2 batch
+    val v = Array.fill(Lsh.Dim)(0.25f)
+    def frame(ids: Long*) = ids.map(i => (i, v)).toDF("vec_id", "embedding")
+    val idx = BandEmbIndex.codedOf(frame(1L, 2L), 2, Lsh.Bits)
+    val bat = BandEmbIndex.codedOf(frame(3L, 4L), 2, Lsh.Bits)
+    def inc(i: DataFrame, cap: Int) = pairSet(BandEmbIndex.incrementCosinePairsOf(
+      i, bat, Lsh.Bits, 1, maxBucket = cap))
+    // cap 4: union occupancy is exactly 4 in each table — all
+    // batch-neighborhood pairs, matching the full t54 at the same cap
+    val full4 = pairSet(TextOps.t54NearDupBandedOf(frame(1L, 2L, 3L, 4L), 2, Lsh.Bits, 1,
+        maxBucket = 4))
+      .filter { case (a, b, _) => a >= 3L || b >= 3L }
+    assert(inc(idx, 4) === full4)
+    assert(inc(idx, 4).map { case (a, b, _) => (a, b) } ===
+      Set((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+    // cap 3: each side alone is under; the union crosses — excluded in
+    // EVERY table, exactly as the full construction would
+    assert(inc(idx, 3) === Set.empty)
+    // replay-exactness: the batch already appended (crash after append,
+    // orchestrator redelivers) must not double-count into the occupancy
+    val idxAfterAppend = BandEmbIndex.codedOf(frame(1L, 2L, 3L, 4L), 2, Lsh.Bits)
+    assert(inc(idxAfterAppend, 4) === full4,
+      "replayed probe (batch already appended) diverged from the first run")
+  }
+
+  test("torn append repairs at (vec_id, tbl) granularity; replay duplicates nothing") {
+    val wh = tmpWh()
+    BandEmbIndex.seed(wh, partA, tT, tB)
+    val nA = partA.count()
+    val nB = partB.count()
+    // crash shape: only table 0's rows of the batch committed
+    BandEmbIndex.appendBatchCoded(wh, BandEmbIndex.codedOf(partB, tT, tB)
+      .filter(col("tbl") === 0))
+    assert(BandEmbIndex.coded(wh).count() === nA * tT + nB)
+    // the redelivered batch completes precisely the missing tables
+    BandEmbIndex.appendBatch(wh, partB, tT, tB)
+    assert(BandEmbIndex.coded(wh).count() === (nA + nB) * tT)
+    // and a full replay adds nothing
+    BandEmbIndex.appendBatch(wh, partB, tT, tB)
+    assert(BandEmbIndex.coded(wh).count() === (nA + nB) * tT)
+    val dups = BandEmbIndex.coded(wh).groupBy(col("vec_id"), col("tbl"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).count()
+    assert(dups === 0L, "append left a duplicated (vec_id, tbl) row")
+    // the grown index probes like a reseeded one (empty batch sanity)
+    assert(BandEmbIndex.incrementCosinePairs(wh,
+      embAll.filter(lit(false)), tT, tB, tR).isEmpty)
+  }
+
+  test("the probe's index scan is partition-pruned to the probed pbuckets") {
+    val wh = tmpWh()
+    BandEmbIndex.seed(wh, partA, tT, tB)
+    val probe = Seq((0, 1L), (1, 2L), (2, 7L)).toDF("tbl", "bucket")
+    val sliced = BandEmbIndex.restrictToBuckets(BandEmbIndex.coded(wh), probe)
+    val scans = sliced.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains(BandEmbIndex.TableName)) => s
+    }
+    assert(scans.nonEmpty, "probe does not scan the persisted banded index")
+    assert(scans.forall(_.partitionFilters.nonEmpty),
+      "index scan carries no partition filters — the probe reads every partition")
+    val expected = probe
+      .withColumn("pbucket", BandEmbIndex.pbucketOf(col("tbl"), col("bucket")))
+      .select("pbucket").collect().map(_.getInt(0)).toSet
+    val readDirs = scans.flatMap(_.selectedPartitions.toPartitionArray
+      .map(_.filePath.toString))
+    assert(readDirs.forall(p => expected.exists(b => p.contains(s"pbucket=$b/"))),
+      s"scan read partitions outside the probe's pbucket set $expected: $readDirs")
+  }
+
+  test("giant-batch fallback (maxInline = 0): identical pairs, identical append") {
+    val wh = tmpWh()
+    BandEmbIndex.seed(wh, partA, tT, tB)
+    val bc = graft.queries.Frames.cut(BandEmbIndex.codedOf(partB, tT, tB))
+    val inline = pairSet(BandEmbIndex.incrementCosinePairsOf(
+      BandEmbIndex.coded(wh), bc, tB, tR, TextOps.EmbBucketCap))
+    val fallback = pairSet(BandEmbIndex.incrementCosinePairsOf(
+      BandEmbIndex.coded(wh), bc, tB, tR, TextOps.EmbBucketCap, maxInline = 0))
+    assert(inline.nonEmpty)
+    assert(fallback === inline, "broadcast-semi-join fallback diverged from the inline IN path")
+    BandEmbIndex.appendBatchCoded(wh, bc, maxInline = 0)
+    val n = BandEmbIndex.coded(wh).count()
+    assert(n === embAll.count() * tT)
+    BandEmbIndex.appendBatchCoded(wh, graft.queries.Frames.cut(
+      BandEmbIndex.codedOf(partB, tT, tB)), maxInline = 0)
+    assert(BandEmbIndex.coded(wh).count() === n, "fallback replay duplicated rows")
+  }
+
+  test("seedBandedEmbeddings + ingestBandedEmbeddingBatch == full banded recluster; replay no-op") {
+    val wh = tmpWh()
+    ClusterState.seedBandedEmbeddings(wh, partA, tT, tB, tR)
+    ClusterState.ingestBandedEmbeddingBatch(wh, partB, tT, tB, tR)
+    def rows(df: DataFrame) = df.collect().map(_.toSeq).toSeq
+    val expect = rows(TextOps.dedupClustersOf(
+      embAll.select(col("vec_id").as("doc_id")).distinct(),
+      TextOps.t54NearDupBandedOf(embAll, tT, tB, tR)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))))
+    assert(rows(ClusterState.clusters(wh)) === expect)
+    assert(expect.nonEmpty, "clustered fixture produced no clusters — the claim checked nothing")
+    val idxN = BandEmbIndex.coded(wh).count()
+    assert(idxN === embAll.count() * tT)
+    ClusterState.ingestBandedEmbeddingBatch(wh, partB, tT, tB, tR) // crash-replay
+    assert(rows(ClusterState.clusters(wh)) === expect)
+    assert(BandEmbIndex.coded(wh).count() === idxN)
+  }
+
+  test("streamed banded maintenance == full banded recluster (micro-batches)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val wh = tmpWh()
+    ClusterState.seedBandedEmbeddings(wh, partA, tT, tB, tR)
+    val bRows = partB.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val (b1, b2) = bRows.splitAt(bRows.length / 2)
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, Array[Float])]
+    val q = ClusterState.maintainBandedFromStream(wh,
+      ms.toDF().toDF("vec_id", "embedding"), tT, tB, tR)
+    try {
+      ms.addData(b1: _*); q.processAllAvailable()
+      ms.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: DataFrame) = df.collect().map(_.toSeq).toSeq
+    assert(rows(ClusterState.clusters(wh)) ===
+      rows(TextOps.dedupClustersOf(
+        embAll.select(col("vec_id").as("doc_id")).distinct(),
+        TextOps.t54NearDupBandedOf(embAll, tT, tB, tR)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))))
+    assert(BandEmbIndex.coded(wh).count() === embAll.count() * tT)
+  }
+
+  test("t55 end-to-end == full t54 closure rows at the registered dial") {
+    def rows(df: DataFrame) = df.collect().map(_.toSeq).toSeq
+    val got = rows(ClusterState.t55BandedClusterIncrement(spark, sf(),
+      TextOps.DialBandTables, TextOps.DialBandBits, TextOps.DialBandRadius,
+      TextOps.DialEmbCap))
+    val expect = rows(TextOps.dedupClustersOf(
+      graft.core.Tables.embeddings(spark, sf()).select(col("vec_id").as("doc_id")).distinct(),
+      TextOps.t54NearDupBanded(spark, sf())
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .select(col("doc_id").as("vec_id"), col("cluster"),
+        col("is_canonical"), col("cluster_size"))
+      .orderBy(col("cluster"), col("vec_id")))
+    assert(got === expect)
+  }
+}
