@@ -831,6 +831,33 @@ object TextOps {
     * (a popular cell probed by a large share of the queries) is AQE
     * skew-join territory, same as any key-skewed shuffle join here.
     */
+  /** The query frame re-spread across the shuffle width before the
+    * per-query probe compute (centroid scoring; on the PQ path also the
+    * per-(query, cell) ADC-table build) — ONLY on the shuffle branch.
+    *
+    * Why: everything between the query frame and the candidate join is
+    * NARROW (broadcast-crossJoin, select, explode), so the probe side
+    * inherits the CALLER's partitioning — and the natural way to build a
+    * reproducible query batch (`orderBy(id).limit(n)`, a global sort) is
+    * exactly ONE partition. Measured on the sf10sub corpus at the
+    * production dial (10⁴ queries, K=256, ks=256): the single-partition
+    * uniform batch served in 1793 s — the whole interpreted ADC-table
+    * build (160k probe rows × a 2048-slot higher-order fold) ran on ONE
+    * core — while the same volume arriving 32-way (the skewed fixture's
+    * `range(n)` crossJoin) took 258 s. The hash repartition pins an
+    * EXPLICIT partition count (plain `repartition(col)` is
+    * REPARTITION_BY_COL, which AQE size-coalesces right back to one
+    * partition at 10⁴-query row sizes — the compute cost per row is
+    * invisible to size-based coalescing). Cost: one shuffle of the raw
+    * (query_id, q_emb) rows, ~0.5 KB each — noise against the per-probe
+    * work it parallelizes. The broadcast branch is left alone: a
+    * under-cap query frame's probe compute is small by the same gate
+    * that allows the broadcast.
+    */
+  private[graft] def redistributeQueries(q: DataFrame, broadcastQueries: Boolean): DataFrame =
+    if (broadcastQueries) q
+    else q.repartition(q.sparkSession.sessionState.conf.numShufflePartitions, col("query_id"))
+
   private[graft] def ivfListsProbeFor(lists: DataFrame, centroids: DataFrame,
                                       queries: DataFrame, nProbe: Int,
                                       candFilter: Column = lit(true),
@@ -843,7 +870,8 @@ object TextOps {
         aggregate(zip_with(col("q_emb"), c.getField("cvec"), (x, y) => (x - y) * (x - y)),
           lit(0.0), (acc, x) => acc + x).as("dist"),
         c.getField("cid").as("cid")))
-    val probes0 = queries.select(col("query_id"), col("q_emb"))
+    val probes0 = redistributeQueries(
+        queries.select(col("query_id"), col("q_emb")), broadcastQueries)
       .crossJoin(broadcast(centArr))
       .select(col("query_id"), col("q_emb"),
         explode(slice(array_sort(scored), 1, nProbe)
@@ -1058,7 +1086,8 @@ object TextOps {
     val q0 = queries.select(col("query_id"), col("q_emb"))
     // per (query, probed cell): the cell + the flat ADC table of the
     // query's RESIDUAL against that cell's centroid
-    val probes0 = q0.crossJoin(broadcast(centArr))
+    val probes0 = redistributeQueries(q0, broadcastQueries)
+      .crossJoin(broadcast(centArr))
       .crossJoin(broadcast(PqModel.codebookArr(s, dir)))
       .select(col("query_id"), col("cb"), col("q_emb"),
         explode(slice(array_sort(scored), 1, nProbe)).as("pc"))

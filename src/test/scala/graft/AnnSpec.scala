@@ -1045,6 +1045,47 @@ class AnnSpec extends SparkTestBase {
       "batched PQ serving reads every cell — union-of-probes pruning lost")
   }
 
+  test("single-partition query frame: probe compute re-spreads on the shuffle branch, results unchanged") {
+    // the natural reproducible batch fixture — orderBy(id).limit(n), a
+    // GLOBAL SORT — arrives as ONE partition, and everything between the
+    // query frame and the candidate join is narrow: without the explicit
+    // re-spread the whole per-query probe compute (PQ: the interpreted
+    // per-(query, cell) ADC-table build) serializes onto one core.
+    // Measured at the sf10sub production dial: 1793 s single-partition
+    // vs 258 s for the same volume arriving 32-way (SCALE.md round 13).
+    import graft.queries.PqModel
+    PqModel.ensure(spark, sf())
+    val emb = graft.core.Tables.embeddings(spark, sf())
+      .select(col("vec_id"), graft.functions.VectorOps.toDouble(col("embedding")).as("emb"))
+    val onePart = emb.orderBy(col("vec_id")).limit(50)
+      .select((col("vec_id") + 1000000000L).as("query_id"), col("emb").as("q_emb"))
+      .localCheckpoint()
+    assert(onePart.rdd.getNumPartitions === 1, "fixture: global sort-limit should be one partition")
+    // the re-spread pins an EXPLICIT width (REPARTITION_BY_COL would be
+    // AQE size-coalesced right back to one partition at these row sizes)
+    val spread = TextOps.redistributeQueries(onePart, broadcastQueries = false)
+    assert(spread.rdd.getNumPartitions ===
+      spark.sessionState.conf.numShufflePartitions,
+      "shuffle-branch query frame did not re-spread to the shuffle width")
+    // broadcast branch is untouched — no shuffle added under a broadcast
+    assert(TextOps.redistributeQueries(onePart, broadcastQueries = true).rdd
+      .getNumPartitions === 1)
+    // end-to-end through the shuffle branch: same results as broadcast
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "vec_id", "cosine", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(rows(TextOps.annTopKBatchPq(spark, sf(), onePart, topK = 3,
+        broadcastQueries = Some(false))) ===
+      rows(TextOps.annTopKBatchPq(spark, sf(), onePart, topK = 3,
+        broadcastQueries = Some(true))),
+      "re-spread shuffle-branch serving diverges from the broadcast reference")
+    assert(rows(TextOps.annTopKBatch(spark, sf(), onePart, topK = 3,
+        broadcastQueries = Some(false))) ===
+      rows(TextOps.annTopKBatch(spark, sf(), onePart, topK = 3,
+        broadcastQueries = Some(true))),
+      "re-spread float-path serving diverges from the broadcast reference")
+  }
+
   test("filtered-search dispatch is jobless on a warm JVM (persisted per-label stats)") {
     IvfModel.ensureAttrLists(spark, sf())
     // first access loads the one-file stats table (a tiny job) and warms
