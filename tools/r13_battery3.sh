@@ -46,6 +46,13 @@ run band_sf10_b15 env SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=24g \
   SPARK_GRAFT_BENCH_HEADLINE="$OUT/band_sf10_b15_headline.json" \
   tools/run_main.sh graft.Bench
 
+# 3b. Re-measure uniform batched serving with the re-spread fix (the
+# single-partition 1793 s vs 32-way 258 s finding): expect the uniform
+# batch near the skewed batch's wall now
+run batchserve3 env SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=16g \
+  SPARK_GRAFT_IVF_K=256 SPARK_GRAFT_PQ_KS=256 \
+  tools/run_main.sh graft.tools.BatchServe target/testdata/sf10sub 10000 both
+
 # 4. Verify at the bits-12 occupancy dial INCLUDING t54/t55 (battery2's
 # verify ran from the pre-t55 snapshot)
 run verify3_b12 env SPARK_GRAFT_CPUS=16 SPARK_GRAFT_LSH_BITS=12 \
