@@ -390,9 +390,20 @@ object Curation {
     s"WITH RECURSIVE $t38Ctes\n${auditSelectSql()}"
 
   /** t38's CTE body (clustered multi-signal staging through the recursive
-    * transitive closure) — shared with t43's batch-slice oracle.
+    * transitive closure) — the single-table t15 candidate chain.
     */
-  private[pipelines] lazy val t38Ctes: String = {
+  private[pipelines] lazy val t38Ctes: String =
+    t38CtesWith(graft.queries.TextOps.t15CandCtes, "cand")
+
+  /** [[t38Ctes]] with the BANDED (t54) candidate chain — t43's oracle
+    * since the round-14 lifecycle switch to the OR-amplification pair
+    * source (the emb_pairs DISTINCT-free duplicates across tables are
+    * collapsed by all_pairs' DISTINCT).
+    */
+  private[pipelines] lazy val t38CtesBanded: String =
+    t38CtesWith(graft.queries.TextOps.t54CandCtes, "candt")
+
+  private def t38CtesWith(candCtes: String, candName: String): String = {
     val t = Thresholds()
     val T = graft.queries.TextOps
     s"""${T.shingleCtes},
@@ -421,11 +432,11 @@ object Curation {
        |  WHERE staged2.exact_ok),
        |${T.sigCteFrom("hs_surv")},
        |${T.candPairCtes},
-       |${T.t15CandCtes},
+       |$candCtes,
        |v2d AS (SELECT vec_id, vec_id AS doc_id FROM embeddings),
        |emb_pairs AS (
        |  SELECT ma.doc_id AS doc_a, mb.doc_id AS doc_b
-       |  FROM cand c
+       |  FROM $candName c
        |  JOIN v2d ma ON ma.vec_id = c.vec_a
        |  JOIN v2d mb ON mb.vec_id = c.vec_b
        |  WHERE c.cosine >= ${T.CosTau}),

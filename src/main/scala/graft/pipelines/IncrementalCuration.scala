@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 import graft.etl.Warehouse
-import graft.queries.{BandIndex, EmbIndex, TextOps}
+import graft.queries.{BandEmbIndex, BandIndex, EmbIndex, TextOps}
 
 /** INCREMENTAL curation — the flagship composition (quality → exact dedup
   * → near-dup removal, [[Curation]]) applied per ingest batch WITHOUT
@@ -63,12 +63,66 @@ object IncrementalCuration {
                                    vecToDoc: Option[DataFrame] = None,
                                    bits: Int = graft.queries.Lsh.Bits,
                                    radius: Int = graft.queries.Lsh.PolicyRadius,
-                                   maxBucket: Int = TextOps.EmbBucketCap) {
+                                   maxBucket: Int = TextOps.EmbBucketCap,
+                                   banded: Boolean = true,
+                                   tables: Int = 0) {
     /** The [[graft.queries.Lsh.PolicyRadius]] sentinel resolved against
-      * this signal's bits — what every probe below actually runs at.
+      * this signal's family — what every probe below actually runs at.
+      * Banded (the default since round 14 — SCALE.md round 13 measured
+      * the single-table Hamming ball EXPLODE-dominated and unable to
+      * hold the recall floor past the second decade at any bounded mask
+      * budget) resolves the sentinel to the in-band radius 1 (t54's
+      * dial: 1 + bits masks per table, no Hamming-ball multiplier);
+      * single-table resolves through [[graft.queries.Lsh.radiusFor]].
       */
     val resolvedRadius: Int =
-      graft.queries.Lsh.resolveRadius(bits, radius, TextOps.PairRadius)
+      if (banded) { if (radius < 0) 1 else radius }
+      else graft.queries.Lsh.resolveRadius(bits, radius, TextOps.PairRadius)
+
+    /** OR-construction width: `tables ≤ 0` means the recall-floor
+      * policy [[graft.queries.Lsh.bandTablesFor]] at this signal's
+      * (bits, in-band radius) — L sized so per-pair recall on genuine
+      * duplicates clears the floor; L grows ~n^0.22/decade as the
+      * occupancy policy widens codes. Single-table signals ignore it.
+      */
+    val resolvedTables: Int =
+      if (!banded) 1
+      else if (tables > 0) tables
+      else graft.queries.Lsh.bandTablesFor(bits, resolvedRadius)
+
+    /** Whole-slice self pairs at this signal's dials — the seed's
+      * extraPairs source, and what a full (settled ∪ batch) recluster
+      * would compute: t54's banded construction or t15's single-table
+      * Hamming ball, τ-verified either way.
+      */
+    def selfPairs: DataFrame =
+      if (banded) TextOps.t54NearDupBandedOf(embSrc, resolvedTables, bits,
+        resolvedRadius, maxBucket)
+      else TextOps.t15CosineNearDupOf(embSrc, bits, resolvedRadius, maxBucket = maxBucket)
+
+    /** Persist this signal's index family over the slice (seed path). */
+    private[pipelines] def seedIndex(wh: Warehouse): Unit =
+      if (banded) BandEmbIndex.seed(wh, embSrc, resolvedTables, bits)
+      else EmbIndex.seed(wh, embSrc, bits)
+
+    /** The slice's coded rows — shared by probe and append (the batch's
+      * dominant per-vector compute, materialized once by the caller).
+      */
+    private[pipelines] def codedBatch: DataFrame =
+      if (banded) BandEmbIndex.codedOf(embSrc, resolvedTables, bits)
+      else EmbIndex.codedOf(embSrc, bits)
+
+    /** Index-probed (settled, batch) ∪ (batch, batch) cosine pairs. */
+    private[pipelines] def incrementPairs(wh: Warehouse, coded: DataFrame): DataFrame =
+      if (banded) BandEmbIndex.incrementCosinePairsOf(
+        BandEmbIndex.coded(wh), coded, bits, resolvedRadius, maxBucket)
+      else EmbIndex.incrementCosinePairsOf(
+        EmbIndex.coded(wh), coded, bits, resolvedRadius, maxBucket)
+
+    /** Grow the persisted index by the already-coded batch. */
+    private[pipelines] def appendCoded(wh: Warehouse, coded: DataFrame): Unit =
+      if (banded) BandEmbIndex.appendBatchCoded(wh, coded)
+      else EmbIndex.appendBatchCoded(wh, coded)
 
     /** Vector pairs → doc pairs. `vecToDoc = None` means a document's
       * vector SHARES its id — a plain rename, no join. An explicit
@@ -150,9 +204,7 @@ object IncrementalCuration {
     // cosine self-join re-runs per materialization (~4× the pair cost;
     // observed doubling the registered t42's bench time)
     val extras = emb.map { e =>
-      cut(e.docPairsOf(
-        TextOps.t15CosineNearDupOf(e.embSrc, e.bits, e.resolvedRadius, maxBucket = e.maxBucket)
-          .select(col("vec_a"), col("vec_b"))))
+      cut(e.docPairsOf(e.selfPairs.select(col("vec_a"), col("vec_b"))))
     }
     val run = Curation.curateHandle(docs, t, useClusters = clustered, extraPairs = extras)
     var taggedSrcRef: Option[DataFrame] = None
@@ -171,7 +223,7 @@ object IncrementalCuration {
       wh.rewrite(HashTable,
         surv.select(col("content_hash"), col("doc_id").as("keep_id")))
       BandIndex.seed(wh, surv.select(col("doc_id"), col("text")))
-      emb.foreach(e => EmbIndex.seed(wh, e.embSrc, e.bits))
+      emb.foreach(_.seedIndex(wh))
       // clustered mode persists a FOURTH artifact: the cluster assignment
       // over the settled survivors — the EXACT frame curateHandle's own
       // near-dup stage derived its drop decision from (exposed on the
@@ -375,10 +427,9 @@ object IncrementalCuration {
     // hash table's keep_ids, batch survivors the exact stage above —
     // exactly where the full pipeline gates extraPairs
     // the batch coding is shared by probe and append the same way
-    val codedBatch = emb.map(e => cutT(EmbIndex.codedOf(e.embSrc, e.bits)))
+    val codedBatch = emb.map(e => cutT(e.codedBatch))
     val embPairsGated = emb.map { e =>
-      val vPairs = EmbIndex.incrementCosinePairsOf(
-        EmbIndex.coded(wh), codedBatch.get, e.bits, e.resolvedRadius, e.maxBucket)
+      val vPairs = e.incrementPairs(wh, codedBatch.get)
       val docPairs = e.docPairsOf(vPairs.select(col("vec_a"), col("vec_b")))
       // probe-shaped like the exact stage above: the survivor universe
       // (settled keep_ids ∪ batch survivors) is corpus-scale, so instead
@@ -465,7 +516,7 @@ object IncrementalCuration {
       staged2.filter(col("exact_ok") && col("settled_keep").isNull)
         .select(col("content_hash"), col("doc_id").as("keep_id")))
     BandIndex.appendBatchBanded(wh, bandedSurv)
-    codedBatch.foreach(EmbIndex.appendBatchCoded(wh, _))
+    emb.zip(codedBatch).foreach { case (e, c) => e.appendCoded(wh, c) }
     // outputs are materialized and the appends have run — every consumer
     // of the intermediate cuts is done; release their pins so a long-lived
     // session (the bench JVM, a per-batch driver loop) holds only the two
@@ -587,14 +638,19 @@ object IncrementalCuration {
   /** t41 with BOTH signals: the same seed-half / ingest-half lifecycle
     * run multi-signal — the settled half's embedding pairs through the
     * full pipeline's extraPairs hook at seed time, the batch's through
-    * the persisted [[EmbIndex]] probe at ingest time (vec ids ARE doc
-    * ids on this corpus, so `vecToDoc = None`). The oracle replays the
-    * full t35 staging with the t15 candidate chain unioned into the
-    * pairwise drop set (survivor-gated on both endpoints, exactly where
+    * the persisted [[graft.queries.BandEmbIndex]] probe at ingest time
+    * (vec ids ARE doc ids on this corpus, so `vecToDoc = None`). The
+    * pair source is the BANDED family since round 14 — round 13's own
+    * sf1→sf10 measurement proved the single-table Hamming ball cannot
+    * hold the dup-recall floor past the second decade at any bounded
+    * mask budget, while band L:b:1 reaches higher recall at
+    * L × (1 + bits) fan-out/item. The oracle replays the full t35
+    * staging with the t54 candidate chain unioned into the pairwise
+    * drop set (survivor-gated on both endpoints, exactly where
     * `curateHandle` gates extras) and counts the batch slice — so the
     * incremental multi-signal posture is driver-verified end to end,
     * pairwise-mode complement to t38's clustered full-corpus run. Same
-    * dial contract (bits/radius/cap reach query and oracle).
+    * dial contract (tables/bits/radius/cap reach query and oracle).
     */
   def t42IncrementalMultiSignal(s: SparkSession, dir: String): DataFrame = {
     val (wh, splitId) = t42EnsureSeeded(s, dir)
@@ -605,23 +661,31 @@ object IncrementalCuration {
   }
 
   /** The dialed embedding signal both multi-signal lifecycle queries run
-    * with — same env-driven dials as t15/t34/t38, so the oracle's CTEs
-    * (which inline the dial values) and the Spark side cannot diverge.
+    * with — the BANDED family at t54's env-driven dials (round 14: the
+    * lifecycle rides the scale-safe OR-amplification pair source; the
+    * single-table family stays reachable via `banded = false`), so the
+    * oracle's CTEs (which inline the same dial values) and the Spark
+    * side cannot diverge.
     */
   private def dialSig(embSlice: DataFrame): Option[EmbeddingSignal] =
     Some(EmbeddingSignal(embSlice,
-      bits = TextOps.DialBits,
-      radius = TextOps.DialPairRadius,
-      maxBucket = TextOps.DialEmbCap))
+      bits = TextOps.DialBandBits,
+      radius = TextOps.DialBandRadius,
+      maxBucket = TextOps.DialEmbCap,
+      banded = true,
+      tables = TextOps.DialBandTables))
 
-  // pb rides the stamp because seedState bakes EmbIndex's partition
+  // pb rides the stamp because seedState bakes the index's partition
   // layout into the seeded warehouse: a table seeded under a different
   // fan-out would pass a layout-blind stamp and then probe a pbucket
   // column the old parquet doesn't have (all-NULL filter → zero pairs,
-  // silently), mirroring the pb token EmbIndex.ensureFor stamps itself
+  // silently), mirroring the pb token the ensureFor paths stamp
+  // themselves; the family token + tables force a re-seed when the
+  // lifecycle's pair source changes (the round-14 banded switch).
   private[graft] def dialStamp: String =
-    s"bits=${TextOps.DialBits}\nradius=${TextOps.DialPairRadius}\n" +
-      s"embcap=${TextOps.DialEmbCap}\npb=${EmbIndex.PBuckets}"
+    s"family=banded\ntables=${TextOps.DialBandTables}\n" +
+      s"bits=${TextOps.DialBandBits}\nradius=${TextOps.DialBandRadius}\n" +
+      s"embcap=${TextOps.DialEmbCap}\npb=${BandEmbIndex.PBuckets}"
 
   private def multiSignalEnsureSeeded(s: SparkSession, dir: String, name: String,
                                       clustered: Boolean): (Warehouse, Long) = {
@@ -643,20 +707,22 @@ object IncrementalCuration {
   private[graft] def t42EnsureSeeded(s: SparkSession, dir: String): (Warehouse, Long) =
     multiSignalEnsureSeeded(s, dir, "t42_inccur", clustered = false)
 
-  /** Full staging + the t15 chain; emb pairs join the pairwise drop set
-    * survivor-gated, counters over the batch slice.
+  /** Full staging + the BANDED t54 chain; emb pairs join the pairwise
+    * drop set survivor-gated, counters over the batch slice. (`candt`
+    * carries one row per matching table — the drops CTE's DISTINCT is
+    * the OR-collapse.)
     */
   def t42Sql: String = {
     val T = graft.queries.TextOps
     val embPairs = s"""
        |  UNION ALL
        |  SELECT c.vec_a AS doc_a, c.vec_b AS doc_b
-       |  FROM cand c
+       |  FROM candt c
        |  JOIN staged2 sa ON sa.doc_id = c.vec_a AND sa.exact_ok
        |  JOIN staged2 sb ON sb.doc_id = c.vec_b AND sb.exact_ok
        |  WHERE c.cosine >= ${T.CosTau}""".stripMargin
     s"WITH ${Curation.stagingSqlCtes(Curation.Thresholds(), embPairs,
-        preDropsCtes = s"\n${T.t15CandCtes},")}\n" +
+        preDropsCtes = s"\n${T.t54CandCtes},")}\n" +
       Curation.auditSelectSql(
         "\nWHERE doc_id > (SELECT CAST(floor(max(doc_id) / 2) AS BIGINT) FROM documents)")
   }
@@ -701,9 +767,11 @@ object IncrementalCuration {
     t43EnsureSeeded(s, dir)
   }
 
-  /** t38's clustered multi-signal staging, batch-slice counters. */
+  /** t38's clustered multi-signal staging with the BANDED candidate
+    * chain, batch-slice counters.
+    */
   def t43Sql: String =
-    s"WITH RECURSIVE ${Curation.t38Ctes}\n" +
+    s"WITH RECURSIVE ${Curation.t38CtesBanded}\n" +
       Curation.auditSelectSql(
         "\nWHERE doc_id > (SELECT CAST(floor(max(doc_id) / 2) AS BIGINT) FROM documents)")
 }

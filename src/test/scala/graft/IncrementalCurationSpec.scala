@@ -69,17 +69,19 @@ class IncrementalCurationSpec extends SparkTestBase {
 
   test("multi-signal seed(A) + ingest(B) == full multi-signal pipeline: kept set and audit on B") {
     import graft.pipelines.IncrementalCuration.EmbeddingSignal
-    import graft.queries.{EmbIndex, TextOps}
+    import graft.queries.BandEmbIndex
     val wh = tmpWh()
     val embAll = graft.core.Tables.embeddings(spark, sf())
     val embA = embAll.filter(col("vec_id") < 250)
     val embB = embAll.filter(col("vec_id") >= 250)
     IncrementalCuration.seed(wh, partA, emb = Some(EmbeddingSignal(embA)))
     val (curB, audB) = IncrementalCuration.ingest(wh, partB, emb = Some(EmbeddingSignal(embB)))
-    // the full pipeline's multi-signal shape: t15 over ALL vectors,
-    // mapped to doc ids, gated inside curate (pairwise mode)
+    // the full pipeline's multi-signal shape: the signal's own (banded)
+    // pair construction over ALL vectors, mapped to doc ids, gated
+    // inside curate (pairwise mode)
+    val sigAll = EmbeddingSignal(embAll)
     val extras = Curation.embeddingDocPairs(
-      TextOps.t15CosineNearDupOf(embAll).select(col("vec_a"), col("vec_b")),
+      sigAll.selfPairs.select(col("vec_a"), col("vec_b")),
       embAll.select(col("vec_id"), col("vec_id").as("doc_id")))
     val run = Curation.curateHandle(docsAll, extraPairs = Some(extras))
     try {
@@ -104,13 +106,13 @@ class IncrementalCurationSpec extends SparkTestBase {
       val (c2, a2) = IncrementalCuration.ingest(wh, partB, emb = Some(EmbeddingSignal(embB)))
       assert(ids(c2) === ids(curB))
       assert(a2.collect().head.toSeq === audit.toSeq)
-      assert(EmbIndex.coded(wh).count() === embAll.count(), "vector index grew on replay")
+      assert(BandEmbIndex.coded(wh).count() === embAll.count() * sigAll.resolvedTables,
+        "vector index grew on replay")
     } finally run.close()
   }
 
   test("clustered multi-signal seed(A) + ingest(B) == full useClusters pipeline on B; replay no-op") {
     import graft.pipelines.IncrementalCuration.EmbeddingSignal
-    import graft.queries.TextOps
     val wh = tmpWh()
     val embAll = graft.core.Tables.embeddings(spark, sf())
     val embA = embAll.filter(col("vec_id") < 250)
@@ -119,7 +121,7 @@ class IncrementalCurationSpec extends SparkTestBase {
     val (curB, audB) = IncrementalCuration.ingest(wh, partB,
       emb = Some(EmbeddingSignal(embB)), clustered = true)
     val extras = Curation.embeddingDocPairs(
-      TextOps.t15CosineNearDupOf(embAll).select(col("vec_a"), col("vec_b")),
+      EmbeddingSignal(embAll).selfPairs.select(col("vec_a"), col("vec_b")),
       embAll.select(col("vec_id"), col("vec_id").as("doc_id")))
     val run = Curation.curateHandle(docsAll, useClusters = true, extraPairs = Some(extras))
     try {
