@@ -197,6 +197,16 @@ object ClusterState {
                           maxBucket: Int = TextOps.EmbBucketCap): Long =
     reconcileWith(wh) { seedEmbeddings(wh, embSrc, bits, radius, maxBucket) }
 
+  /** [[reconcile]] for the BANDED embedding signal: full
+    * [[seedBandedEmbeddings]] rebuild (state + [[graft.queries
+    * .BandEmbIndex]]), same drift measure — the t55 lifecycle's
+    * union-cap repair, per (table, bucket).
+    */
+  def reconcileBandedEmbeddings(wh: Warehouse, embSrc: DataFrame,
+                                tables: Int, bits: Int, radius: Int = 1,
+                                maxBucket: Int = TextOps.EmbBucketCap): Long =
+    reconcileWith(wh) { seedBandedEmbeddings(wh, embSrc, tables, bits, radius, maxBucket) }
+
 
   private def reconcileWith(wh: Warehouse)(rebuild: => Unit): Long = {
     // materialize the pre-rebuild assignment EAGERLY: the rebuild commits
@@ -488,6 +498,11 @@ object ClusterState {
     import graft.queries.{IvfModel, PqModel}
     if (!wh.read(BandIndex.TableName, BandIndex.Schema).isEmpty) BandIndex.compact(wh)
     if (!wh.read(EmbIndex.TableName, EmbIndex.Schema).isEmpty) EmbIndex.compact(wh)
+    // the banded embedding index multiplies append litter by L (one row
+    // per (vec_id, tbl), L files per batch per touched partition) — it
+    // needs this compaction MORE than the single-table index does
+    if (!wh.read(BandEmbIndex.TableName, BandEmbIndex.Schema).isEmpty)
+      BandEmbIndex.compact(wh)
     // the ANN list lifecycles leave the same per-batch append litter the
     // band/emb indexes do (≥1 file per touched cluster partition per
     // batch) — compact whichever variants this warehouse maintains

@@ -48,9 +48,17 @@ import graft.functions.{Rounding => R, VectorOps => V}
   * OR-construction) — cosine is symmetric and table-independent, so
   * max == distinct.
   */
-object BandEmbIndex {
+object BandEmbIndex extends PersistedIndex {
 
   val TableName = "emb_band_tables"
+
+  def tableName: String = TableName
+  def schema: org.apache.spark.sql.types.StructType = Schema
+  def partitionCol: String = "pbucket"
+  // (vec_id, tbl) — one row in one file; vec_id alone would let a torn
+  // append (some of a vector's L table rows committed) read as "already
+  // indexed" and permanently drop the missing tables
+  def repairKeys: Seq[String] = Seq("vec_id", "tbl")
 
   /** Partition fan-out cap — same dial contract as [[EmbIndex.PBuckets]]
     * / [[BandIndex.BkBuckets]]: directories per index generation at any
@@ -98,9 +106,7 @@ object BandEmbIndex {
     * rewrite (pointer-flip commit).
     */
   def seed(wh: Warehouse, embSrc: DataFrame, tables: Int, bits: Int): Unit =
-    wh.rewrite(TableName,
-      codedOf(embSrc, tables, bits).withColumn("corpus_stamp", lit("seed")),
-      partitionBy = Seq("pbucket"))
+    seedRows(wh, codedOf(embSrc, tables, bits))
 
   /** Stamped variant for a static corpus (the t55 verification path).
     * `tables`, `bits` AND the fan-out MUST ride the stamp: all three are
@@ -110,9 +116,7 @@ object BandEmbIndex {
     */
   def ensureFor(wh: Warehouse, embSrc: => DataFrame, stamp: String,
                 tables: Int, bits: Int): Unit =
-    StampedTable.ensure(wh, TableName, Schema,
-      s"$stamp\ntables=$tables\nbits=$bits\npb=$PBuckets",
-      partitionBy = Seq("pbucket")) {
+    ensureRows(wh, s"$stamp\ntables=$tables\nbits=$bits\npb=$PBuckets") {
       codedOf(embSrc, tables, bits)
     }
 
@@ -120,10 +124,7 @@ object BandEmbIndex {
     * partition column rides the projection so probe reads can land a
     * PARTITION filter.
     */
-  def coded(wh: Warehouse): DataFrame =
-    wh.read(TableName, Schema)
-      .select(col("vec_id"), col("emb"), col("nrm"),
-        col("tbl"), col("bucket"), col("pbucket"))
+  def coded(wh: Warehouse): DataFrame = rows(wh)
 
   /** Grow the index by an ingest batch. IDEMPOTENT under replay at
     * (vec_id, tbl) granularity — a vector's L rows land in DIFFERENT
@@ -148,23 +149,8 @@ object BandEmbIndex {
     */
   def appendBatchCoded(wh: Warehouse, batchCoded: DataFrame,
                        maxInline: Int = BucketPrune.MaxInline,
-                       checked: Boolean = false): Unit = {
-    val bc = Frames.cutIfPlain(batchCoded)
-    val landed =
-      if (checked) coded(wh)
-      else BucketPrune.restrict(coded(wh), "pbucket", bc, maxInline)
-    val fresh = bc.join(landed.select(col("vec_id"), col("tbl")),
-      Seq("vec_id", "tbl"), "left_anti")
-    wh.appendLive(TableName,
-      fresh.withColumn("corpus_stamp", lit("append")),
-      partitionBy = Seq("pbucket"))
-  }
-
-  /** Coalesce the per-batch append litter — one file per partition,
-    * rows verbatim, pointer-flip commit.
-    */
-  def compact(wh: Warehouse): Unit =
-    wh.compact(TableName, Schema, partitionBy = Seq("pbucket"))
+                       checked: Boolean = false): Unit =
+    appendRows(wh, batchCoded, maxInline, checked)
 
   /** The index restricted to a probe frame's (tbl, bucket) set — static
     * partition filter on the derived pbuckets, row-group data filter on

@@ -38,9 +38,17 @@ import graft.functions.{TextFunctions => TF}
   * and even a bucket-covering batch still skips the corpus-side
   * shingle/minhash compute entirely.
   */
-object BandIndex {
+object BandIndex extends PersistedIndex {
 
   val TableName = "lsh_bands"
+
+  def tableName: String = TableName
+  def schema: org.apache.spark.sql.types.StructType = Schema
+  def partitionCol: String = "bk_bucket"
+  // (doc_id, band) — one row in one file; doc_id alone would let a torn
+  // append (some of a doc's band rows committed) read as "already
+  // indexed" and permanently drop the missing bands
+  def repairKeys: Seq[String] = Seq("doc_id", "band")
 
   /** Partition fan-out of the persisted table — see the layout note
     * above. 32 keeps test directories small; the dial contract at scale
@@ -76,9 +84,7 @@ object BandIndex {
     * the previous index generation live).
     */
   def seed(wh: Warehouse, docs: DataFrame): Unit =
-    wh.rewrite(TableName,
-      bandedOf(docs).withColumn("corpus_stamp", lit("seed")),
-      partitionBy = Seq("bk_bucket"))
+    seedRows(wh, bandedOf(docs))
 
   /** Stamped variant for a STATIC corpus (the t37 verification path):
     * same staleness protocol as the IVF artifacts — materialized once per
@@ -88,9 +94,7 @@ object BandIndex {
     * is a Spark job — the zero-jobs claim is spec-asserted).
     */
   def ensureFor(wh: Warehouse, docs: => DataFrame, stamp: String): Unit =
-    StampedTable.ensure(wh, TableName, Schema, stamp, partitionBy = Seq("bk_bucket")) {
-      bandedOf(docs)
-    }
+    ensureRows(wh, stamp) { bandedOf(docs) }
 
   /** Corpus-dir convenience: the index over `documents` at `dir`, stamped
     * by the table's content listing (a regenerated corpus re-materializes
@@ -105,9 +109,7 @@ object BandIndex {
       s"bands\n$dir\nbk=$BkBuckets\n${Tables.contentStamp(s, s"$dir/documents.parquet")}")
 
   /** The persisted index (doc_id, sig, band, band_key, bk_bucket). */
-  def banded(wh: Warehouse): DataFrame =
-    wh.read(TableName, Schema)
-      .select(col("doc_id"), col("sig"), col("band"), col("band_key"), col("bk_bucket"))
+  def banded(wh: Warehouse): DataFrame = rows(wh)
 
   /** Grow the index by an ingest batch — banded rows appended into their
     * existing bk_bucket partitions (no rewrite of the settled corpus's
@@ -162,26 +164,8 @@ object BandIndex {
     */
   def appendBatchBanded(wh: Warehouse, batchBanded: DataFrame,
                         maxInline: Int = BucketPrune.MaxInline,
-                        checked: Boolean = false): Unit = {
-    val bb = Frames.cutIfPlain(batchBanded)
-    val landed =
-      if (checked) banded(wh)
-      else BucketPrune.restrict(banded(wh), "bk_bucket", bb, maxInline)
-    val fresh = bb
-      .join(landed.select(col("doc_id"), col("band")), Seq("doc_id", "band"), "left_anti")
-    wh.appendLive(TableName,
-      fresh.withColumn("corpus_stamp", lit("append")),
-      partitionBy = Seq("bk_bucket"))
-  }
-
-  /** Coalesce the per-batch append litter — one file per bk_bucket
-    * directory, rows (stamps included) verbatim, pointer-flip commit.
-    * Schedule with the same cadence thinking as
-    * [[graft.pipelines.ClusterState.reconcile]]; the two compose (a
-    * reconcile's full rewrite is itself compact).
-    */
-  def compact(wh: Warehouse): Unit =
-    wh.compact(TableName, Schema, partitionBy = Seq("bk_bucket"))
+                        checked: Boolean = false): Unit =
+    appendRows(wh, batchBanded, maxInline, checked)
 
   /** Candidate pairs of an ingest batch against the persisted index —
     * every pair (doc_a < doc_b, est_jaccard ≥ 0.5) with AT LEAST ONE

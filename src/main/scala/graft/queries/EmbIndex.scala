@@ -33,9 +33,22 @@ import graft.functions.{Rounding => R, VectorOps => V}
   * are emitted orientation-normalized (least, greatest) and deduped,
   * where the full t15 relies on its a < b probe direction instead.
   */
-object EmbIndex {
+object EmbIndex extends PersistedIndex {
 
   val TableName = "emb_buckets"
+
+  def tableName: String = TableName
+  def schema: org.apache.spark.sql.types.StructType = Schema
+  def partitionCol: String = "pbucket"
+  // one row per vector = one row per file slot: no sub-row torn-append
+  // shape to repair, vec_id alone is the commit granularity
+  def repairKeys: Seq[String] = Seq("vec_id")
+
+  // the append's idempotency check prunes BOTH levels: pbucket as the
+  // partition filter, the exact sign code as a row-group data filter
+  override protected def restrictLanded(index: DataFrame, batch: DataFrame,
+                                        maxInline: Int): DataFrame =
+    restrictToBuckets(index, batch, maxInline)
 
   /** Partition fan-out cap — directories per index generation at any
     * code width. 1024 = identity below bits=10 (the audited narrow
@@ -77,9 +90,7 @@ object EmbIndex {
     * rewrite (pointer-flip commit).
     */
   def seed(wh: Warehouse, embSrc: DataFrame, bits: Int = Lsh.Bits): Unit =
-    wh.rewrite(TableName,
-      codedOf(embSrc, bits).withColumn("corpus_stamp", lit("seed")),
-      partitionBy = Seq("pbucket"))
+    seedRows(wh, codedOf(embSrc, bits))
 
   /** Stamped variant for a static corpus (the t40 verification path).
     * `bits` MUST be part of the caller's stamp: codes are baked into the
@@ -91,8 +102,7 @@ object EmbIndex {
                 bits: Int = Lsh.Bits): Unit =
     // the fan-out rides the stamp: a pre-fan-out table (or a dialed
     // PBuckets) lays its files out differently and must rebuild
-    StampedTable.ensure(wh, TableName, Schema, s"$stamp\npb=$PBuckets",
-      partitionBy = Seq("pbucket")) {
+    ensureRows(wh, s"$stamp\npb=$PBuckets") {
       codedOf(embSrc, bits)
     }
 
@@ -101,9 +111,7 @@ object EmbIndex {
     * can still land a PARTITION filter (a filter on the data column
     * `bucket` alone prunes row groups, not directories).
     */
-  def coded(wh: Warehouse): DataFrame =
-    wh.read(TableName, Schema)
-      .select(col("vec_id"), col("emb"), col("nrm"), col("bucket"), col("pbucket"))
+  def coded(wh: Warehouse): DataFrame = rows(wh)
 
   /** Grow the index by an ingest batch — idempotent at vec_id
     * granularity (one row per vector = one row per file slot, so unlike
@@ -134,23 +142,8 @@ object EmbIndex {
     */
   def appendBatchCoded(wh: Warehouse, batchCoded: DataFrame,
                        maxInline: Int = BucketPrune.MaxInline,
-                       checked: Boolean = false): Unit = {
-    val bc = Frames.cutIfPlain(batchCoded)
-    val landed =
-      if (checked) coded(wh)
-      else restrictToBuckets(coded(wh), bc, maxInline)
-    val fresh = bc.join(landed.select(col("vec_id")), Seq("vec_id"), "left_anti")
-    wh.appendLive(TableName,
-      fresh.withColumn("corpus_stamp", lit("append")),
-      partitionBy = Seq("pbucket"))
-  }
-
-  /** Coalesce the per-batch append litter — one file per sign-code
-    * directory, rows verbatim, pointer-flip commit (see
-    * [[BandIndex.compact]]).
-    */
-  def compact(wh: Warehouse): Unit =
-    wh.compact(TableName, Schema, partitionBy = Seq("pbucket"))
+                       checked: Boolean = false): Unit =
+    appendRows(wh, batchCoded, maxInline, checked)
 
   /** The index restricted to a probe frame's bucket set — BOTH levels:
     * the derived pbucket set lands as the PARTITION filter (static IN

@@ -45,9 +45,12 @@ object SoakRun {
     def embSlice(lo: Int, hi: Int) =
       emb.filter(TextOps.splitBucket(col("vec_id")) >= lo &&
         TextOps.splitBucket(col("vec_id")) < hi)
+    // the lifecycle's pair source is BANDED since round 14 — the soak
+    // drives the same dials the registered t43 runs at
     def sig(e: org.apache.spark.sql.DataFrame) =
-      Some(IC.EmbeddingSignal(e, bits = TextOps.DialBits,
-        radius = TextOps.DialPairRadius, maxBucket = TextOps.DialEmbCap))
+      Some(IC.EmbeddingSignal(e, bits = TextOps.DialBandBits,
+        radius = TextOps.DialBandRadius, maxBucket = TextOps.DialEmbCap,
+        banded = true, tables = TextOps.DialBandTables))
 
     def fileCount: Long = {
       def walk(f: java.io.File): Long =

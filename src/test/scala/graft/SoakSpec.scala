@@ -113,4 +113,84 @@ class SoakSpec extends SparkTestBase {
       assert(vs.length <= 4, s"$table holds ${vs.length} versions after vacuum")
     }
   }
+
+  test("banded-index soak: 20 batches, compaction bounds files, probe unchanged, drift repaired, final state == full recluster") {
+    import graft.queries.{BandEmbIndex, TextOps}
+    import graft.tools.ScaleData
+    val (tT, tB, tR) = (3, 8, 1)
+    // clustered geometry (the corpus shape the banded family exists
+    // for), md5-split into the lifecycle's seed + 20 batches
+    val embAll = ScaleData.clusteredEmbeddings(spark, 600, nCenters = 20, noise = 0.04)
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    def slice(lo: Int, hi: Int) = embAll.filter(
+      TextOps.splitBucket(col("vec_id")) >= lo && TextOps.splitBucket(col("vec_id")) < hi)
+    def bound(b: Int): Int = 50 + b * 50 / 20
+    val wh = graft.etl.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft_soak_band_").toString)
+    ClusterState.seedBandedEmbeddings(wh, slice(0, 50), tT, tB, tR)
+
+    def indexFiles: Int = BandEmbIndex.coded(wh).inputFiles.length
+    val drifts = scala.collection.mutable.Map.empty[Int, Long]
+    for (b <- 1 to 20) {
+      ClusterState.ingestBandedEmbeddingBatch(wh, slice(bound(b - 1), bound(b)), tT, tB, tR)
+      if (b % 5 == 0) {
+        // inject a wrong label right before the batch-10 maintenance:
+        // the reconcile must measure it as drift and repair it
+        if (b == 10) {
+          val mangled = ClusterState.read(wh).collect()
+            .map(r => (r.getLong(0), r.getLong(1)))
+            .zipWithIndex
+            .map { case ((d, c), i) => if (i == 0) (d, 999999L) else (d, c) }
+            .toSeq.toDF("doc_id", "cluster")
+          ClusterState.seedAssignment(wh, mangled)
+        }
+        // probe parity across compaction: the last batch replayed as a
+        // probe (replay-exact by contract) must see identical pairs
+        // before and after the maintenance pass
+        val probe = slice(bound(b - 1), bound(b))
+        def probePairs = BandEmbIndex.incrementCosinePairs(wh, probe, tT, tB, tR)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        val before = probePairs
+        val preFiles = indexFiles
+        drifts(b) = ClusterState.reconcileBandedEmbeddings(
+          wh, slice(0, bound(b)), tT, tB, tR)
+        val rep = ClusterState.maintain(wh, retainLast = 3)
+        assert(rep.duplicateIds.values.forall(_ == 0L))
+        assert(probePairs === before,
+          s"maintenance changed probe results at batch $b")
+        assert(indexFiles <= preFiles,
+          s"compaction grew the banded index file count at batch $b")
+      }
+    }
+    // the injected corruption was measured at batch 10 and repaired —
+    // nothing at 15/20 (the reconcile rebuild is deterministic)
+    assert(drifts(10) >= 1L, s"injected corruption not measured: $drifts")
+    assert(drifts(15) === 0L && drifts(20) === 0L,
+      s"drift persisted past its reconcile: $drifts")
+    // compaction bounds the append litter: after the final maintenance
+    // the live generation holds one file per touched partition
+    val partitions = BandEmbIndex.coded(wh).select(col("pbucket")).distinct().count()
+    assert(indexFiles <= partitions,
+      s"final index holds $indexFiles files over $partitions partitions — compact left litter")
+    // final index == one row per (vec_id, tbl), nothing torn or doubled
+    assert(BandEmbIndex.coded(wh).count() === embAll.count() * tT)
+    assert(BandEmbIndex.coded(wh).groupBy(col("vec_id"), col("tbl"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).count() === 0L)
+    // final cluster state == a from-scratch banded recluster of the corpus
+    val fresh = graft.etl.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft_soak_band_fresh_").toString)
+    ClusterState.seedBandedEmbeddings(fresh, embAll, tT, tB, tR)
+    def clusterSets(w: graft.etl.Warehouse) = ClusterState.clusters(w)
+      .groupBy(col("cluster")).agg(sort_array(collect_list(col("doc_id"))).as("m"))
+      .select(col("m")).collect().map(_.getSeq[Long](0)).toSet
+    assert(clusterSets(wh) === clusterSets(fresh),
+      "soaked banded cluster state diverged from a from-scratch rebuild")
+    // the vacuumed warehouse holds a bounded version window per table
+    val versionDirs = Option(new java.io.File(wh.dir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.contains(".__v"))
+      .groupBy(_.getName.takeWhile(_ != '.'))
+    versionDirs.foreach { case (table, vs) =>
+      assert(vs.length <= 4, s"$table holds ${vs.length} versions after vacuum")
+    }
+  }
 }
