@@ -312,6 +312,13 @@ object IncrementalCuration {
         .filter(!(col("c0") <=> col("c1"))).count()
     }.getOrElse(0L)
     releaseCut((beforeHash +: beforeCl.toSeq): _*)
+    // the split names the drifting artifact for the operator: hash drift
+    // means the exact stage itself diverged (should never happen under
+    // append-only ids); cluster drift is the documented union-cap /
+    // first-won caveat territory
+    if (hashDrift + clusterDrift > 0)
+      System.err.println(
+        s"[reconcile] drift split: hash=$hashDrift cluster=$clusterDrift")
     hashDrift + clusterDrift
   }
 

@@ -213,8 +213,19 @@ object Lsh {
   /** XOR masks enumerating all codes within HammingRadius (incl. 0). */
   lazy val masks: IndexedSeq[Long] = masksWithin(HammingRadius)
 
-  /** Sign-bit bucket code of an embedding column. */
-  def bucketOf(emb: org.apache.spark.sql.Column, bits: Int = Bits): org.apache.spark.sql.Column = {
+  /** Sign-bit bucket code of an embedding column — the single-table
+    * code, computed by the one-pass native kernel (= band 0 of
+    * [[bucketsOfTables]]); [[bucketOfRef]] is the when-chain reference
+    * it is specced bit-identical against.
+    */
+  def bucketOf(emb: org.apache.spark.sql.Column, bits: Int = Bits): org.apache.spark.sql.Column =
+    bucketsOfTables(emb, bits, 1).getItem(0)
+
+  /** The when-chain COLUMN formulation of [[bucketOf]] — semantic
+    * reference only (each dot is an independent expression that
+    * re-evaluates the embedding's cast chain after projection collapse).
+    */
+  private[graft] def bucketOfRef(emb: org.apache.spark.sql.Column, bits: Int = Bits): org.apache.spark.sql.Column = {
     val ps = planesFor(bits)
     (0 until bits).map { i =>
       when(V.dot(emb, typedlit(ps(i))) > 0, 1L << i).otherwise(0L)
@@ -233,13 +244,36 @@ object Lsh {
   }
 
   /** Sign-bit code of band `table` — the AND-construction within one
-    * band of the banded family ([[planesForTable]]).
+    * band of the banded family ([[planesForTable]]). The when-chain
+    * COLUMN formulation — kept as the semantic reference
+    * [[bucketsOfTables]] is specced bit-identical against; hot coding
+    * paths use the single-pass native kernel instead (each dot here is
+    * an independent expression that re-evaluates the embedding's cast
+    * chain after projection collapse — at banded fan-outs that was 55 s
+    * of t55's 69 s sf10sub wall, SCALE.md round 14).
     */
   def bucketOfTable(emb: org.apache.spark.sql.Column, bits: Int, table: Int): org.apache.spark.sql.Column = {
     val ps = planesForTable(table, bits)
     (0 until bits).map { i =>
       when(V.dot(emb, typedlit(ps(i))) > 0, 1L << i).otherwise(0L)
     }.reduce(_ + _)
+  }
+
+  /** ALL `tables` band codes of an embedding column in ONE pass
+    * (array<long>, table t at index t) — the
+    * [[graft.functions.NativeVector.SignBandCodes]] kernel over the
+    * same flattened plane windows, bit-identical to
+    * `array(bucketOfTable(emb, bits, 0..tables-1))` (spec-pinned,
+    * null/dim edge cases included). `posexplode` of this is the banded
+    * coding shape; `.getItem(0)` is the single-table code.
+    */
+  def bucketsOfTables(emb: org.apache.spark.sql.Column, bits: Int,
+                      tables: Int): org.apache.spark.sql.Column = {
+    val flat = (0 until tables).flatMap(t =>
+      planesForTable(t, bits).flatten).toArray
+    val B = org.apache.spark.sql.graftshim.ColumnBridge
+    B.column(graft.functions.NativeVector.SignBandCodes(
+      B.expression(emb), flat, tables, bits, Dim))
   }
 
   /** Reference per-bit sign-flip probability the BANDED table-count

@@ -96,9 +96,12 @@ object BandEmbIndex extends PersistedIndex {
     embSrc
       .select(col("vec_id"), V.toDouble(col("embedding")).as("emb"))
       .withColumn("nrm", V.norm(col("emb")))
+      // ONE-pass native coding (posexplode's pos IS the table index):
+      // the per-table when-chain formulation built L x bits independent
+      // dot expressions and re-evaluated the cast chain under each —
+      // measured 55 s of t55's 69 s sf10sub wall (SCALE.md round 14)
       .select(col("vec_id"), col("emb"), col("nrm"),
-        posexplode(array((0 until tables).map(t =>
-          Lsh.bucketOfTable(col("emb"), bits, t)): _*)).as(Seq("tbl", "bucket")))
+        posexplode(Lsh.bucketsOfTables(col("emb"), bits, tables)).as(Seq("tbl", "bucket")))
       .withColumn("pbucket", pbucketOf(col("tbl"), col("bucket")))
   }
 

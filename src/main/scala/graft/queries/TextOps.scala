@@ -2097,9 +2097,9 @@ object TextOps {
     val e0 = embSrc
       .select(col("vec_id"), V.toDouble(col("embedding")).as("emb"))
       .withColumn("nrm", V.norm(col("emb")))
+      // one-pass native coding — see BandEmbIndex.codedOf's note
       .select(col("vec_id"), col("emb"), col("nrm"),
-        posexplode(array((0 until tables).map(t =>
-          Lsh.bucketOfTable(col("emb"), bits, t)): _*)).as(Seq("tbl", "bucket")))
+        posexplode(Lsh.bucketsOfTables(col("emb"), bits, tables)).as(Seq("tbl", "bucket")))
     // per-(table, bucket) skew guard — t15's cap, keyed by band too
     val oversized = e0.groupBy(col("tbl"), col("bucket"))
       .agg(count(lit(1)).as("bucket_n"))

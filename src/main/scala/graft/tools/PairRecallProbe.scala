@@ -85,7 +85,7 @@ object PairRecallProbe {
     def bandedPairs(l: Int, b: Int, r: Int): (Set[(Long, Long)], Double) = {
       val masks = Lsh.masksWithin(r, b)
       val coded = emb.select(col("vec_id"), col("emb"),
-          posexplode(array((0 until l).map(t => Lsh.bucketOfTable(col("emb"), b, t)): _*))
+          posexplode(Lsh.bucketsOfTables(col("emb"), b, l))
             .as(Seq("tbl", "code")))
         .localCheckpoint()
       val probe = coded.filter(col("vec_id") < sample)

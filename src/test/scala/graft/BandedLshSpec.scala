@@ -63,6 +63,43 @@ class BandedLshSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Lsh.planesForTable(21, 12)) // 22*12 > 256
   }
 
+  test("bucketsOfTables (native one-pass kernel) == per-table when-chain reference, edge cases included") {
+    import spark.implicits._
+    import graft.functions.{VectorOps => V}
+    val (tT, tB) = (4, 13)
+    // real corpus vectors through BOTH formulations — interpreted eval
+    // and whole-stage codegen paths both land here
+    val e = graft.core.Tables.embeddings(spark, sf())
+      .select(col("vec_id"), V.toDouble(col("embedding")).as("emb"))
+    val both = e.select(col("vec_id"),
+        Lsh.bucketsOfTables(col("emb"), tB, tT).as("native"),
+        array((0 until tT).map(t => Lsh.bucketOfTable(col("emb"), tB, t)): _*).as("ref"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[Long](1) === r.getSeq[Long](2), s"vec ${r.getLong(0)}")
+    }
+    // single-table code == the when-chain reference
+    val single = e.select(Lsh.bucketOf(col("emb"), tB).as("native"),
+      Lsh.bucketOfRef(col("emb"), tB).as("ref")).collect()
+    assert(single.forall(r => r.getLong(0) === r.getLong(1)))
+    // edge cases, matching the reference's when(null > 0, _).otherwise(0)
+    // semantics: null array, wrong dimension, null element -> all-zero
+    // codes, row KEPT (not a null array that posexplode would drop)
+    val edges = Seq(
+      (1L, null.asInstanceOf[Array[java.lang.Double]]),
+      (2L, Array[java.lang.Double](1.0, 2.0, 3.0)), // dim != Lsh.Dim
+      (3L, (Array.fill[java.lang.Double](Lsh.Dim - 1)(1.0) :+
+        null.asInstanceOf[java.lang.Double]))
+    ).toDF("vec_id", "emb")
+    val edgeRows = edges.select(col("vec_id"),
+      Lsh.bucketsOfTables(col("emb"), tB, tT).as("native")).collect()
+    assert(edgeRows.length === 3)
+    edgeRows.foreach { r =>
+      assert(r.getSeq[Long](1) === Seq.fill(tT)(0L), s"edge vec ${r.getLong(0)}")
+    }
+  }
+
   test("t54 with tables=1 reproduces the single-table t15 at the same (bits, radius)") {
     val t15 = TextOps.t15CosineNearDup(spark, sf(), Lsh.Bits, 2)
       .collect().map(_.toSeq).toSeq
