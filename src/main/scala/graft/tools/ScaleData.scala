@@ -57,7 +57,29 @@ object ScaleData {
     val m = ((k % a.length) + a.length) % a.length
     a.substring(m) + a.substring(0, m)
   }
-  private def rotAlpha(i: Int): String = rot(Alpha, i % 10) + rot(Alpha2, i / 10 % 10)
+  /** Third substitution level, engaged only past factor 100 — found the
+    * hard way: the factor-1000 corpus for the third-decade lifecycle
+    * measurement made copies i and i+100 exact text duplicates (the
+    * two-rotation family cycles at 100), every MinHash band bucket
+    * absorbed 10 identical signature groups, and the t37 seed's
+    * bucket self-join filled the disk (ENOSPC at ~70 GB of shuffle)
+    * before any query ran. A global rotation of the COMBINED 20-letter
+    * alphabet, composed AFTER the per-half rotations, multiplies the
+    * family: the within-half wrap makes the half-rotations
+    * distinguishable from the global offset, so the composed
+    * permutations are distinct for all (i%10, i/10%10, i/100%20) —
+    * cycle 2000. Identity for i < 100: factors ≤ 100 (the recorded
+    * sf1.0 and sf10sub) stay byte-identical.
+    */
+  private[graft] def rotAlpha(i: Int): String = {
+    val pair = rot(Alpha, i % 10) + rot(Alpha2, i / 10 % 10)
+    val s = i / 100 % 20
+    if (s == 0) pair
+    else {
+      val alpha20 = Alpha + Alpha2
+      pair.map(c => alpha20((alpha20.indexOf(c) + s) % 20))
+    }
+  }
 
   def scaleTable(spark: SparkSession, name: String, src: String, factor: Int): DataFrame = {
     val base = spark.read.parquet(s"$src/$name.parquet")
@@ -97,8 +119,27 @@ object ScaleData {
           // identity for i < dim, so factors ≤ dim reproduce the
           // original generator byte-for-byte.
           val iso = if (i / dim % 2 == 1) transform(rotated, x => -x) else rotated
+          // third isometry level, engaged only past 2·dim copies — the
+          // text side's lesson applied here before it bites: at dim=64
+          // the two-level family cycles at 128, so a factor-1000 corpus
+          // would hand every sign-code bucket ~8 exact duplicates of
+          // each vector. Blockwise negation (±1 diagonal — still an
+          // exact isometry) over quarters 1-3 of the array, the three
+          // bits of (i / (2·dim)) % 8, multiplies the cycle to 16·dim
+          // (1024 at dim=64); quarter 0 stays positive so no pattern
+          // reproduces the level-2 global negation. Identity below
+          // 2·dim copies: recorded factor-≤128 corpora byte-identical.
+          val blockBits = i / (2 * dim) % 8
+          val q = dim / 4
+          val negQuarters = (1 to 3).filter(b => (blockBits & (1 << (b - 1))) != 0)
+          val iso3 =
+            if (negQuarters.isEmpty) iso
+            else transform(iso, (x, pos) =>
+              // pos/q via floor: Column `/` on ints is DOUBLE division
+              when(floor(pos / q).cast("int").isin(negQuarters: _*), -x)
+                .otherwise(x))
           base.withColumn("vec_id", col("vec_id") + off)
-            .withColumn("embedding", iso)
+            .withColumn("embedding", iso3)
         case other => sys.error(s"unknown table $other")
       }
     }
