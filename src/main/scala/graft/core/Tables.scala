@@ -111,8 +111,21 @@ object Tables {
       val entries =
         if (st.isDirectory) fs.listStatus(p).toSeq.sortBy(_.getPath.getName)
         else Seq(st)
-      entries.map(e => s"${e.getPath.getName}:${e.getLen}:${e.getModificationTime}")
+      val listing = entries
+        .map(e => s"${e.getPath.getName}:${e.getLen}:${e.getModificationTime}")
         .mkString(",")
+      // DIGEST, not the raw listing: stamps ride warehouse tables as a
+      // per-ROW column (StampedTable.ensure), and a raw listing grows
+      // with the corpus's file count — measured at the 5M-doc corpus
+      // (1000 part files, ~80 KB stamp): the banded-index seed's
+      // repartition shuffled stamp × rows ≈ 800 GB of payload and filled
+      // the disk before any query ran. Parquet dictionary-encodes the
+      // repeated string to nothing at REST; the shuffle's row format
+      // does not. A fixed-width digest carries the same equality
+      // semantics (that is all any consumer checks) at 50-odd bytes.
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(listing.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      s"files=${entries.size}:md5=$md"
     } catch {
       // a failed listing must never equal any other stamp — including a
       // PRIOR failed listing — or a cache keyed on the stamp could serve

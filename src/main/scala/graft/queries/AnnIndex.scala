@@ -377,6 +377,26 @@ private[graft] object StampedTable {
 
   private[graft] def reset(): Unit = verified.clear()
 
+  /** Per-row payload guard: the stamp is written as a COLUMN on every
+    * fitted row, so its bytes multiply by the table's row count in the
+    * rewrite's repartition shuffle (parquet dictionary-encodes the
+    * repetition at rest; the shuffle row format does not). Legitimate
+    * stamps are dial lines + [[graft.core.Tables.contentStamp]]'s
+    * fixed-width digest — well under this cap — but a caller composing
+    * something unbounded gets a digest token instead of a disk-filling
+    * shuffle. Past the cap the stored token is not line-parseable
+    * (appendLists' dial check would fall back to a full, safe
+    * re-ensure), which is why the cap is high, not tight.
+    */
+  private val MaxRowStamp = 4096
+  private[graft] def rowToken(stamp: String): String =
+    if (stamp.length <= MaxRowStamp) stamp
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(stamp.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      s"md5:$md:len=${stamp.length}"
+    }
+
   /** Ensure `table` holds an artifact fitted at `stamp`. An UNREADABLE
     * stamp (a failed corpus listing — `Tables.contentStamp` returns a
     * unique `unreadable:` value) never triggers a refit: committing a
@@ -398,8 +418,8 @@ private[graft] object StampedTable {
           s"cannot fit $table: corpus listing failed and no persisted generation exists")
       return // serve the existing generation; do not memoize, do not poison
     }
-    if (!current.contains(stamp))
-      wh.rewrite(table, fit.withColumn("corpus_stamp", lit(stamp)), partitionBy)
+    if (!current.contains(rowToken(stamp)))
+      wh.rewrite(table, fit.withColumn("corpus_stamp", lit(rowToken(stamp))), partitionBy)
     verified.put(key, stamp)
   }
 
@@ -795,7 +815,8 @@ object IvfModel {
     val stamp =
       s"lists-append\n$dir\ncap=$fitSampleCap\nk=$k\n${Tables.contentStamp(s, s"$dir/embeddings.parquet")}"
     wh.appendLive(ListsTable,
-      assignClusters(fresh, centroids(s, dir)).withColumn("corpus_stamp", lit(stamp)),
+      assignClusters(fresh, centroids(s, dir))
+        .withColumn("corpus_stamp", lit(StampedTable.rowToken(stamp))),
       partitionBy = Seq("cluster"))
   }
 
