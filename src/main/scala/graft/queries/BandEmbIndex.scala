@@ -219,35 +219,64 @@ object BandEmbIndex extends PersistedIndex {
       .join(broadcast(oversized), Seq("tbl", "bucket"), "left_anti")
     val batchCapped = bc.join(broadcast(oversized), Seq("tbl", "bucket"), "left_anti")
 
-    // same three-way join-strategy gate as EmbIndex's increment, from
-    // the honest pre-explode estimate × fan-out (the planner is blind
-    // past the Generate): broadcast when the exploded probe frame is
-    // proven tiny, shuffle-hash while the BUILD (batch-bounded probe)
-    // side fits the non-spillable budget, spillable sort-merge past it.
-    // No narrow-probe tier: the banded mask count is 1 + bits ≤ ~20,
-    // an order of magnitude under [[TextOps.NarrowProbeMaskThreshold]].
-    val batchBytes = bc.queryExecution.optimizedPlan.stats.sizeInBytes
-    val probeFits = batchBytes * masks.length <= probeBroadcastMaxBytes
-    val shjFits = batchBytes * masks.length <= TextOps.ShuffleHashBuildMaxBytes
-    val probes = batchCapped.select(col("vec_id").as("vec_a"),
-      col("emb").as("emb_a"), col("nrm").as("nrm_a"), col("tbl"),
-      explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+    // SLIM sliced probe — the round-14 third-decade lesson. The first
+    // shape carried the embedding payload ON the mask explode
+    // (batch × L × (1+bits) rows × ~550 B/row), so the probe frame at
+    // the 2M-vector corpus was ~65 GB, and past the shuffle-hash budget
+    // the merge tier SORTED it: measured ENOSPC on a 64 GB-free disk
+    // before any pair emerged. The payload never needed to ride the
+    // explode: probes shuffle nothing here — a slice's mask rows
+    // broadcast SLIM (vec, tbl, bucket: ~40 B/row, 14× narrower), the
+    // slice's vectors broadcast ONCE EACH beside them (÷ masks), the
+    // corpus streams against both, and the dot + τ-filter run in the
+    // same stage, so candidates still never shuffle (the design's
+    // invariant — only τ-surviving pairs reach an exchange). Slicing
+    // the batch bounds both broadcasts at any batch size: slices
+    // partition the probe rows and the cap below is computed on the
+    // FULL batch first, so the union of slice results is bit-identical
+    // to the single-pass join (BandEmbIndexSpec pins it). The price is
+    // one corpus stream per slice — a bounded, sequential re-read of
+    // the pruned cut, the trade every bounded-memory probe makes.
+    val slimProbeWidth = 40L
+    val batchRows = bc.count() // cheap: bc is a materialized cut
+    val slimBytes = batchRows * masks.length * slimProbeWidth
+    val nSlices = math.max(1L,
+      (slimBytes + probeBroadcastMaxBytes - 1) / probeBroadcastMaxBytes).toInt
+    def pairsOfSlice(slice: DataFrame): DataFrame = {
+      val slimProbes = slice.select(col("vec_id").as("vec_a"), col("tbl"),
+        explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+      val sliceVecs = slice
+        .select(col("vec_id").as("vec_a"), col("emb").as("emb_a"), col("nrm").as("nrm_a"))
+        .dropDuplicates("vec_a")
+      corpus.join(broadcast(slimProbes), Seq("tbl", "bucket"))
+        .join(broadcast(sliceVecs), Seq("vec_a"))
+        .filter(col("vec_a") =!= col("vec_id"))
+        .select(least(col("vec_a"), col("vec_id")).as("pair_a"),
+          greatest(col("vec_a"), col("vec_id")).as("pair_b"),
+          R.halfUp(when(col("nrm_a") === 0.0 || col("nrm") === 0.0, 0.0)
+            .otherwise(V.dot(col("emb_a"), col("emb")) / (col("nrm_a") * col("nrm"))), 6)
+            .as("cosine"))
+        .filter(col("cosine") >= TextOps.CosTau)
+        // one groupBy collapses directions AND multi-table hits; cosine
+        // is symmetric and table-independent, so max == distinct
+        .groupBy(col("pair_a"), col("pair_b"))
+        .agg(max(col("cosine")).as("cosine"))
+    }
     val paired =
-      if (probeFits) corpus.join(broadcast(probes), Seq("tbl", "bucket"))
-      else if (shjFits) corpus.join(probes.hint("shuffle_hash"), Seq("tbl", "bucket"))
-      else corpus.join(probes.hint("merge"), Seq("tbl", "bucket"))
+      if (nSlices == 1) pairsOfSlice(batchCapped)
+      else {
+        // deterministic content-keyed slicing; each slice's slim pairs
+        // are cut eagerly so its two broadcasts are released before the
+        // next slice builds (K broadcasts never coexist)
+        val sliceKey = pmod(xxhash64(col("vec_id")), lit(nSlices.toLong))
+        (0 until nSlices)
+          .map(s => cut(pairsOfSlice(batchCapped.filter(sliceKey === s))))
+          .reduce(_ unionByName _)
+          // cross-slice collapse: a pair seen from both endpoints' slices
+          .groupBy(col("pair_a"), col("pair_b"))
+          .agg(max(col("cosine")).as("cosine"))
+      }
     paired
-      .filter(col("vec_a") =!= col("vec_id"))
-      .select(least(col("vec_a"), col("vec_id")).as("pair_a"),
-        greatest(col("vec_a"), col("vec_id")).as("pair_b"),
-        R.halfUp(when(col("nrm_a") === 0.0 || col("nrm") === 0.0, 0.0)
-          .otherwise(V.dot(col("emb_a"), col("emb")) / (col("nrm_a") * col("nrm"))), 6)
-          .as("cosine"))
-      .filter(col("cosine") >= TextOps.CosTau)
-      // one groupBy collapses directions AND multi-table hits; cosine is
-      // symmetric and table-independent, so max == distinct
-      .groupBy(col("pair_a"), col("pair_b"))
-      .agg(max(col("cosine")).as("cosine"))
       .select(col("pair_a").as("vec_a"), col("pair_b").as("vec_b"), col("cosine"))
       .orderBy(col("vec_a"), col("vec_b"))
   }

@@ -133,6 +133,30 @@ class BandEmbIndexSpec extends SparkTestBase {
     assert(BandEmbIndex.coded(wh).count() === n, "fallback replay duplicated rows")
   }
 
+  test("sliced probe (budget forces many slices) == single-pass pairs bit-identically") {
+    // the round-14 bounded-scratch path: a probe budget far under the
+    // batch's slim probe bytes forces the per-slice double-broadcast
+    // plan; slices partition probe rows against a fixed corpus and the
+    // cap is computed on the FULL batch, so results must be identical
+    val wh = tmpWh()
+    BandEmbIndex.seed(wh, partA, tT, tB)
+    val bc = graft.queries.Frames.cut(BandEmbIndex.codedOf(partB, tT, tB))
+    val single = pairSet(BandEmbIndex.incrementCosinePairsOf(
+      BandEmbIndex.coded(wh), bc, tB, tR, TextOps.EmbBucketCap))
+    val sliced = pairSet(BandEmbIndex.incrementCosinePairsOf(
+      BandEmbIndex.coded(wh), bc, tB, tR, TextOps.EmbBucketCap,
+      probeBroadcastMaxBytes = 2048)) // ~150 batch rows x masks x 40B >> 2KB
+    assert(single.nonEmpty)
+    assert(sliced === single, "sliced probe diverged from the single-pass join")
+    // and at a biting cap too — the cap must stay full-batch, not per-slice
+    val singleCap = pairSet(BandEmbIndex.incrementCosinePairsOf(
+      BandEmbIndex.coded(wh), bc, tB, tR, maxBucket = 4))
+    val slicedCap = pairSet(BandEmbIndex.incrementCosinePairsOf(
+      BandEmbIndex.coded(wh), bc, tB, tR, maxBucket = 4,
+      probeBroadcastMaxBytes = 2048))
+    assert(slicedCap === singleCap, "slicing changed the union-cap semantics")
+  }
+
   test("seedBandedEmbeddings + ingestBandedEmbeddingBatch == full banded recluster; replay no-op") {
     val wh = tmpWh()
     ClusterState.seedBandedEmbeddings(wh, partA, tT, tB, tR)
