@@ -192,7 +192,7 @@ object EmbIndex extends PersistedIndex {
                                             maxBucket: Int,
                                             maxInline: Int = BucketPrune.MaxInline,
                                             probeBroadcastMaxBytes: Long =
-                                              TextOps.ProbeBroadcastMaxBytes): DataFrame = {
+                                              TextOps.DialProbeBroadcastMaxBytes): DataFrame = {
     val cut = Frames.cut _
     // an already-materialized coded frame is not copied again
     val bc = Frames.cutIfPlain(batchCoded)

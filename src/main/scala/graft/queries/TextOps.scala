@@ -1851,6 +1851,20 @@ object TextOps {
     */
   val ProbeBroadcastMaxBytes: Long = 256L << 20
 
+  /** `SPARK_GRAFT_PROBE_BC_MB` dials [[ProbeBroadcastMaxBytes]] for a
+    * session (MB) — the knob a cluster deployment raises to cut the
+    * sliced banded probe's slice count K (each slice re-streams the
+    * pruned corpus, so at a fixed batch the wall's stream term is
+    * ~K × stream; SCALE.md round 14's decade³ completion paid K ≈ 19 at
+    * the 256 MB default). Driver memory must cover the raised budget:
+    * one slice holds ~2 budgets of broadcast (slim probes + slice
+    * vectors), × [[BandEmbIndex.DialSlicePar]] when slices dispatch
+    * concurrently.
+    */
+  private[graft] lazy val DialProbeBroadcastMaxBytes: Long =
+    sys.env.get("SPARK_GRAFT_PROBE_BC_MB").map(_.trim.toLong << 20)
+      .getOrElse(ProbeBroadcastMaxBytes)
+
   /** Budget for a SHUFFLED-HASH build side. The shuffle-hash pin exists
     * to keep the planner from broadcasting Generate-hidden or
     * query-derived frames — but SHJ's per-partition hash map CANNOT
@@ -2287,7 +2301,16 @@ object TextOps {
     // `graft.cc.localMaxEdges` (specs set 0 to force the loop).
     val localMax = sys.props.get("graft.cc.localMaxEdges").map(_.toLong)
       .getOrElse(LocalCCMaxEdges)
-    if (pairs.count() <= localMax)
+    val nPairs = pairs.count()
+    // budget telemetry: the contracted-graph edge count IS the term that
+    // decides local-vs-distributed, so surface it when it matters —
+    // always past half the budget (a deployment approaching the collect
+    // bound should see it coming), and on demand (SPARK_GRAFT_CC_LOG)
+    // for scale measurement batteries
+    if (nPairs > localMax / 2 || sys.env.contains("SPARK_GRAFT_CC_LOG"))
+      System.err.println(s"[graft.cc] contracted pairs=$nPairs localMax=$localMax " +
+        s"path=${if (nPairs <= localMax) "driver-union-find" else "distributed-loop"}")
+    if (nPairs <= localMax)
       return localComponents(participating, pairs)
 
     val MaxIters = 32

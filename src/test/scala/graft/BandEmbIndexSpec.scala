@@ -157,6 +157,42 @@ class BandEmbIndexSpec extends SparkTestBase {
     assert(slicedCap === singleCap, "slicing changed the union-cap semantics")
   }
 
+  test("sliceCountFor bounds BOTH broadcasts: vector payload dominates at radius 0") {
+    // widths derive from the projected shapes (slim: long+int+long data)
+    assert(BandEmbIndex.slimRowWidth === 8L + 4L + 8L + 20L,
+      "slim width no longer matches the (vec_a, tbl, bucket) projection — " +
+        "if the probe projection widened, this pin must move WITH it")
+    assert(BandEmbIndex.vecRowWidth > 8L * graft.queries.Lsh.Dim,
+      "vector width must cover the true Dim-double payload, not ArrayType.defaultSize")
+    val budget = 1L << 20
+    // L=5 tables: 500k coded rows over 100k vectors
+    val (rows, vecs) = (500000L, 100000L)
+    // radius-1-ish fan-out: slim side dominates (17 masks x 40B/coded row)
+    val slimDominated = BandEmbIndex.sliceCountFor(rows, vecs, 17, budget)
+    assert(slimDominated === math.ceil(rows * 17.0 * BandEmbIndex.slimRowWidth / budget).toInt)
+    // radius 0 (1 mask): the VECTOR broadcast dominates — the round-14
+    // slim-only math under-sliced this case ~14x (ADVICE round 14)
+    val vecDominated = BandEmbIndex.sliceCountFor(rows, vecs, 1, budget)
+    assert(vecDominated === math.ceil(vecs * 1.0 * BandEmbIndex.vecRowWidth / budget).toInt)
+    assert(vecDominated > math.ceil(rows * 1.0 * BandEmbIndex.slimRowWidth / budget).toInt,
+      "radius-0 slice count must exceed the slim-only estimate")
+    assert(BandEmbIndex.sliceCountFor(10L, 2L, 1, Long.MaxValue) === 1)
+  }
+
+  test("concurrent slice dispatch (slicePar > 1) == sequential == single-pass") {
+    val wh = tmpWh()
+    BandEmbIndex.seed(wh, partA, tT, tB)
+    val bc = graft.queries.Frames.cut(BandEmbIndex.codedOf(partB, tT, tB))
+    val single = pairSet(BandEmbIndex.incrementCosinePairsOf(
+      BandEmbIndex.coded(wh), bc, tB, tR, TextOps.EmbBucketCap))
+    val concurrent = pairSet(BandEmbIndex.incrementCosinePairsOf(
+      BandEmbIndex.coded(wh), bc, tB, tR, TextOps.EmbBucketCap,
+      probeBroadcastMaxBytes = 2048, slicePar = 3))
+    assert(single.nonEmpty)
+    assert(concurrent === single,
+      "concurrently-dispatched slices diverged from the single-pass join")
+  }
+
   test("seedBandedEmbeddings + ingestBandedEmbeddingBatch == full banded recluster; replay no-op") {
     val wh = tmpWh()
     ClusterState.seedBandedEmbeddings(wh, partA, tT, tB, tR)
