@@ -137,7 +137,15 @@ object Bench {
     // makes a query's two samples anti-correlated in wall-clock position:
     // a spike that covers query X in pass 1 covers suite-end queries in
     // pass 2, so at least one sample of X stays clean.
-    val (pass1, pass2) = (fullPass(names), fullPass(names.reverse))
+    // SPARK_GRAFT_PASSES=1 drops the second (reversed) pass — for the
+    // decade-scale measurement batteries where one pass is 20+ minutes
+    // and the quantity measured is a RATIO between configs on the same
+    // box, not a baseline-grade absolute. The driver leaves it unset
+    // (min-of-two-reversed stays the baseline protocol).
+    val passes = sys.env.get("SPARK_GRAFT_PASSES").map(_.trim.toInt).getOrElse(2)
+    val (pass1, pass2) =
+      if (passes <= 1) { val p = fullPass(names); (p, p) }
+      else (fullPass(names), fullPass(names.reverse))
     // A failed run's elapsed time is meaningless — only successful samples
     // count toward the min; a query with zero successes reports -1 and is
     // listed in "errors" so the driver can't mistake a crash for a speedup.
@@ -162,18 +170,31 @@ object Bench {
     // mechanically, so a regression shows up in the round artifact itself
     // instead of via judge archaeology. The 2x/0.3s floor sits above the
     // documented +-25-30% box variance; empty array on a clean run.
-    val baseline: Map[String, Double] =
-      try {
-        val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(
-          sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "BENCH_BASELINE.json")))
-        "\"([qt][0-9][a-z0-9_]+)\"\\s*:\\s*([0-9.]+)".r
-          .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
-      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    val baselineTxt: Option[String] =
+      try Some(java.nio.file.Files.readString(java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "BENCH_BASELINE.json"))))
+      catch { case scala.util.control.NonFatal(_) => None }
+    val baseline: Map[String, Double] = baselineTxt.map { txt =>
+      "\"([qt][0-9][a-z0-9_]+)\"\\s*:\\s*([0-9.]+)".r
+        .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }.getOrElse(Map.empty)
+    // The gate is only meaningful at the baseline's OWN scale factor: a
+    // decade-scale battery artifact with sf0.1 "regressions" reads as a
+    // gate failure when it is a scale measurement (round-14 judge note).
+    // The baseline records its sf dir; a different corpus dir (compared
+    // by basename — batteries read the same data from different roots)
+    // suppresses the comparison with an explicit null + note.
+    val baselineSf: Option[String] = baselineTxt.flatMap(txt =>
+      "\"sf\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(txt).map(_.group(1)))
+    val sameScale = baselineSf.forall(b =>
+      new java.io.File(b).getName == new java.io.File(sfDir).getName)
     val regressions = results.collect {
       case (n, cur) if cur >= 0 && baseline.get(n).exists(b => b > 0 && cur > 2 * b && cur - b > 0.3) =>
         s"""{"q":"$n","base":${f3(baseline(n))},"cur":${f3(cur)}}"""
     }
-    val regJson = s""","regressions":[${regressions.mkString(",")}]"""
+    val regJson =
+      if (sameScale) s""","regressions":[${regressions.mkString(",")}]"""
+      else s""","regressions":null,"regressions_note":"baseline covers ${baselineSf.getOrElse("?")}; this run is $sfDir — cross-scale comparison suppressed""""
     val errJson = if (errors.isEmpty) "" else errors.mkString(",\"errors\":[\"", "\",\"", "\"]")
     val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs$regJson$errJson,"sf":"$sfDir"}"""
     // HEADLINE-FIRST: round 10's driver artifact truncated the (long)
