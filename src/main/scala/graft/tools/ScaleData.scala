@@ -130,8 +130,17 @@ object ScaleData {
           // reproduces the level-2 global negation. Identity below
           // 2·dim copies: recorded factor-≤128 corpora byte-identical.
           val blockBits = i / (2 * dim) % 8
+          // quarter width via integer division: for dim % 4 != 0 the tail
+          // past 4·q is never negated (floor(pos/q) = 4 ∉ {1,2,3}) —
+          // still an exact isometry, just a slightly smaller flipped
+          // block. dim < 4 would make q = 0 and floor(pos/0) NULL in
+          // non-ANSI Spark, silently collapsing level 3 to the identity
+          // (cycle stays 2·dim) — skip it EXPLICITLY instead so the
+          // degraded cycle is a stated property, not a division artifact.
           val q = dim / 4
-          val negQuarters = (1 to 3).filter(b => (blockBits & (1 << (b - 1))) != 0)
+          val negQuarters =
+            if (q == 0) Nil
+            else (1 to 3).filter(b => (blockBits & (1 << (b - 1))) != 0)
           val iso3 =
             if (negQuarters.isEmpty) iso
             else transform(iso, (x, pos) =>

@@ -77,4 +77,34 @@ class ScaleDataSpec extends SparkTestBase {
     val expected = (v0.drop(1) ++ v0.take(1)).toSeq
     assert(scaled(1L).head.toSeq == expected, "level-1 rotation changed")
   }
+
+  test("tiny dims: level 3 skips explicitly at dim < 4; dim % 4 tail preserved, no nulls") {
+    import spark.implicits._
+    // dim = 2: q = dim/4 = 0 — pre-guard, floor(pos/0) was NULL in
+    // non-ANSI Spark and silently nulled level-3 copies' embeddings;
+    // the guard makes level 3 an explicit identity (degraded cycle 2·dim
+    // is a stated property for sub-4 dims, not a division artifact)
+    for (dim <- Seq(2, 6)) {
+      val rng = new scala.util.Random(11)
+      val vecs = Seq.tabulate(2)(i => (i.toLong, Array.fill(dim)(rng.nextGaussian().toFloat)))
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_scale_dim${dim}_").toString
+      vecs.toDF("vec_id", "embedding").write.parquet(s"$dir/embeddings.parquet")
+      // one copy per isometry level incl. a level-3-engaged one (i >= 2·dim)
+      val copies = Seq(0L, 1L, (2 * dim).toLong, (4 * dim + 1).toLong)
+      val scaled = ScaleData.scaleTable(spark, "embeddings", dir, 5 * dim)
+        .filter(floor(col("vec_id") / ScaleData.Stride).isin(copies: _*) &&
+          col("vec_id") % ScaleData.Stride === 0)
+        .select((col("vec_id") / ScaleData.Stride).cast("long").as("copy"), col("embedding"))
+        .as[(Long, Array[Float])].collect()
+      assert(scaled.length == copies.length)
+      assert(scaled.forall(r => r._2 != null && !r._2.exists(_.isNaN) && r._2.length == dim),
+        s"dim=$dim produced null/NaN/truncated embeddings at a level-3 copy")
+      // isometry at every sampled copy of base vector 0: norm preserved
+      val baseNorm = math.sqrt(vecs.head._2.map(x => x.toDouble * x).sum)
+      for ((c, v) <- scaled) {
+        val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+        assert(math.abs(n - baseNorm) < 1e-4, s"dim=$dim copy $c broke the isometry: $n vs $baseNorm")
+      }
+    }
+  }
 }
