@@ -1856,9 +1856,10 @@ object TextOps {
     * sliced banded probe's slice count K (each slice re-streams the
     * pruned corpus, so at a fixed batch the wall's stream term is
     * ~K × stream; SCALE.md round 14's decade³ completion paid K ≈ 19 at
-    * the 256 MB default). Driver memory must cover the raised budget:
-    * one slice holds ~2 budgets of broadcast (slim probes + slice
-    * vectors), × [[BandEmbIndex.DialSlicePar]] when slices dispatch
+    * the 256 MB default). Driver memory AND `spark.driver.maxResultSize`
+    * must cover the raised budget: one slice holds ~2 budgets of
+    * broadcast (slim probes + slice vectors), collected through the
+    * driver, × [[BandEmbIndex.DialSlicePar]] when slices dispatch
     * concurrently.
     */
   private[graft] lazy val DialProbeBroadcastMaxBytes: Long =

