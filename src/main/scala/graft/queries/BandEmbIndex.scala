@@ -297,6 +297,12 @@ object BandEmbIndex extends PersistedIndex {
     val batchRows = bc.count()
     val batchVecs = bc.select(col("vec_id")).distinct().count()
     val nSlices = sliceCountFor(batchRows, batchVecs, masks.length, probeBroadcastMaxBytes)
+    // slice-plan telemetry (no silent caps): one line per probe naming
+    // the bound that sized K, so a budget/concurrency dial's effect is
+    // verifiable from any run log
+    if (nSlices > 1)
+      System.err.println(s"[graft.probe] slices=$nSlices rows=$batchRows vecs=$batchVecs " +
+        s"masks=${masks.length} budgetMB=${probeBroadcastMaxBytes >> 20} par=${math.min(slicePar, nSlices)}")
     def pairsOfSlice(slice: DataFrame): DataFrame = {
       val slimProbes = slice.select(col("vec_id").as("vec_a"), col("tbl"),
         explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
