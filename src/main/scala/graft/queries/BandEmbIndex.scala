@@ -183,17 +183,21 @@ object BandEmbIndex extends PersistedIndex {
       bits, radius, maxBucket)
 
   /** Bounded concurrent dispatch width for independent probe slices
-    * (`SPARK_GRAFT_PROBE_SLICE_PAR`, default 1 = sequential). Slices
-    * share no state — each broadcasts its own slim rows + vectors and
-    * streams the same immutable pruned corpus cut — so dispatching P at
-    * once overlaps their stream scans and stage gaps; the price is P
-    * slices' broadcasts coexisting (~2 × [[TextOps.ProbeBroadcastMaxBytes]]
-    * each), which the driver heap must cover. Measured round 15
-    * (SCALE.md): the recovery dial for the decade³ sequential-stream
-    * wall alongside a raised broadcast budget.
+    * (`SPARK_GRAFT_PROBE_SLICE_PAR`). Slices share no state — each
+    * broadcasts its own slim rows + vectors and streams the same
+    * immutable pruned corpus cut — so dispatching P at once overlaps
+    * their stream scans, stage gaps, and under-filled task waves; the
+    * price is P slices' broadcasts coexisting
+    * (~2 × [[TextOps.ProbeBroadcastMaxBytes]] each), which the driver
+    * heap must cover. Default 4, measured round 15 (SCALE.md sweep:
+    * 533 → 382 s at the default budget, 318 s at 1 GB × 4, on the
+    * 2M-vector lifecycle — 1.4-1.7× and the decade³ step returns under
+    * corpus growth); spec-pinned result-identical to sequential, and a
+    * probe that doesn't slice (nSlices = 1) never pays it. Set 1 to
+    * force sequential dispatch on a memory-tight driver.
     */
   private[graft] lazy val DialSlicePar: Int =
-    sys.env.get("SPARK_GRAFT_PROBE_SLICE_PAR").map(_.trim.toInt).getOrElse(1)
+    sys.env.get("SPARK_GRAFT_PROBE_SLICE_PAR").map(_.trim.toInt).getOrElse(4)
 
   /** Slice count that bounds BOTH per-slice broadcasts under `budget`:
     * the slim probe rows (codedRows × maskCount × [[slimRowWidth]]) AND
