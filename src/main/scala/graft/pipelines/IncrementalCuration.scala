@@ -461,7 +461,12 @@ object IncrementalCuration {
     // the batch coding is shared by probe and append the same way
     val codedBatch = emb.map(e => prof("emb-code")(cutT(e.codedBatch)))
     val embPairsGated = emb.map { e =>
-      val vPairs = e.incrementPairs(wh, codedBatch.get)
+      // the index probe runs its eager work (pruned-index cut, slice-plan
+      // stats, per-slice materializations) INSIDE this call — the timer
+      // must wrap the call itself, not just the downstream cut: the first
+      // t42 decomposition wrapped only normPairs and 75 % of the ingest
+      // wall went unattributed (the probe hid in construction)
+      val vPairs = prof("emb-probe")(e.incrementPairs(wh, codedBatch.get))
       val docPairs = e.docPairsOf(vPairs.select(col("vec_a"), col("vec_b")))
       // probe-shaped like the exact stage above: the survivor universe
       // (settled keep_ids ∪ batch survivors) is corpus-scale, so instead
@@ -470,7 +475,7 @@ object IncrementalCuration {
       // endpoint ids — probe pairs are batch-bounded (every pair has a
       // batch endpoint), so the hit set is too, and the gating semi-joins
       // run against its broadcast
-      val normPairs = prof("emb-probe")(cutT(docPairs
+      val normPairs = prof("emb-pairs-norm")(cutT(docPairs
         .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
           greatest(col("doc_a"), col("doc_b")).as("doc_b"))
         .filter(col("doc_a") =!= col("doc_b"))))

@@ -33,15 +33,25 @@ object CcProbe {
     val nCliques = math.max(1L, edgesTarget / edgesPerClique)
     val nNodes = nCliques * m
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // shuffle partitions scale with the graph (~2M mirrored edge rows
+    // per task), not with the core count: at 400M edges the suite's
+    // partitions=cpus=32 put ~25M rows in every per-task aggregation
+    // map and 32 concurrent tasks starved execution memory against the
+    // pinned checkpoint blocks (measured: AGGREGATE_OUT_OF_MEMORY on a
+    // 48 GB heap). This IS the capacity model's deployment rule — at
+    // decade-4 edge counts, spark.sql.shuffle.partitions must track
+    // edges/partition-budget, exactly as any 100 TB shuffle does.
+    val partitions = args.lift(2).map(_.toInt)
+      .getOrElse(math.max(cpus.toInt, (edgesTarget / 2000000L).toInt))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", partitions)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     println(s"[ccprobe] cliques=$nCliques m=$m nodes=$nNodes " +
-      s"edges=${nCliques * edgesPerClique}")
+      s"edges=${nCliques * edgesPerClique} shufflePartitions=$partitions")
     val nodes = spark.range(nNodes).select(col("id").as("doc_id"))
     // (i div m) is exact in double space for any id < 2^53 — fine at any
     // edge count this box can hold

@@ -19,7 +19,10 @@ import graft.pipelines.IncrementalCuration
   *   signals-exact    quality signals + settled-hash exact stage (cut)
   *   minhash-band     batch survivors' shingle+minhash banding (cut)
   *   emb-code         batch embedding L-table sign coding (cut)
-  *   emb-probe        persisted BandEmbIndex probe → doc pairs (cut)
+  *   emb-probe        the persisted BandEmbIndex sliced probe — wraps
+  *                    the CALL (its eager pruned-index cut + slice
+  *                    materializations), not just a downstream cut
+  *   emb-pairs-norm   vec pairs → normalized doc pairs (cut)
   *   split:band-probe the MinHash band-index probe alone (profiling-only
   *                    extra pass; its cost is INSIDE drop-set too)
   *   drop-set         band probe + survivor gating (+ clustered: the
