@@ -189,17 +189,25 @@ object BandEmbIndex extends PersistedIndex {
     * their stream scans, stage gaps, and under-filled task waves; the
     * price is P slices' broadcasts coexisting
     * (~2 × [[TextOps.ProbeBroadcastMaxBytes]] each), which the driver
-    * heap must cover. Default 4, measured round 15 (SCALE.md sweep:
-    * 533 → 382 s at the default budget, 318 s at 1 GB × 4, on the
-    * 2M-vector lifecycle — 1.4-1.7× and the decade³ step returns under
-    * corpus growth); spec-pinned result-identical to sequential, and a
-    * probe that doesn't slice (nSlices = 1) never pays it. Set 1 to
+    * heap must cover. Default [[parFor]](cores) ≈ cores/4 — the
+    * round-16 K × par surface's measured knee (BENCH_R16_KSCALE.json:
+    * on 32 cores at K=18, par 4/8/16 ran 294/252/295 s — ~4 cores per
+    * in-flight slice packs the box; fewer under-fills it, more
+    * over-subscribes). Spec-pinned result-identical to sequential, and
+    * a probe that doesn't slice (nSlices = 1) never pays it. Set 1 to
     * force sequential dispatch. The effective width is additionally
     * capped by [[maxParFor]] — a memory-tight driver gets a narrower
     * (telemetered) dispatch automatically rather than an OOM.
     */
   private[graft] lazy val DialSlicePar: Int =
-    TextOps.envInt("SPARK_GRAFT_PROBE_SLICE_PAR", 1, 4)
+    TextOps.envInt("SPARK_GRAFT_PROBE_SLICE_PAR", 1,
+      parFor(Runtime.getRuntime.availableProcessors()))
+
+  /** The measured dispatch knee as a default: ~one in-flight slice per
+    * 4 cores, floored at the round-15 default of 4 so small boxes keep
+    * the measured 1.4-1.7× overlap win (their heap guard still applies).
+    */
+  private[graft] def parFor(cores: Int): Int = math.max(4, cores / 4)
 
   /** Driver-heap cap on the concurrent dispatch width: each in-flight
     * slice holds ~2 × `budget` of broadcast (slim probes + slice

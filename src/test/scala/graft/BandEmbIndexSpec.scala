@@ -188,6 +188,16 @@ class BandEmbIndexSpec extends SparkTestBase {
       s"4x dim must move the vector-dominated slice count ~4x (got $vecDominated -> $wide)")
   }
 
+  test("parFor encodes the measured dispatch knee: ~cores/4, floored at 4") {
+    // BENCH_R16_KSCALE.json: on 32 cores at K=18 slices, par 4/8/16 ran
+    // 294/252/295 s — the knee is ~4 cores per in-flight slice
+    assert(BandEmbIndex.parFor(32) === 8)
+    assert(BandEmbIndex.parFor(64) === 16)
+    // small boxes keep the round-15 default (the heap guard still caps)
+    assert(BandEmbIndex.parFor(8) === 4)
+    assert(BandEmbIndex.parFor(1) === 4)
+  }
+
   test("maxParFor caps concurrent dispatch to the driver-heap allowance") {
     val gb = 1L << 30
     // half the heap / (2 x budget) per in-flight slice: 8 GB heap at the
