@@ -195,9 +195,15 @@ object Bench {
       case (n, cur) if cur >= 0 && baseline.get(n).exists(b => b > 0 && cur > 2 * b && cur - b > 0.3) =>
         s"""{"q":"$n","base":${f3(baseline(n))},"cur":${f3(cur)}}"""
     }
+    // three distinguishable suppression states (round-16 ADVICE): a gate
+    // that ran, a baseline at another scale, and NO baseline at all — the
+    // last used to borrow the cross-scale wording ("covers ?"), reading as
+    // a scale mismatch when the file was simply absent/unreadable
     val regJson =
       if (sameScale) s""","regressions":[${regressions.mkString(",")}]"""
-      else s""","regressions":null,"regressions_note":"baseline covers ${baselineSf.getOrElse("?")}; this run is $sfDir — cross-scale comparison suppressed""""
+      else if (baselineTxt.isEmpty)
+        s""","regressions":null,"regressions_note":"no baseline file readable — gate skipped""""
+      else s""","regressions":null,"regressions_note":"baseline covers ${baselineSf.getOrElse("<unrecorded sf>")}; this run is $sfDir — cross-scale comparison suppressed""""
     val errJson = if (errors.isEmpty) "" else errors.mkString(",\"errors\":[\"", "\",\"", "\"]")
     val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs$regJson$errJson,"sf":"$sfDir"}"""
     // HEADLINE-FIRST: round 10's driver artifact truncated the (long)

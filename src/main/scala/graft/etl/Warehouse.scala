@@ -137,6 +137,19 @@ case class Warehouse(spark: SparkSession, dir: String) {
     try body finally if (acquired) releaseWriterLease()
   }
 
+  /** Hold the writer lease across a MULTI-TABLE advance whose individual
+    * writes dispatch from several threads (the ingest's concurrent
+    * appends). Re-entrancy is keyed on the per-JVM [[Warehouse.OwnerId]],
+    * so the inner appendLive calls re-enter regardless of thread — but
+    * WITHOUT an outer holder, two fresh threads racing the create-
+    * exclusive would throw [[ConcurrentWriterException]] against their
+    * own process, and the first finisher would release the lease out
+    * from under the others. The outer scope closes both: one acquire,
+    * one release, after every branch lands.
+    */
+  private[graft] def withWriterScope[T](op: String)(body: => T): T =
+    withWriterLease(op)(body)
+
   /** History generations mirror the data-version scheme: each write lands a
     * NEW `name.__history.NNNNNN` file (tmp + rename-to-fresh-name — never a
     * delete in the commit path), readers resolve the newest suffix, and

@@ -155,9 +155,22 @@ object IncrementalCuration {
     case Some(sink) =>
       val t0 = System.nanoTime()
       val r = body
-      sink(name, (System.nanoTime() - t0) / 1e9)
+      // the concurrent appends report from pool threads — serialize the
+      // sink call so a plain collection sink needs no locking of its own
+      sink.synchronized(sink(name, (System.nanoTime() - t0) / 1e9))
       r
   }
+
+  /** Concurrent dispatch width for [[ingestImpl]]'s three index advances
+    * (`SPARK_GRAFT_APPEND_PAR`, specs override via the
+    * `graft.append.par` system property). Default 3 — one thread per
+    * advance; they are IO-bound parquet writes of independent tables, so
+    * overlap converts the round-16 stage table's 38.5 s of sequential
+    * append wall into max-of-three. 1 forces the sequential path.
+    */
+  private def AppendPar: Int =
+    sys.props.get("graft.append.par").map(_.trim.toInt)
+      .getOrElse(TextOps.envInt("SPARK_GRAFT_APPEND_PAR", 1, 3))
 
   /** Explicitly release the storage a [[cut]] pinned — the persisted
     * blocks behind the checkpointed frame's `LogicalRDD`. Within one
@@ -552,13 +565,49 @@ object IncrementalCuration {
     val auditOut = prof("tag-audit")(cut(audit))
 
     // advance the state: hashes not yet settled (a replayed batch's own
-    // entries are), bands at (doc_id, band) repair granularity
-    prof("append-hash")(wh.appendLive(HashTable,
-      staged2.filter(col("exact_ok") && col("settled_keep").isNull)
-        .select(col("content_hash"), col("doc_id").as("keep_id"))))
-    prof("append-band")(BandIndex.appendBatchBanded(wh, bandedSurv))
-    prof("append-emb")(
-      emb.zip(codedBatch).foreach { case (e, c) => e.appendCoded(wh, c) })
+    // entries are), bands at (doc_id, band) repair granularity.
+    // The three advances write INDEPENDENT tables from already-
+    // materialized cuts (staged2, bandedSurv, codedBatch are all
+    // checkpointed above; no append reads another's table), so they
+    // dispatch concurrently like the probe slices — the round-16 stage
+    // table priced them at 38.5 s of t42's wall as SEQUENTIAL parquet
+    // writes, each an under-filled IO-bound task wave. Order never
+    // mattered for crash-safety: every append is individually
+    // replay-idempotent (settled-hash guard, band/emb anti-joins), so a
+    // crash after any SUBSET of them replays to the same state
+    // regardless of which subset landed — the same contract the
+    // sequential ordering relied on (spec-pinned: concurrent == sequential
+    // final state). The warehouse writer lease is held ONCE around the
+    // block: per-append acquisition from fresh threads would race the
+    // create-exclusive against this same process.
+    val appendTasks: Seq[(String, () => Unit)] = Seq(
+      "split:append-hash" -> (() => wh.appendLive(HashTable,
+        staged2.filter(col("exact_ok") && col("settled_keep").isNull)
+          .select(col("content_hash"), col("doc_id").as("keep_id")))),
+      "split:append-band" -> (() => BandIndex.appendBatchBanded(wh, bandedSurv)),
+      "split:append-emb" -> (() =>
+        emb.zip(codedBatch).foreach { case (e, c) => e.appendCoded(wh, c) }))
+    prof("appends")(wh.withWriterScope("ingest-appends") {
+      if (AppendPar <= 1) appendTasks.foreach { case (n, f) => prof(n)(f()) }
+      else {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(AppendPar, appendTasks.size))
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        try Await.result(
+          Future.sequence(appendTasks.map { case (n, f) => Future(prof(n)(f())) }),
+          scala.concurrent.duration.Duration.Inf)
+        finally {
+          // drain FULLY before the writer scope closes: Await rethrows on
+          // the FIRST failure, but a sibling append may still be writing —
+          // releasing the lease (and the cuts below) under it would let
+          // another process GC versions mid-write. In-flight appends are
+          // idempotent, so letting them land is the safe teardown.
+          pool.shutdown()
+          pool.awaitTermination(Long.MaxValue, java.util.concurrent.TimeUnit.NANOSECONDS)
+        }
+      }
+    })
     // outputs are materialized and the appends have run — every consumer
     // of the intermediate cuts is done; release their pins so a long-lived
     // session (the bench JVM, a per-batch driver loop) holds only the two

@@ -683,18 +683,34 @@ object TextOps {
       min
     } else v
   }
+  /** Values ABOVE a stated ceiling clamp loudly too — the symmetric case
+    * of the floor ([[parseDial]]): an Int dial parsed as Long used to
+    * truncate 2^32 to 0, and the probe-budget MB dial shifted into Long
+    * overflow — both silent wraps the validation layer exists to prevent
+    * (round-16 ADVICE).
+    */
+  private[graft] def clampDialMax(name: String, v: Long, max: Long): Long =
+    if (v > max) {
+      System.err.println(s"[graft.dial] $name=$v is above the maximum $max — clamped")
+      max
+    } else v
   private[graft] def envInt(name: String, min: Int, default: => Int): Int =
     sys.env.get(name)
-      .map(r => math.min(parseDial(name, r, min), Int.MaxValue.toLong).toInt)
+      .map(r => clampDialMax(name, parseDial(name, r, min), Int.MaxValue).toInt)
       .getOrElse(default)
   private[graft] def envLong(name: String, min: Long, default: => Long): Long =
     sys.env.get(name).map(parseDial(name, _, min)).getOrElse(default)
+  private[graft] def envLongCapped(name: String, min: Long, max: Long,
+                                   default: => Long): Long =
+    sys.env.get(name).map(r => clampDialMax(name, parseDial(name, r, min), max))
+      .getOrElse(default)
 
   private[graft] lazy val DialBits: Int =
     envInt("SPARK_GRAFT_LSH_BITS", 1, Lsh.Bits)
   private[graft] lazy val DialRadius: Option[Int] =
     sys.env.get("SPARK_GRAFT_LSH_RADIUS")
-      .map(r => parseDial("SPARK_GRAFT_LSH_RADIUS", r, 0).toInt)
+      .map(r => clampDialMax("SPARK_GRAFT_LSH_RADIUS",
+        parseDial("SPARK_GRAFT_LSH_RADIUS", r, 0), Int.MaxValue).toInt)
   /** The radius the registered queries RUN at when the env leaves it to
     * policy: [[Lsh.radiusFor]] of the dialed bits, from each family's
     * base (pair family 4, ANN probe 3). This is what closes the round-11
@@ -1886,11 +1902,18 @@ object TextOps {
     * the 256 MB default). Driver memory AND `spark.driver.maxResultSize`
     * must cover the raised budget: one slice holds ~2 budgets of
     * broadcast (slim probes + slice vectors), collected through the
-    * driver, × [[BandEmbIndex.DialSlicePar]] when slices dispatch
-    * concurrently.
+    * driver, × the effective dispatch width when slices dispatch
+    * concurrently ([[BandEmbIndex.dialSlicePar]]).
+    *
+    * The MB value is clamped to [[MaxProbeBcMb]] (loudly) so the byte
+    * conversion below cannot overflow Long — an absurd dial used to wrap
+    * silently past 2^43 MB, defeating the loud-validation layer for this
+    * one dial (round-16 ADVICE).
     */
+  private[graft] val MaxProbeBcMb: Long = 1L << 24 // 16 TB — far past any heap
   private[graft] lazy val DialProbeBroadcastMaxBytes: Long =
-    envLong("SPARK_GRAFT_PROBE_BC_MB", 1, ProbeBroadcastMaxBytes >> 20) << 20
+    envLongCapped("SPARK_GRAFT_PROBE_BC_MB", 1, MaxProbeBcMb,
+      ProbeBroadcastMaxBytes >> 20) << 20
 
   /** Budget for a SHUFFLED-HASH build side. The shuffle-hash pin exists
     * to keep the planner from broadcasting Generate-hidden or
@@ -2339,6 +2362,61 @@ object TextOps {
     if (nPairs <= localMax)
       return localComponents(participating, pairs)
 
+    // Shuffle partitions must track the GRAPH, not the core count — the
+    // capacity-model deployment rule CcProbe measured by failing first
+    // (BENCH_R16_CC.json: at 400M edges, partitions=cpus=32 put ~25M
+    // mirrored rows in every per-task aggregation map and died
+    // AGGREGATE_OUT_OF_MEMORY on a 48 GB heap; 200 still died, 400
+    // completed ⇒ ~2M mirrored rows ≈ 1M pairs per task). Guards belong
+    // in arithmetic, not SCALE.md notes (PLANS.md rule), so the loop
+    // raises the session's shuffle partitions itself for its own rounds
+    // and restores the caller's value after — the edge count is already
+    // in hand from the routing decision, so the scaling is free.
+    val sess = nodes.sparkSession
+    val prevParts = sess.sessionState.conf.numShufflePartitions
+    val ccParts = ccShufflePartitionsFor(nPairs, prevParts)
+    if (ccParts > prevParts) {
+      System.err.println(s"[graft.cc] shuffle partitions $prevParts → $ccParts " +
+        s"for the propagation loop (~${ccPairsPerTask} pairs/task at $nPairs edges)")
+      sess.conf.set("spark.sql.shuffle.partitions", ccParts.toString)
+    }
+    try propagateLoop(participating, edges)
+    finally if (ccParts > prevParts)
+      sess.conf.set("spark.sql.shuffle.partitions", prevParts.toString)
+  }
+
+  /** Pairs per task for the distributed CC loop's shuffles — measured,
+    * not chosen: 1M pairs mirror to 2M edge rows per task, the densest
+    * packing that survived a 48 GB heap at 400M edges (BENCH_R16_CC.json;
+    * 200 partitions = 2M pairs/task still died, 400 completed).
+    */
+  private[graft] val CcPairsPerTask = 1000000L
+
+  /** Spec hook mirroring `graft.cc.localMaxEdges`: the per-task pair
+    * budget, overridable so a 40-edge test graph can exercise the
+    * raise-and-restore path without forty million rows.
+    */
+  private def ccPairsPerTask: Long =
+    sys.props.get("graft.cc.pairsPerTask").map(_.toLong).getOrElse(CcPairsPerTask)
+
+  /** The loop's shuffle-partition count: the session default (small
+    * graphs never pay extra tasks) raised to ~[[CcPairsPerTask]] pairs
+    * per task, bounded so a pathological edge count cannot demand
+    * millions of tasks (at the bound each task still holds its budget;
+    * past it the cluster is mis-sized for the graph and task-count is
+    * not the binding constraint).
+    */
+  private[graft] def ccShufflePartitionsFor(nPairs: Long, sessionParts: Int): Int = {
+    val perTask = ccPairsPerTask
+    math.max(sessionParts.toLong,
+      math.min(200000L, (nPairs + perTask - 1) / perTask)).toInt
+  }
+
+  /** The iterative min-label propagation itself, over the already-routed
+    * distributed path — split from [[propagateLabels]] so the
+    * shuffle-partition scaling wraps exactly the rounds it sized.
+    */
+  private def propagateLoop(participating: DataFrame, edges: DataFrame): DataFrame = {
     val MaxIters = 32
     // PATH HALVING (pointer jumping) is GATED on round count: rounds
     // before [[HalvingStart]] run plain neighbor-min (ONE join + groupBy

@@ -33,16 +33,17 @@ object CcProbe {
     val nCliques = math.max(1L, edgesTarget / edgesPerClique)
     val nNodes = nCliques * m
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // shuffle partitions scale with the graph (~2M mirrored edge rows
-    // per task), not with the core count: at 400M edges the suite's
-    // partitions=cpus=32 put ~25M rows in every per-task aggregation
-    // map and 32 concurrent tasks starved execution memory against the
-    // pinned checkpoint blocks (measured: AGGREGATE_OUT_OF_MEMORY on a
-    // 48 GB heap). This IS the capacity model's deployment rule — at
-    // decade-4 edge counts, spark.sql.shuffle.partitions must track
-    // edges/partition-budget, exactly as any 100 TB shuffle does.
-    val partitions = args.lift(2).map(_.toInt)
-      .getOrElse(math.max(cpus.toInt, (edgesTarget / 2000000L).toInt))
+    // Shuffle partitions scale with the graph (~2M mirrored edge rows
+    // per task), not with the core count — the rule this probe measured
+    // by failing first (partitions=cpus=32 at 400M edges: ~25M rows in
+    // every per-task aggregation map, AGGREGATE_OUT_OF_MEMORY on a 48 GB
+    // heap). Since round 17 the propagation loop applies the rule ITSELF
+    // ([[graft.queries.TextOps.ccShufflePartitionsFor]] — edges are in
+    // hand from its routing count), so the probe launches at the SUITE
+    // DEFAULT (partitions = cpus) and the loop's own arithmetic must
+    // carry it; the optional third arg remains as an override for
+    // sweeping the dial.
+    val partitions = args.lift(2).map(_.toInt).getOrElse(cpus.toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", partitions)

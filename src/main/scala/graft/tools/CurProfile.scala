@@ -28,11 +28,18 @@ import graft.pipelines.IncrementalCuration
   *   drop-set         band probe + survivor gating (+ clustered: the
   *                    contracted increment, state rewrite, state read)
   *   tag-audit        final tagging + audit aggregate
-  *   append-*         hash / band / emb index advances
+  *   appends          the three index advances' combined wall (they
+  *                    dispatch concurrently since round 17)
+  *   split:append-*   hash / band / emb advances individually — nested
+  *                    INSIDE `appends`, overlapping when concurrent, so
+  *                    they are excluded from the top-level stage sum
   *
   * Usage: runMain graft.tools.CurProfile <dir> [t41|t42|t43]
   * Dials ride the same env as the bench (SPARK_GRAFT_LSH_BITS,
   * SPARK_GRAFT_BAND_BITS, SPARK_GRAFT_PROBE_BC_MB, ...).
+  * SPARK_GRAFT_CKPT_DIR=<path> switches every Frames.cut to a reliable
+  * disk checkpoint (the ask-#6 A/B arm: no storage-pinned cut blocks);
+  * each stage boundary also logs the session's pinned-block storage.
   */
 object CurProfile {
   def main(args: Array[String]): Unit = {
@@ -45,6 +52,33 @@ object CurProfile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Round-17 ask #6 A/B arm: with SPARK_GRAFT_CKPT_DIR set, every
+    // Frames.cut in the ingest becomes a RELIABLE disk checkpoint
+    // instead of a localCheckpoint — the pinned MEMORY_AND_DISK blocks
+    // that localCheckpoint holds in executor storage memory (where they
+    // compete with the probe's hash joins under the unified memory
+    // manager) move to checkpoint files. If the in-session probe
+    // overhead (449 s inside t42 vs 270-350 standalone at 1 GB × 4,
+    // BENCH_R16_STAGES) vanishes under this arm, the term is NAMED:
+    // storage-pinned cut blocks stealing execution memory from the
+    // probe. The cleaner config below is Graft.session's: without it a
+    // long profile run leaks checkpoint copies.
+    sys.env.get("SPARK_GRAFT_CKPT_DIR").foreach { d =>
+      spark.conf.set("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+      spark.sparkContext.setCheckpointDir(d)
+      println(s"[curprofile] reliable checkpoints at $d (cut() -> disk)")
+    }
+
+    // storage telemetry at stage boundaries: how much executor storage
+    // memory the session's persisted/localCheckpointed RDD blocks hold —
+    // the candidate term for the in-session probe overhead. getRDDStorageInfo
+    // is driver-local (no job).
+    def storageLine(): String = {
+      val infos = spark.sparkContext.getRDDStorageInfo
+      val mem = infos.map(_.memSize).sum >> 20
+      val dsk = infos.map(_.diskSize).sum >> 20
+      s"storageMB=$mem diskMB=$dsk blocks=${infos.map(_.numCachedPartitions).sum}"
+    }
 
     def time[A](name: String)(body: => A): A = {
       val t0 = System.nanoTime()
@@ -57,7 +91,7 @@ object CurProfile {
       s"bandDials=${graft.queries.TextOps.DialBandTables}:" +
       s"${graft.queries.TextOps.DialBandBits}:${graft.queries.TextOps.DialBandRadius} " +
       s"probeBudgetMB=${graft.queries.TextOps.DialProbeBroadcastMaxBytes >> 20} " +
-      s"slicePar=${graft.queries.BandEmbIndex.DialSlicePar}")
+      s"slicePar=${graft.queries.BandEmbIndex.dialSlicePar(spark.sparkContext)}")
 
     // seed = setup (warm if stamped), exactly the bench's warmup posture;
     // the profiled region below is the per-batch ingest a deployment pays
@@ -71,7 +105,13 @@ object CurProfile {
     }
 
     val stages = scala.collection.mutable.ListBuffer.empty[(String, Double)]
-    IncrementalCuration.profileSink = Some((n, s) => stages += ((n, s)))
+    IncrementalCuration.profileSink = Some { (n, s) =>
+      stages += ((n, s))
+      // the boundary line shows what each stage LEFT pinned — the probe
+      // stage's entry shows the pressure it ran under (its predecessors'
+      // cut blocks), which is the ask-#6 term being priced
+      println(f"[curprofile] after $n%-22s ${storageLine()}")
+    }
     try {
       val wall = {
         val t0 = System.nanoTime()
@@ -85,9 +125,14 @@ object CurProfile {
       }
       println(s"[curprofile] ---- $which ingest stage table ----")
       stages.foreach { case (n, s) => println(f"[curprofile] $n%-28s $s%8.2fs") }
-      val split = stages.collect { case ("split:band-probe", s) => s }.sum
+      // split:-prefixed entries time work already counted INSIDE another
+      // stage (band-probe's profiling-only extra pass; the per-table
+      // appends nested in `appends`, which OVERLAP when dispatched
+      // concurrently) — only top-level stages tile the wall
+      val top = stages.filterNot(_._1.startsWith("split:")).map(_._2).sum
+      val split = stages.filter(_._1.startsWith("split:")).map(_._2).sum
       println(f"[curprofile] ${"TOTAL (ingest wall)"}%-28s $wall%8.2fs " +
-        f"(stage sum ${stages.map(_._2).sum}%.2f incl. $split%.2f profiling-only split pass)")
+        f"(top-level stage sum $top%.2f; $split%.2f of nested/split passes excluded)")
     } finally IncrementalCuration.profileSink = None
     spark.stop()
   }

@@ -72,18 +72,54 @@ object ScaleData {
     * sf1.0 and sf10sub) stay byte-identical.
     */
   private[graft] def rotAlpha(i: Int): String = {
+    val alpha20 = Alpha + Alpha2
     val pair = rot(Alpha, i % 10) + rot(Alpha2, i / 10 % 10)
     val s = i / 100 % 20
-    if (s == 0) pair
-    else {
-      val alpha20 = Alpha + Alpha2
-      pair.map(c => alpha20((alpha20.indexOf(c) + s) % 20))
-    }
+    val lvl3 =
+      if (s == 0) pair
+      else pair.map(c => alpha20((alpha20.indexOf(c) + s) % 20))
+    // Fourth substitution level, engaged only past factor 2000 (the
+    // three-level family's full cycle) — added for the round-17 off-fit
+    // corpus (factor 3000): REVERSAL of the 20-letter alphabet, composed
+    // after the shifts. Every permutation in the three-level family maps
+    // all but the few half-wrap letter pairs to successor pairs
+    // (index difference +1 mod 20); composing with reversal flips that
+    // to −1, so no reversed permutation can equal any unreversed one and
+    // the family's cycle doubles to 4000 (spec-pinned exhaustively over
+    // the whole range). Identity for i < 2000: every recorded corpus
+    // (factors ≤ 1000) stays byte-identical.
+    if (i / 2000 % 2 == 0) lvl3
+    else lvl3.map(c => alpha20(19 - alpha20.indexOf(c)))
   }
+
+  /** The text family's full cycle — [[scaleTable]] refuses factors past
+    * it rather than silently emitting exact-duplicate copies (the
+    * factor-1000 ENOSPC lesson, this time as arithmetic).
+    */
+  private[graft] val TextCycle = 4000
 
   def scaleTable(spark: SparkSession, name: String, src: String, factor: Int): DataFrame = {
     val base = spark.read.parquet(s"$src/$name.parquet")
-    def copyOf(i: Int): DataFrame = {
+    // the embedding dim is a property of the TABLE, probed once — inside
+    // the per-copy closure it was one limit(1) Spark job per copy, which
+    // at the round-17 factor-3000 corpus is 3000 jobs of pure overhead
+    // before the first row is written
+    val embDim =
+      if (name == "embeddings")
+        base.selectExpr("size(embedding) d").limit(1).collect()(0).getInt(0)
+      else 0
+    if (name == "region" || name == "nation") base
+    else (0 until factor).map(tableCopy(base, name, factor, embDim, _))
+      .reduce(_ unionByName _)
+  }
+
+  /** One copy's transformed frame — factored out of [[scaleTable]] so the
+    * specs can pin high-copy levels (the level-4 engagements at copies
+    * 1024/2048+) without building a factor-wide union plan.
+    */
+  private[graft] def tableCopy(base: DataFrame, name: String, factor: Int,
+                               embDim: Int, i: Int): DataFrame = {
+    {
       val off = lit(i * Stride)
       name match {
         case "region" | "nation" => base // fixed dims; union once below
@@ -101,12 +137,16 @@ object ScaleData {
           base.withColumn("event_id", col("event_id") + off)
             .withColumn("user_id", col("user_id") + off)
         case "documents" =>
+          require(factor <= TextCycle,
+            s"factor $factor exceeds the text substitution family's cycle " +
+              s"$TextCycle — copies i and i+$TextCycle would be exact text " +
+              "duplicates (add a level-5 permutation before scaling past it)")
           // bijective per-copy substitution: preserves length (n_chars
           // stays truthful) and within-copy shingle structure
           base.withColumn("doc_id", col("doc_id") + off)
             .withColumn("text", translate(col("text"), Alpha + Alpha2, rotAlpha(i)))
         case "embeddings" =>
-          val dim = base.selectExpr("size(embedding) d").limit(1).collect()(0).getInt(0)
+          val dim = embDim
           val k = i % dim
           val rotated =
             if (k == 0) col("embedding")
@@ -147,13 +187,39 @@ object ScaleData {
               // pos/q via floor: Column `/` on ints is DOUBLE division
               when(floor(pos / q).cast("int").isin(negQuarters: _*), -x)
                 .otherwise(x))
+          // fourth isometry level, engaged only past 16·dim copies (the
+          // three-level family's cycle — 1024 at dim 64; the round-17
+          // factor-3000 off-fit corpus needs more): blockwise negation
+          // over the ODD EIGHTHS 1/3/5/7, the four bits of
+          // (i / (16·dim)) % 16. Over the eighth-block sign space the
+          // eight generators (global negation; quarters 1-3 = eighth
+          // pairs {2,3} {4,5} {6,7}; eighths 1,3,5,7) are linearly
+          // independent over GF(2), so every (level-2, level-3, level-4)
+          // combination yields a DISTINCT diagonal — the composed cycle
+          // is dim rotations × 256 sign patterns = 256·dim (16384 at
+          // dim 64; spec-pinned over the full factor-3000 range).
+          // Identity below 16·dim copies: recorded factor-≤1000 corpora
+          // byte-identical. Same dim < 8 guard as level 3: q8 = 0 would
+          // be a division artifact, so the level skips explicitly and
+          // the degraded cycle is a stated property for tiny dims.
+          val blockBits2 = i / (16 * dim) % 16
+          val q8 = dim / 8
+          val negEighths =
+            if (q8 == 0) Nil
+            else (0 to 3).filter(b => (blockBits2 & (1 << b)) != 0).map(b => 2 * b + 1)
+          val iso4 =
+            if (negEighths.isEmpty) iso3
+            else transform(iso3, (x, pos) =>
+              when(floor(pos / q8).cast("int").isin(negEighths: _*), -x)
+                .otherwise(x))
+          require(factor <= 256 * dim || dim < 8,
+            s"factor $factor exceeds the embedding isometry family's cycle " +
+              s"${256 * dim} at dim $dim — copies would duplicate vector sets")
           base.withColumn("vec_id", col("vec_id") + off)
-            .withColumn("embedding", iso3)
+            .withColumn("embedding", iso4)
         case other => sys.error(s"unknown table $other")
       }
     }
-    if (name == "region" || name == "nation") base
-    else (0 until factor).map(copyOf).reduce(_ unionByName _)
   }
 
   val Tables: Seq[String] = Seq(

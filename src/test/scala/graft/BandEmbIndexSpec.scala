@@ -198,6 +198,33 @@ class BandEmbIndexSpec extends SparkTestBase {
     assert(BandEmbIndex.parFor(1) === 4)
   }
 
+  test("dialSlicePar derives from the EXECUTION fleet, not the driver JVM (round-16 wrong #1)") {
+    // the knee was measured against executor slots; the shared test
+    // session is local[4], so the fleet-derived default is parFor(4) = 4
+    // even on a many-core driver box (where Runtime cores would say 8+).
+    // A small driver fronting a large fleet diverges the other way.
+    val sc = spark.sparkContext
+    assert(sc.defaultParallelism === 4)
+    assert(BandEmbIndex.dialSlicePar(sc) === BandEmbIndex.parFor(sc.defaultParallelism))
+    assert(BandEmbIndex.dialSlicePar(sc) === 4)
+  }
+
+  test("flooredSliceCount encodes K >= 2 x par whenever the probe slices at all (round-16 next #3)") {
+    // the measured K x par packing rule (BENCH_R16_KSCALE.json: every
+    // K=18 arm beat every K=5 arm at the same par) as default behavior:
+    // a budget-sized K of 5 at par 8 floors to 16 — smaller slices, same
+    // memory bound (the floor only SHRINKS per-slice broadcasts)
+    assert(BandEmbIndex.flooredSliceCount(5, 8) === 16)
+    // a K already past the floor is untouched
+    assert(BandEmbIndex.flooredSliceCount(18, 8) === 18)
+    // sequential probes (one broadcast fits) never manufacture slices
+    assert(BandEmbIndex.flooredSliceCount(1, 8) === 1)
+    assert(BandEmbIndex.flooredSliceCount(0, 8) === 0)
+    // par 1 still floors a slicing probe at 2 (two waves minimum)
+    assert(BandEmbIndex.flooredSliceCount(2, 1) === 2)
+    assert(BandEmbIndex.flooredSliceCount(3, 1) === 3)
+  }
+
   test("maxParFor caps concurrent dispatch to the driver-heap allowance") {
     val gb = 1L << 30
     // half the heap / (2 x budget) per in-flight slice: 8 GB heap at the

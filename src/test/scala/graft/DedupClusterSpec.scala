@@ -45,6 +45,39 @@ class DedupClusterSpec extends SparkTestBase {
     try body finally sys.props -= "graft.cc.localMaxEdges"
   }
 
+  test("ccShufflePartitionsFor tracks the graph, not the core count (round-16 next #5)") {
+    import graft.queries.TextOps
+    // the rule CcProbe measured by failing first (BENCH_R16_CC.json):
+    // ~1M pairs (2M mirrored rows) per task — 400M edges need 400 tasks
+    // on any core count; 32 died AGGREGATE_OUT_OF_MEMORY, 400 completed
+    assert(TextOps.ccShufflePartitionsFor(400000000L, 32) === 400)
+    assert(TextOps.ccShufflePartitionsFor(400000000L, 512) === 512)
+    // small graphs never pay extra tasks: the session default holds
+    assert(TextOps.ccShufflePartitionsFor(40L, 32) === 32)
+    assert(TextOps.ccShufflePartitionsFor(1000000L, 32) === 32)
+    // bounded: a pathological edge count cannot demand millions of tasks
+    assert(TextOps.ccShufflePartitionsFor(Long.MaxValue / 4, 32) === 200000)
+  }
+
+  test("the propagation loop raises shuffle partitions for its rounds and restores after") {
+    import graft.queries.TextOps
+    // shrink the per-task budget so a 6-edge graph crosses the raise
+    // threshold; the loop must (a) still converge correctly, (b) restore
+    // the caller's session partitions on exit
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L), (11L, 12L))
+      .toDF("doc_a", "doc_b")
+    val nodes = (1L to 12L).toDF("doc_id")
+    val before = spark.sessionState.conf.numShufflePartitions
+    sys.props("graft.cc.pairsPerTask") = "1"
+    val got = try forcingLoop(TextOps.dedupClustersOf(nodes, pairs)
+      .select("doc_id", "cluster").collect().map(r => (r.getLong(0), r.getLong(1))).toMap)
+    finally sys.props -= "graft.cc.pairsPerTask"
+    assert(spark.sessionState.conf.numShufflePartitions === before,
+      "loop did not restore the caller's shuffle partitions")
+    assert(Seq(1L, 2L, 3L, 4L, 5L).map(got).distinct === Seq(1L))
+    assert(Seq(10L, 11L, 12L).map(got).distinct === Seq(10L))
+  }
+
   test("with a checkpoint dir configured, clustering uses reliable checkpoints and agrees") {
     import graft.queries.TextOps
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")

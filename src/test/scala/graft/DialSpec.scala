@@ -33,4 +33,23 @@ class DialSpec extends AnyFunSuite {
     assert(TextOps.parseDial("SPARK_GRAFT_PROBE_SLICE_PAR", "0", 1) === 1L)
     assert(TextOps.parseDial("SPARK_GRAFT_BAND_RADIUS", "-1", 0) === 0L)
   }
+
+  test("above-maximum values clamp loudly instead of wrapping (round-16 ADVICE)") {
+    // an Int dial parsed as Long used to TRUNCATE: 2^32 wrapped to 0
+    // through .toInt, silently defeating the loud-validation layer
+    assert(TextOps.clampDialMax("SPARK_GRAFT_LSH_RADIUS", 4294967296L,
+      Int.MaxValue) === Int.MaxValue.toLong)
+    // in-range values pass through untouched
+    assert(TextOps.clampDialMax("X", 42L, Int.MaxValue) === 42L)
+    assert(TextOps.clampDialMax("X", Int.MaxValue.toLong, Int.MaxValue) ===
+      Int.MaxValue.toLong)
+  }
+
+  test("probe-budget MB cap keeps the byte shift inside Long (round-16 ADVICE)") {
+    // the dial converts MB -> bytes with << 20; an absurd MB value past
+    // 2^43 used to overflow Long. The stated cap itself must shift clean.
+    assert(TextOps.MaxProbeBcMb << 20 > 0L)
+    assert(TextOps.clampDialMax("SPARK_GRAFT_PROBE_BC_MB",
+      Long.MaxValue >> 2, TextOps.MaxProbeBcMb) === TextOps.MaxProbeBcMb)
+  }
 }

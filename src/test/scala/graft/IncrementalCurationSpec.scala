@@ -270,6 +270,39 @@ class IncrementalCurationSpec extends SparkTestBase {
     assert(aud.collect().head.getAs[Long]("input_docs") === ids(partB).size.toLong)
     assert(cur.count() > 0)
   }
+  test("concurrent appends == sequential: identical state tables, audit and kept set (round-16 next #4)") {
+    import graft.pipelines.IncrementalCuration.EmbeddingSignal
+    import graft.queries.BandEmbIndex
+    // multi-signal ingest exercises all THREE advances (hash, band, emb);
+    // the dial flips the dispatch path only — the final warehouse state
+    // must be row-identical either way (the appends share no state and
+    // are individually idempotent, so order/overlap cannot matter)
+    val embAll = graft.core.Tables.embeddings(spark, sf())
+    val embA = embAll.filter(col("vec_id") < 250)
+    val embB = embAll.filter(col("vec_id") >= 250)
+    def runWith(par: String): (Set[Long], Seq[Any], Set[String], Set[String], Long) = {
+      sys.props("graft.append.par") = par
+      try {
+        val wh = tmpWh()
+        IncrementalCuration.seed(wh, partA, emb = Some(EmbeddingSignal(embA)))
+        val (cur, aud) = IncrementalCuration.ingest(wh, partB, emb = Some(EmbeddingSignal(embB)))
+        val hashRows = wh.read(IncrementalCuration.HashTable, IncrementalCuration.HashSchema)
+          .collect().map(_.toSeq.mkString("|")).toSet
+        val bandRows = BandIndex.banded(wh)
+          .collect().map(_.toSeq.mkString("|")).toSet
+        (ids(cur), aud.collect().head.toSeq, hashRows, bandRows,
+          BandEmbIndex.coded(wh).count())
+      } finally sys.props -= "graft.append.par"
+    }
+    val (kept1, aud1, hash1, band1, coded1) = runWith("1")
+    val (kept3, aud3, hash3, band3, coded3) = runWith("3")
+    assert(kept3 === kept1)
+    assert(aud3 === aud1)
+    assert(hash3 === hash1, "hash-table state diverged under concurrent appends")
+    assert(band3 === band1, "band-index state diverged under concurrent appends")
+    assert(coded3 === coded1, "emb-index row count diverged under concurrent appends")
+  }
+
   test("multi-signal seed stamp carries the EmbIndex partition-layout token") {
     // a warehouse seeded before the pbucket fan-out lays emb_buckets out
     // under bucket= directories; a layout-blind stamp would accept it and

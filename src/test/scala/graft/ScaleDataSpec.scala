@@ -36,6 +36,31 @@ class ScaleDataSpec extends SparkTestBase {
     assert(all.distinct.size == 1000, "text family has a cycle < 1000")
   }
 
+  test("text level 4 (reversal past copy 2000): cycle >= 4000, identity below 2000, factor guard") {
+    import spark.implicits._
+    val alpha20 = "abcdefghijklmnopqrst"
+    // exhaustive distinctness over the round-17 factor-3000 corpus's
+    // whole range (and the family's full stated cycle)
+    val all = (0 until ScaleData.TextCycle).map(ScaleData.rotAlpha)
+    assert(all.distinct.size == ScaleData.TextCycle,
+      s"text family has a cycle < ${ScaleData.TextCycle}")
+    // still a bijection at level-4 copies
+    for (i <- Seq(2000, 2001, 2137, 3999))
+      assert(ScaleData.rotAlpha(i).sorted == alpha20, s"copy $i not a bijection")
+    // identity below 2000: the recorded corpora's exact values (copy 100
+    // = global shift by 1; copy 2100 = the same shifted image reversed)
+    assert(ScaleData.rotAlpha(100) == "bcdefghijklmnopqrsta")
+    assert(ScaleData.rotAlpha(2100) == "srqponmlkjihgfedcbat")
+    // past the cycle the generator REFUSES (the factor-1000 ENOSPC
+    // lesson as arithmetic, not a silent duplicate corpus)
+    val dir = java.nio.file.Files.createTempDirectory("graft_scale_guard_").toString
+    Seq((1L, "abc")).toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+    intercept[IllegalArgumentException] {
+      ScaleData.tableCopy(base, "documents", ScaleData.TextCycle + 1, 0, 0)
+    }
+  }
+
   test("embedding transform is an exact isometry with cycle >= 1000 at dim=64") {
     import spark.implicits._
     val dim = 64
@@ -76,6 +101,61 @@ class ScaleDataSpec extends SparkTestBase {
     val v0 = vecs.head._2
     val expected = (v0.drop(1) ++ v0.take(1)).toSeq
     assert(scaled(1L).head.toSeq == expected, "level-1 rotation changed")
+  }
+
+  test("embedding level 4 (odd-eighth negation past copy 16*dim): distinct isometries to 16384 at dim=64") {
+    import spark.implicits._
+    val dim = 64
+    val rng = new scala.util.Random(13)
+    val vec = Array.fill(dim)(rng.nextGaussian().toFloat)
+    val dir = java.nio.file.Files.createTempDirectory("graft_scale_l4_").toString
+    Seq((0L, vec)).toDF("vec_id", "embedding").write.parquet(s"$dir/embeddings.parquet")
+    val base = spark.read.parquet(s"$dir/embeddings.parquet")
+    def copyVec(i: Int): Seq[Float] =
+      ScaleData.tableCopy(base, "embeddings", 3000, dim, i)
+        .select("embedding").as[Array[Float]].collect().head.toSeq
+    // pre-fix the family cycled at 16*dim = 1024: copy 1024 duplicated
+    // copy 0's vector set exactly — the round-17 factor-3000 corpus
+    // would have handed every sign-code bucket ~3 exact duplicates
+    val v0 = copyVec(0)
+    assert(v0 == vec.toSeq, "copy 0 is not the identity")
+    val v1024 = copyVec(1024)
+    assert(v1024 != v0, "embedding family still cycles at 1024")
+    // the level-4 sign patterns are the STATED arithmetic: copy 1024
+    // (bits2 = 1 → eighth 1 negated) flips exactly positions 8..15
+    val expected1024 = vec.toSeq.zipWithIndex.map { case (x, p) =>
+      if (p / 8 == 1) -x else x }
+    assert(v1024 == expected1024, "level-4 eighth negation pattern wrong")
+    // isometry at sampled level-4 copies: norms exactly preserved
+    val baseNorm = math.sqrt(vec.map(x => x.toDouble * x).sum)
+    for (c <- Seq(1024, 2048, 2999)) {
+      val n = math.sqrt(copyVec(c).map(x => x.toDouble * x).sum)
+      assert(math.abs(n - baseNorm) < 1e-4, s"copy $c broke the isometry")
+    }
+    // distinctness of the COMPOSED map over the full 256*dim cycle,
+    // via the generators' GF(2) independence: the (rotation, level-2,
+    // level-3, level-4) tuple recovers i uniquely below 16384, and
+    // distinct tuples give distinct sign diagonals (all-ones, quarters
+    // {2,3}/{4,5}/{6,7}, eighths 1/3/5/7 are independent over the
+    // eighth-block space). Checked here as arithmetic over all 16384
+    // copies rather than 16384 Spark plans.
+    def signPattern(i: Int): Seq[Int] = {
+      val s = Array.fill(8)(1)
+      if (i / dim % 2 == 1) (0 until 8).foreach(b => s(b) = -s(b))
+      val b3 = i / (2 * dim) % 8
+      for (q <- 1 to 3 if (b3 & (1 << (q - 1))) != 0; e <- Seq(2 * q, 2 * q + 1))
+        s(e) = -s(e)
+      val b4 = i / (16 * dim) % 16
+      for (b <- 0 to 3 if (b4 & (1 << b)) != 0) s(2 * b + 1) = -s(2 * b + 1)
+      s.toSeq
+    }
+    val tuples = (0 until 256 * dim).map(i => (i % dim, signPattern(i)))
+    assert(tuples.distinct.size == 256 * dim,
+      "embedding isometry family has a cycle < 256*dim")
+    // the guard: factors past the cycle refuse
+    intercept[IllegalArgumentException] {
+      ScaleData.tableCopy(base, "embeddings", 256 * dim + 1, dim, 0)
+    }
   }
 
   test("tiny dims: level 3 skips explicitly at dim < 4; dim % 4 tail preserved, no nulls") {
