@@ -46,11 +46,15 @@ object CurProfile {
     val dir = args.headOption.getOrElse("target/testdata/sf10sub")
     val which = args.lift(1).getOrElse("t42")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = sys.env.get("SPARK_GRAFT_CKPT_DIR").fold(builder) { _ =>
+      // static conf — must land on the builder (CANNOT_MODIFY_CONFIG
+      // after session creation)
+      builder.config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+    }.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Round-17 ask #6 A/B arm: with SPARK_GRAFT_CKPT_DIR set, every
     // Frames.cut in the ingest becomes a RELIABLE disk checkpoint
@@ -64,7 +68,6 @@ object CurProfile {
     // probe. The cleaner config below is Graft.session's: without it a
     // long profile run leaks checkpoint copies.
     sys.env.get("SPARK_GRAFT_CKPT_DIR").foreach { d =>
-      spark.conf.set("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       spark.sparkContext.setCheckpointDir(d)
       println(s"[curprofile] reliable checkpoints at $d (cut() -> disk)")
     }
