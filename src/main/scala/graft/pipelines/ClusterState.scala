@@ -375,7 +375,7 @@ object ClusterState {
                            maxBucket: Int = TextOps.EmbBucketCap): Unit = {
     BandEmbIndex.seed(wh, embSrc, tables, bits)
     seed(wh, embSrc.select(col("vec_id").as("doc_id")),
-      TextOps.t54NearDupBandedOf(embSrc, tables, bits, radius, maxBucket)
+      BandEmbIndex.selfCosinePairsOf(embSrc, tables, bits, radius, maxBucket)
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
   }
 
@@ -436,7 +436,10 @@ object ClusterState {
       s"emb-band-partA50\n$dir\n$embStamp", tables, bits)
     graft.queries.StampedTable.ensureSeeded(wh, "t55_seed",
       s"t55-seed\n$dir\ntables=$tables\nbits=$bits\nradius=$radius\ncap=$maxBucket\n$embStamp") {
-      val pairsA = TextOps.t54NearDupBandedOf(partA, tables, bits, radius, maxBucket)
+      // slim sliced self-probe, NOT the direct t54 construction — the
+      // wide-shuffle seed was the measured round-17 ENOSPC (see
+      // BandEmbIndex.selfCosinePairsOf)
+      val pairsA = BandEmbIndex.selfCosinePairsOf(partA, tables, bits, radius, maxBucket)
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
       seed(wh, partA.select(col("vec_id").as("doc_id")), pairsA)
     }

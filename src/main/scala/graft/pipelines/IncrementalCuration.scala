@@ -96,8 +96,8 @@ object IncrementalCuration {
       * Hamming ball, τ-verified either way.
       */
     def selfPairs: DataFrame =
-      if (banded) TextOps.t54NearDupBandedOf(embSrc, resolvedTables, bits,
-        resolvedRadius, maxBucket)
+      if (banded) BandEmbIndex.selfCosinePairsOf(embSrc, resolvedTables, bits,
+        resolvedRadius, maxBucket) // slim sliced self-probe (round-17 seed ENOSPC fix)
       else TextOps.t15CosineNearDupOf(embSrc, bits, resolvedRadius, maxBucket = maxBucket)
 
     /** Persist this signal's index family over the slice (seed path). */

@@ -182,6 +182,34 @@ object BandEmbIndex extends PersistedIndex {
     incrementCosinePairsOf(coded(wh), codedOf(batchEmb, tables, bits),
       bits, radius, maxBucket)
 
+  /** Whole-frame banded self pairs THROUGH the slim sliced probe — the
+    * seed-side twin of [[incrementCosinePairsOf]]: against an EMPTY
+    * index, (settled, batch) ∪ (batch, batch) collapses to exactly the
+    * frame's internal pair set, i.e. [[TextOps.t54NearDupBandedOf]]'s
+    * result (spec-pinned row-equal; the skew cap, τ, rounding and
+    * pair orientation all coincide — the cap counts only `n_new` when
+    * `n_idx` is empty, which IS t54's per-(tbl, bucket) count).
+    *
+    * Exists because the direct t54 construction shuffles the embedding
+    * payload ON the mask explode: at the round-17 off-fit seed
+    * (3M vectors × 9 tables × 19 masks ≈ 513M rows × ~550 B) that is
+    * ~280 GB of raw shuffle input, measured as a 56 GB scratch ENOSPC
+    * that killed the seed before the first pair emerged — scratch no
+    * periodic GC can reclaim, because the blocks are live. This path
+    * broadcasts slim probe rows + per-slice vectors and STREAMS the
+    * frame's own cut, so candidates never shuffle and scratch is
+    * bounded by the slice plan — the invariant the ingest probe has
+    * held since round 14, now extended to the last materialized-pair
+    * shuffle in the banded family (every seed path and the one-shot
+    * t54 query route here since round 17).
+    */
+  def selfCosinePairsOf(embSrc: DataFrame, tables: Int, bits: Int,
+                        radius: Int,
+                        maxBucket: Int = TextOps.EmbBucketCap): DataFrame = {
+    val bc = Frames.cut(codedOf(embSrc, tables, bits))
+    incrementCosinePairsOf(bc.limit(0), bc, bits, radius, maxBucket)
+  }
+
   /** Bounded concurrent dispatch width for independent probe slices
     * (`SPARK_GRAFT_PROBE_SLICE_PAR`). Slices share no state — each
     * broadcasts its own slim rows + vectors and streams the same

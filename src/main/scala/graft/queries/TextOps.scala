@@ -2151,7 +2151,14 @@ object TextOps {
     * tables carry identical cosines).
     */
   def t54NearDupBanded(s: SparkSession, dir: String): DataFrame =
-    t54NearDupBandedOf(embeddings(s, dir),
+    // the slim sliced self-probe, not the direct construction below: the
+    // direct shape shuffles the embedding payload on the mask explode and
+    // ENOSPC'd the round-17 3M-vector seed; routing the one-shot query
+    // here keeps it scale-safe AND puts the self-probe path (including
+    // its empty-index increment semantics) under the driver's t54 hash
+    // oracle every round. t54NearDupBandedOf remains as the reference
+    // implementation the equivalence spec compares against.
+    BandEmbIndex.selfCosinePairsOf(embeddings(s, dir),
       DialBandTables, DialBandBits, DialBandRadius)
 
   def t54NearDupBandedOf(embSrc: DataFrame, tables: Int, bits: Int,

@@ -33,6 +33,26 @@ class BandEmbIndexSpec extends SparkTestBase {
   private val partB = embAll.filter(TextOps.splitBucket(col("vec_id")) >= 50)
   private val (tT, tB, tR) = (3, 8, 1)
 
+  test("selfCosinePairsOf == the direct t54 construction (every seed path rides the slim probe)") {
+    // the round-17 seed-path rewrite: the direct t54 shape shuffles the
+    // embedding payload on the mask explode (measured 56 GB scratch
+    // ENOSPC at the 3M-vector off-fit seed); selfCosinePairsOf routes
+    // the same semantics through the empty-index increment probe.
+    // Row-equality here is the whole contract: skew cap, τ, halfUp
+    // rounding and pair orientation must all coincide.
+    val direct = pairSet(TextOps.t54NearDupBandedOf(embAll, tT, tB, tR))
+    val self = pairSet(BandEmbIndex.selfCosinePairsOf(embAll, tT, tB, tR))
+    assert(self === direct)
+    assert(self.nonEmpty, "no pairs — the equivalence checked nothing")
+    // with a skew cap low enough to bite, the capped-bucket drop
+    // semantics must also coincide (cap counts n_new only when the
+    // index side is empty — exactly t54's per-(tbl, bucket) count)
+    val directCap = pairSet(TextOps.t54NearDupBandedOf(embAll, tT, tB, tR, maxBucket = 8))
+    val selfCap = pairSet(BandEmbIndex.selfCosinePairsOf(embAll, tT, tB, tR, maxBucket = 8))
+    assert(selfCap === directCap)
+    assert(selfCap !== self, "cap never bit — the cap-parity assertion checked nothing")
+  }
+
   test("index-probed banded pairs == full t54 pairs restricted to the batch's neighborhood") {
     val wh = tmpWh()
     BandEmbIndex.seed(wh, partA, tT, tB)

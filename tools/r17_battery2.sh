@@ -20,7 +20,11 @@ export GRAFT_CLASSES=${GRAFT_CLASSES:-/tmp/r17_classes}
 [ -d "$GRAFT_CLASSES" ] || cp -a target/scala-2.13/classes "$GRAFT_CLASSES"
 
 SF=target/testdata/sf300sub
-DIALS_ENV="SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=48g SPARK_GRAFT_LSH_BITS=20 SPARK_GRAFT_BAND_BITS=18 SPARK_DRIVER_MAXRESULT=4g"
+# periodicGC: without it the 3M-vector seed accumulated 56 GB of
+# cleanable shuffle/block litter (the 48 GB heap never GC'd, so the
+# context cleaner never fired) and ENOSPC'd the box — scratch is
+# bounded by ~interval of churn once the cleaner actually runs
+DIALS_ENV="SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=48g SPARK_GRAFT_LSH_BITS=20 SPARK_GRAFT_BAND_BITS=18 SPARK_DRIVER_MAXRESULT=4g SPARK_GRAFT_JAVA_OPTS=-Dspark.cleaner.periodicGC.interval=90s"
 SKIP_ALL=ivf-lists,attr-lists,cattr-lists,pq,rarity-vocab,ngram-lm,assets,t46-seed,t48-seed,cluster-seeds,curation-seeds,vacuum
 
 run() {

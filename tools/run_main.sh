@@ -18,7 +18,12 @@ done
 # SPARK_DRIVER_MAXRESULT must cover the probe-broadcast budget when a
 # battery raises SPARK_GRAFT_PROBE_BC_MB past ~1 GB: the per-slice
 # broadcast collects through the driver and is bounded by this cap.
-exec java $ADD_OPENS \
+# SPARK_GRAFT_JAVA_OPTS: extra -D/-X flags for a battery (e.g.
+# -Dspark.cleaner.periodicGC.interval=90s — the round-17 sf300sub seed
+# filled the disk with 56 GB of CLEANABLE shuffle/block litter because a
+# 48 GB driver heap never GC'd in a 5-minute run, so the context cleaner
+# never fired; a forced periodic GC bounds scratch to ~interval of churn).
+exec java $ADD_OPENS ${SPARK_GRAFT_JAVA_OPTS:-} \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
   -Dspark.driver.maxResultSize="${SPARK_DRIVER_MAXRESULT:-1g}" \
