@@ -142,10 +142,16 @@ class BandedLshSpec extends SparkTestBase {
     assert(recallDup >= 0.9)
   }
 
-  test("t54 candidate join is pinned shuffle-hash; exploded probe side never broadcasts") {
+  test("direct t54 construction: candidate join pinned shuffle-hash; exploded probe side never broadcasts") {
     // sparkPlan (pre-AQE), the same hook PlanShapeSpec uses: strategy
-    // picks are visible before adaptive re-planning wraps them
-    val plan = TextOps.t54NearDupBanded(spark, sf()).queryExecution.sparkPlan
+    // picks are visible before adaptive re-planning wraps them.
+    // Target is the DIRECT construction (t54NearDupBandedOf), the
+    // reference implementation whose exploded candidate set must not
+    // broadcast; since round 17 the registered t54 query routes through
+    // the slim sliced self-probe, whose opposite shape is pinned below.
+    val plan = TextOps.t54NearDupBandedOf(graft.core.Tables.embeddings(spark, sf()),
+        TextOps.DialBandTables, TextOps.DialBandBits, TextOps.DialBandRadius)
+      .queryExecution.sparkPlan
     def nodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
       p +: p.children.flatMap(nodes)
     val all = nodes(plan)
@@ -157,5 +163,25 @@ class BandedLshSpec extends SparkTestBase {
     // the only legitimate broadcast is the tiny oversized-bucket anti-join
     assert(bcJoins.forall(_.joinType.toString.contains("LeftAnti")),
       s"exploded probe side must not broadcast:\n$plan")
+  }
+
+  test("routed t54 (self-probe): no vector payload ever crosses an exchange") {
+    // The registered query's invariant is the probe family's: candidates
+    // never shuffle — slim probe rows and per-slice vectors broadcast,
+    // the frame's cut streams, and every Exchange carries only slim
+    // columns (pair ids, counts, cosines). A vector-typed column crossing
+    // an exchange would reintroduce the payload shuffle that ENOSPC'd the
+    // round-17 3M-vector seed.
+    val plan = TextOps.t54NearDupBanded(spark, sf()).queryExecution.sparkPlan
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p +: p.children.flatMap(nodes)
+    val exchanges = nodes(plan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    exchanges.foreach { e =>
+      val wide = e.output.filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+      assert(wide.isEmpty,
+        s"exchange carries vector payload ${wide.map(_.name).mkString(",")} in:\n$plan")
+    }
   }
 }
