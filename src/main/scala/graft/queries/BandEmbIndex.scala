@@ -207,7 +207,8 @@ object BandEmbIndex extends PersistedIndex {
                         radius: Int,
                         maxBucket: Int = TextOps.EmbBucketCap): DataFrame = {
     val bc = Frames.cut(codedOf(embSrc, tables, bits))
-    incrementCosinePairsOf(bc.limit(0), bc, bits, radius, maxBucket)
+    pairsImpl(None, bc, bits, radius, maxBucket, BucketPrune.MaxInline,
+      TextOps.DialProbeBroadcastMaxBytes, ParFromSession)
   }
 
   /** Bounded concurrent dispatch width for independent probe slices
@@ -340,37 +341,73 @@ object BandEmbIndex extends PersistedIndex {
                                             maxInline: Int = BucketPrune.MaxInline,
                                             probeBroadcastMaxBytes: Long =
                                               TextOps.DialProbeBroadcastMaxBytes,
-                                            slicePar: Int = ParFromSession): DataFrame = {
+                                            slicePar: Int = ParFromSession): DataFrame =
+    pairsImpl(Some(index), batchCoded, bits, radius, maxBucket, maxInline,
+      probeBroadcastMaxBytes, slicePar)
+
+  /** Shared probe core. `indexOpt = None` is the STATICALLY-EMPTY-index
+    * collapse [[selfCosinePairsOf]] rides: with no settled rows, the
+    * bucket-prune probes (two full distinct+limit passes over the
+    * exploded probe-bucket frame — ~batch × L × (1 + bits) rows), the
+    * vec_id-distinct replay anti-join, and the empty `probed`
+    * checkpoint are all algebraically no-ops, and the skew cap's
+    * full-outer count join reduces to the batch's own n_new counts —
+    * so the self path skips them instead of paying several full passes
+    * over the widest slim frame to compute empty sets (round-17
+    * measurement: the rerouted t54 carried ~0.7 s of these control
+    * jobs at sf0.1; at the 3M-vector off-fit seed the two pruned-probe
+    * passes alone scan ~513M exploded rows). The collapse is
+    * spec-pinned row-equal to the direct t54 construction.
+    */
+  private def pairsImpl(indexOpt: Option[DataFrame], batchCoded: DataFrame,
+                        bits: Int, radius: Int,
+                        maxBucket: Int,
+                        maxInline: Int,
+                        probeBroadcastMaxBytes: Long,
+                        slicePar: Int): DataFrame = {
     val cut = Frames.cut _
     val bc = Frames.cutIfPlain(batchCoded)
     val masks = Lsh.masksWithin(radius, bits)
-    // every (tbl, bucket) a batch row probes or lives in (mask 0 is in
-    // the set) — batch × L × (1 + bits) values at the policy radius 1,
-    // the banded family's whole point: no Hamming-ball multiplier
-    val probeBucketsDf = bc.select(col("tbl"),
-      explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
-    val prunedIndex = restrictToBuckets(index, probeBucketsDf, maxInline)
-    // anti-join on vec_id = the replay-exactness guard (same reasoning
-    // as EmbIndex: a crashed-and-redelivered batch must not ride the
-    // corpus side nor double-count into the cap occupancy). vec_id
-    // alone — not (vec_id, tbl) — because a TORN append's partial rows
-    // must ALSO sit out: the batch side re-derives all L rows, so
-    // keeping a landed subset on the index side would pair a vector
-    // with itself across tables.
-    val probed = cut(prunedIndex
-      .join(bc.select(col("vec_id")).distinct(), Seq("vec_id"), "left_anti"))
+    val (corpus, batchCapped) = indexOpt match {
+      case Some(index) =>
+        // every (tbl, bucket) a batch row probes or lives in (mask 0 is in
+        // the set) — batch × L × (1 + bits) values at the policy radius 1,
+        // the banded family's whole point: no Hamming-ball multiplier
+        val probeBucketsDf = bc.select(col("tbl"),
+          explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+        val prunedIndex = restrictToBuckets(index, probeBucketsDf, maxInline)
+        // anti-join on vec_id = the replay-exactness guard (same reasoning
+        // as EmbIndex: a crashed-and-redelivered batch must not ride the
+        // corpus side nor double-count into the cap occupancy). vec_id
+        // alone — not (vec_id, tbl) — because a TORN append's partial rows
+        // must ALSO sit out: the batch side re-derives all L rows, so
+        // keeping a landed subset on the index side would pair a vector
+        // with itself across tables.
+        val probed = cut(prunedIndex
+          .join(bc.select(col("vec_id")).distinct(), Seq("vec_id"), "left_anti"))
 
-    // t54's skew cap on the UNION's per-(tbl, bucket) occupancy; both
-    // count frames collapse to ≤ |probed keys| rows and broadcast back
-    val oversized = probed.groupBy(col("tbl"), col("bucket"))
-      .agg(count(lit(1)).as("n_idx"))
-      .join(bc.groupBy(col("tbl"), col("bucket")).agg(count(lit(1)).as("n_new")),
-        Seq("tbl", "bucket"), "full_outer")
-      .filter(coalesce(col("n_idx"), lit(0L)) + coalesce(col("n_new"), lit(0L)) > maxBucket)
-      .select(col("tbl"), col("bucket"))
-    val corpus = probed.unionByName(bc)
-      .join(broadcast(oversized), Seq("tbl", "bucket"), "left_anti")
-    val batchCapped = bc.join(broadcast(oversized), Seq("tbl", "bucket"), "left_anti")
+        // t54's skew cap on the UNION's per-(tbl, bucket) occupancy; both
+        // count frames collapse to ≤ |probed keys| rows and broadcast back
+        val oversized = probed.groupBy(col("tbl"), col("bucket"))
+          .agg(count(lit(1)).as("n_idx"))
+          .join(bc.groupBy(col("tbl"), col("bucket")).agg(count(lit(1)).as("n_new")),
+            Seq("tbl", "bucket"), "full_outer")
+          .filter(coalesce(col("n_idx"), lit(0L)) + coalesce(col("n_new"), lit(0L)) > maxBucket)
+          .select(col("tbl"), col("bucket"))
+        (probed.unionByName(bc)
+           .join(broadcast(oversized), Seq("tbl", "bucket"), "left_anti"),
+         bc.join(broadcast(oversized), Seq("tbl", "bucket"), "left_anti"))
+      case None =>
+        // empty-index collapse: n_idx ≡ 0, so the cap is t54's own
+        // per-(tbl, bucket) batch count, and corpus == capped batch —
+        // ONE anti-join frame serves as both (its broadcast builds once)
+        val oversized = bc.groupBy(col("tbl"), col("bucket"))
+          .agg(count(lit(1)).as("n_new"))
+          .filter(col("n_new") > maxBucket)
+          .select(col("tbl"), col("bucket"))
+        val capped = bc.join(broadcast(oversized), Seq("tbl", "bucket"), "left_anti")
+        (capped, capped)
+    }
 
     // SLIM sliced probe — the round-14 third-decade lesson. The first
     // shape carried the embedding payload ON the mask explode
