@@ -172,6 +172,18 @@ object IncrementalCuration {
     sys.props.get("graft.append.par").map(_.trim.toInt)
       .getOrElse(TextOps.envInt("SPARK_GRAFT_APPEND_PAR", 1, 3))
 
+  /** Overlapped dispatch of [[ingestImpl]]'s embedding branch
+    * (`SPARK_GRAFT_INGEST_OVERLAP`; specs override via the
+    * `graft.ingest.overlap` system property). Default 1 — the
+    * code → index-probe → pair-normalization chain reads only the
+    * embedding slice and the persisted index, so it runs BESIDE the
+    * independent text stages instead of after them; 0 forces the
+    * sequential dispatch. Results are dispatch-invariant (spec-pinned).
+    */
+  private def IngestOverlap: Boolean =
+    sys.props.get("graft.ingest.overlap").map(_.trim.toInt)
+      .getOrElse(TextOps.envInt("SPARK_GRAFT_INGEST_OVERLAP", 0, 1)) > 0
+
   /** Explicitly release the storage a [[cut]] pinned — the persisted
     * blocks behind the checkpointed frame's `LogicalRDD`. Within one
     * long-lived session (the bench JVM runs the lifecycle queries ~164
@@ -416,6 +428,72 @@ object IncrementalCuration {
     // release sweep then reaches too.
     val tracked = scala.collection.mutable.ListBuffer.empty[DataFrame]
     def cutT(df: DataFrame): DataFrame = { val c = cut(df); tracked += df; tracked += c; c }
+
+    // ---- embedding branch: code → persisted-index probe → doc-pair
+    // normalization, dispatchable BESIDE the text stages ----
+    // The branch depends only on the embedding slice and the persisted
+    // index (the survivor GATING needs the exact stage and stays on the
+    // main thread below), while the emb probe is 74-76 % of the decade-3
+    // lifecycle walls (BENCH_R16_STAGES.json) and runs in task waves
+    // with stage gaps and straggler tails. The ~30-38 s of independent
+    // text-stage work (signals-exact + minhash-band at the 2M-vector
+    // point) back-fills those gaps instead of extending the wall — the
+    // same overlap lever as the concurrent appends below (round-16
+    // next #4, extended to the pre-probe stages). Dispatch-invariant by
+    // construction: the branch READS the index and shares no mutable
+    // state with the text stages; [[IngestOverlap]] = 0 forces the
+    // sequential order for A/B and stage-table work.
+    def runEmbBranch(e: EmbeddingSignal): (DataFrame, DataFrame, Seq[DataFrame]) = {
+      // the batch coding is shared by probe and append (the batch's
+      // dominant per-vector compute, materialized once)
+      val preCoded = e.codedBatch
+      val coded = prof("emb-code")(cut(preCoded))
+      // the index probe runs its eager work (pruned-index cut, slice-plan
+      // stats, per-slice materializations) INSIDE this call — the timer
+      // must wrap the call itself, not just the downstream cut: the first
+      // t42 decomposition wrapped only normPairs and 75 % of the ingest
+      // wall went unattributed (the probe hid in construction)
+      val vPairs = prof("emb-probe")(e.incrementPairs(wh, coded))
+      val preNorm = e.docPairsOf(vPairs.select(col("vec_a"), col("vec_b")))
+        .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+          greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+        .filter(col("doc_a") =!= col("doc_b"))
+      val norm = prof("emb-pairs-norm")(cut(preNorm))
+      (coded, norm, Seq(preCoded, coded, vPairs, preNorm, norm))
+    }
+    // overlapped mode backs the handle with a single-thread pool + job
+    // group so a main-path failure cancels the in-flight branch (same
+    // teardown ORDER as the probe slices: stop the pool first, then
+    // cancel current and future group jobs)
+    var embTeardown: Option[() => Unit] = None
+    val embAwait: Option[() => (DataFrame, DataFrame, Seq[DataFrame])] = emb.map { e =>
+      if (!IngestOverlap) () => runEmbBranch(e)
+      else {
+        val sc = batchDocs.sparkSession.sparkContext
+        val group = s"graft-ingest-emb-${java.util.UUID.randomUUID()}"
+        val pool = java.util.concurrent.Executors.newSingleThreadExecutor()
+        embTeardown = Some(() => {
+          pool.shutdownNow()
+          sc.cancelJobGroupAndFutureJobs(group)
+        })
+        val fut = pool.submit(new java.util.concurrent.Callable[(DataFrame, DataFrame, Seq[DataFrame])] {
+          def call(): (DataFrame, DataFrame, Seq[DataFrame]) = {
+            // job-group properties are thread-local: the branch tags its
+            // own jobs (interruptOnCancel reaches the tasks)
+            sc.setJobGroup(group, "ingest embedding branch", interruptOnCancel = true)
+            try runEmbBranch(e) finally sc.clearJobGroup()
+          }
+        })
+        () =>
+          try fut.get() catch {
+            case ee: java.util.concurrent.ExecutionException => throw ee.getCause
+          } finally { embTeardown = None; pool.shutdown() }
+      }
+    }
+    def guarded[A](body: => A): A =
+      try body catch { case th: Throwable => embTeardown.foreach(_.apply()); throw th }
+
+    val (staged2, surv, bandedSurv, pairs) = guarded {
     // batch-sized and referenced by every stage below: one eager cut.
     // The exact-stage lookup is probe-shaped: a left join can only
     // broadcast its RIGHT side — the corpus-scale hash table — so joined
@@ -465,22 +543,24 @@ object IncrementalCuration {
     // runs in production (profileSink is None there)
     if (profileSink.isDefined)
       prof("split:band-probe")(pairs.queryExecution.toRdd.count())
+    (staged2, surv, bandedSurv, pairs)
+    }
     // the embedding signal, index-probed: batch vectors code themselves
     // and probe the persisted sign-code index (replay-exact, union-cap
-    // identical to a full t15 over settled ∪ batch); mapped doc pairs
-    // are survivor-gated on BOTH endpoints — settled survivors are the
+    // identical to a full t15 over settled ∪ batch) — dispatched via
+    // [[runEmbBranch]] above (overlapped with the text stages by
+    // default); awaiting here rethrows a branch failure and adopts its
+    // frames into the release sweep. Mapped doc pairs are then
+    // survivor-gated on BOTH endpoints — settled survivors are the
     // hash table's keep_ids, batch survivors the exact stage above —
-    // exactly where the full pipeline gates extraPairs
-    // the batch coding is shared by probe and append the same way
-    val codedBatch = emb.map(e => prof("emb-code")(cutT(e.codedBatch)))
-    val embPairsGated = emb.map { e =>
-      // the index probe runs its eager work (pruned-index cut, slice-plan
-      // stats, per-slice materializations) INSIDE this call — the timer
-      // must wrap the call itself, not just the downstream cut: the first
-      // t42 decomposition wrapped only normPairs and 75 % of the ingest
-      // wall went unattributed (the probe hid in construction)
-      val vPairs = prof("emb-probe")(e.incrementPairs(wh, codedBatch.get))
-      val docPairs = e.docPairsOf(vPairs.select(col("vec_a"), col("vec_b")))
+    // exactly where the full pipeline gates extraPairs.
+    val embRes: Option[(DataFrame, DataFrame)] = embAwait.map { f =>
+      val (coded, norm, frames) = guarded(f())
+      tracked ++= frames
+      (coded, norm)
+    }
+    val codedBatch: Option[DataFrame] = embRes.map(_._1)
+    val embPairsGated = embRes.map { case (_, normPairs) =>
       // probe-shaped like the exact stage above: the survivor universe
       // (settled keep_ids ∪ batch survivors) is corpus-scale, so instead
       // of semi-joining the pairs against it (which would shuffle it,
@@ -488,10 +568,6 @@ object IncrementalCuration {
       // endpoint ids — probe pairs are batch-bounded (every pair has a
       // batch endpoint), so the hit set is too, and the gating semi-joins
       // run against its broadcast
-      val normPairs = prof("emb-pairs-norm")(cutT(docPairs
-        .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
-          greatest(col("doc_a"), col("doc_b")).as("doc_b"))
-        .filter(col("doc_a") =!= col("doc_b"))))
       val endpointIds = normPairs.select(col("doc_a").as("doc_id"))
         .unionByName(normPairs.select(col("doc_b").as("doc_id"))).distinct()
       val survHit = broadcast(settled.select(col("keep_id").as("doc_id"))

@@ -303,6 +303,35 @@ class IncrementalCurationSpec extends SparkTestBase {
     assert(coded3 === coded1, "emb-index row count diverged under concurrent appends")
   }
 
+  test("overlapped embedding branch == sequential: identical audit, kept set and state (round-17 pre-probe overlap)") {
+    import graft.pipelines.IncrementalCuration.EmbeddingSignal
+    import graft.queries.BandEmbIndex
+    // the dial flips only WHEN the emb code+probe+norm chain runs
+    // (beside the text stages vs after them); the branch reads the
+    // embedding slice and the persisted index and shares no mutable
+    // state with the text stages, so every output must be row-identical
+    val embAll = graft.core.Tables.embeddings(spark, sf())
+    val embA = embAll.filter(col("vec_id") < 250)
+    val embB = embAll.filter(col("vec_id") >= 250)
+    def runWith(overlap: String): (Set[Long], Seq[Any], Set[String], Long) = {
+      sys.props("graft.ingest.overlap") = overlap
+      try {
+        val wh = tmpWh()
+        IncrementalCuration.seed(wh, partA, emb = Some(EmbeddingSignal(embA)))
+        val (cur, aud) = IncrementalCuration.ingest(wh, partB, emb = Some(EmbeddingSignal(embB)))
+        val hashRows = wh.read(IncrementalCuration.HashTable, IncrementalCuration.HashSchema)
+          .collect().map(_.toSeq.mkString("|")).toSet
+        (ids(cur), aud.collect().head.toSeq, hashRows, BandEmbIndex.coded(wh).count())
+      } finally sys.props -= "graft.ingest.overlap"
+    }
+    val (kept0, aud0, hash0, coded0) = runWith("0")
+    val (kept1, aud1, hash1, coded1) = runWith("1")
+    assert(kept1 === kept0)
+    assert(aud1 === aud0)
+    assert(hash1 === hash0, "hash-table state diverged under overlapped emb branch")
+    assert(coded1 === coded0, "emb-index state diverged under overlapped emb branch")
+  }
+
   test("multi-signal seed stamp carries the EmbIndex partition-layout token") {
     // a warehouse seeded before the pbucket fan-out lays emb_buckets out
     // under bucket= directories; a layout-blind stamp would accept it and
