@@ -468,12 +468,22 @@ object BandEmbIndex extends PersistedIndex {
         (if (nSlices > baseSlices) s" (budget-sized $baseSlices, floored to 2×par)" else "") +
         s" rows=$batchRows vecs=$batchVecs " +
         s"dim=$embDim masks=${masks.length} budgetMB=${probeBroadcastMaxBytes >> 20} par=$par")
-    def pairsOfSlice(slice: DataFrame): DataFrame = {
+    def pairsOfSlice(slice: DataFrame, sliceVecsSrc: DataFrame): DataFrame = {
       val slimProbes = slice.select(col("vec_id").as("vec_a"), col("tbl"),
         explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
-      val sliceVecs = slice
+      // one vector row per vec_a WITHOUT an aggregate: the coded frame
+      // carries a vec's payload on each of its L table rows and table 0
+      // exists for every vector (posexplode over tables 0..L-1), so the
+      // tbl = 0 rows ARE the distinct vector set. The previous
+      // dropDuplicates planned Exchange + SortAggregate × 2 + Sort × 2
+      // PER SLICE (array-typed first() buffers force the sort-based
+      // aggregate), shuffling the very vector payload this path exists
+      // to keep out of exchanges. Built from the PRE-cap slice rows: a
+      // vector whose every (tbl, bucket) was capped away keeps its
+      // tbl-0 row here, which the INNER join on vec_a makes inert (it
+      // has no slim probes) — parity at a biting cap is spec-pinned.
+      val sliceVecs = sliceVecsSrc.filter(col("tbl") === 0)
         .select(col("vec_id").as("vec_a"), col("emb").as("emb_a"), col("nrm").as("nrm_a"))
-        .dropDuplicates("vec_a")
       corpus.join(broadcast(slimProbes), Seq("tbl", "bucket"))
         .join(broadcast(sliceVecs), Seq("vec_a"))
         .filter(col("vec_a") =!= col("vec_id"))
@@ -489,14 +499,14 @@ object BandEmbIndex extends PersistedIndex {
         .agg(max(col("cosine")).as("cosine"))
     }
     val paired =
-      if (nSlices == 1) pairsOfSlice(batchCapped)
+      if (nSlices == 1) pairsOfSlice(batchCapped, bc)
       else {
         // deterministic content-keyed slicing; each slice's slim pairs
         // are cut eagerly so its two broadcasts are released once the
         // slice lands (at most `par` slices' broadcasts coexist)
         val sliceKey = pmod(xxhash64(col("vec_id")), lit(nSlices.toLong))
         def sliceCut(s: Int): DataFrame =
-          cut(pairsOfSlice(batchCapped.filter(sliceKey === s)))
+          cut(pairsOfSlice(batchCapped.filter(sliceKey === s), bc.filter(sliceKey === s)))
         val sliceFrames: Seq[DataFrame] =
           if (par == 1) (0 until nSlices).map(sliceCut)
           else {
